@@ -1,0 +1,61 @@
+"""Portable deterministic hashing, identical in Spark SQL and DuckDB.
+
+Spark's ``hash()``/``xxhash64()`` and DuckDB's ``hash()`` are different
+algorithms, so they cannot anchor a cross-checked MinHash/SimHash/LSH.  Both
+engines, however, produce byte-identical ``md5`` hex digests, and both can
+turn the first 15 hex chars (60 bits, always non-negative in an int64) into a
+BIGINT:
+
+  Spark : cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)
+  DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+
+These are the ONLY hash primitives used by the dedup/similarity operators, so
+every signature, band bucket and hyperplane below is reproducible on a
+1000-executor cluster, in local mode, and in the oracle.
+
+At scale this costs one md5 per (row x hash-function); md5 runs JVM-side
+inside whole-stage codegen, no Python boundary crossing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 hex chars; keeps the value positive in a signed int64
+
+
+def hash64_sql_spark(expr: str, salt: str = "") -> str:
+    """Spark SQL fragment: 60-bit deterministic hash of a string expression."""
+    salted = f"concat('{salt}', {expr})" if salt else expr
+    return f"cast(conv(substr(md5({salted}), 1, 15), 16, 10) as bigint)"
+
+
+def hash64_sql_duckdb(expr: str, salt: str = "") -> str:
+    """DuckDB SQL fragment computing the identical 60-bit hash."""
+    salted = f"'{salt}' || {expr}" if salt else expr
+    return f"('0x' || substr(md5({salted}), 1, 15))::BIGINT"
+
+
+def hash64(col: Column | str, salt: str = "") -> Column:
+    """Spark Column: 60-bit deterministic hash (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt:
+        c = F.concat(F.lit(salt), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_hex(col: Column | str, seed: int) -> Column:
+    """One MinHash component: the md5 hex digest under a seeded salt.
+
+    Taking ``min()`` of these hex strings per document is an order-preserving
+    stand-in for min-of-integer-hash (hex compares lexicographically the same
+    way the underlying 128-bit integer compares numerically), and the string
+    form is identical across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat(F.lit(f"mh{seed}:"), c))
+
+
+def minhash_hex_sql_duckdb(expr: str, seed: int) -> str:
+    return f"md5('mh{seed}:' || {expr})"

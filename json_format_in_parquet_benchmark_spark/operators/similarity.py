@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns.
+
+- :func:`topk_bruteforce` -- exact top-k cosine for a (small, broadcast)
+  query set against the full corpus.  At 100 TB the query side is always the
+  small side: broadcast it, scan the corpus once, TakeOrdered per query.
+- :func:`sign_lsh_buckets` -- random-hyperplane (sign) LSH bucketing, the
+  scale path: vectors sharing a bucket are candidate neighbors, so search
+  cost drops from O(N) per query to O(N / 2^planes) expected.  Hyperplanes
+  are DETERMINISTIC (md5-derived pseudo-random weights), so bucket ids are
+  reproducible across runs/engines and oracle-checkable.
+- :func:`topk_lsh` -- top-k restricted to LSH bucket collisions (approximate;
+  multi-probe = also match buckets at Hamming distance 1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_spark, dot_spark
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: weight(j, d) derives from
+    md5('pl{j}:{d}'), uniform in [-1, 1] with 3 decimal places (exactly
+    representable scale / 1000 keeps the literals engine-portable)."""
+    planes = []
+    for j in range(n_planes):
+        w = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"pl{j}:{d}".encode()).hexdigest()[:15], 16)
+            w.append((h % 2001 - 1000) / 1000.0)
+        planes.append(w)
+    return planes
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (query side
+    broadcast; ties broken by neighbor id for determinism)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(cosine_spark("qvec", "cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def sign_lsh_buckets(
+    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Assign each vector a sign-LSH bucket id in [0, 2^n_planes)."""
+    planes = hyperplanes(n_planes, dim)
+    bucket = None
+    for j, w in enumerate(planes):
+        arr = f"array({', '.join(repr(x) for x in w)})"
+        bit = F.when(F.expr(dot_spark(vec_col, arr)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(
+        F.col(id_col).alias("vec_id"), bucket.cast("bigint").alias("bucket")
+    )
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: only score candidates whose LSH bucket matches the
+    query's bucket exactly or at Hamming distance 1 (multi-probe)."""
+    cb = sign_lsh_buckets(corpus, vec_col, id_col, n_planes, dim).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    qb = sign_lsh_buckets(queries, vec_col, id_col, n_planes, dim).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")).join(
+        cb, "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).join(
+        qb, "query_id"
+    ).withColumnRenamed("bucket", "qbucket")
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.expr("bit_count(bucket ^ qbucket)") <= 1)
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.expr(cosine_spark("qvec", "cvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

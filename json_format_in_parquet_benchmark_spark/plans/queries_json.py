@@ -1,0 +1,286 @@
+"""JSON capability surface -- parity with the reference benchmark.
+
+The reference's whole purpose is: parse JSON, hold it in one of four physical
+representations, round-trip through Parquet/ZSTD, extract by JSON path
+(SURVEY.md section 2.1, /root/reference/benches/query.rs:7-37,
+src/format/variant.rs:72-128).  These queries re-express that surface on the
+``events.props`` JSON column of the testdata plus the reference's own golden
+corpora:
+
+- ``json_path_get``        -- O19-O21: path extraction on the RAW string
+  (re-parses per row -- the "plain_json is slow to query" arm).
+- ``json_shred_typed``     -- O5+O13: ``from_json`` declared-schema shredding
+  into typed columns (the "variant" arm; Catalyst prunes/pushes on it).
+- ``json_variant_get``     -- O3+O19: Spark 4 ``parse_json`` -> VariantType ->
+  ``variant_get`` (the "jsonb/jsonc pre-parsed binary" arm).
+- ``json_tojson_canonical``-- O7-O9: decode back to canonical JSON text.
+- ``json_golden_probes``   -- O22: the 4 fixed (file, path, expected) probes
+  from benches/query.rs:46-67 on the reference corpora.
+- ``json_roundtrip_plain`` -- O2/O6/O10/O14: parquet ZSTD write + read-back
+  with an order-insensitive checksum proving lossless round-trip.
+- ``json_ndv_profile``     -- the NDV accounting that drives the reference's
+  storage results (scripts/json-generator.py:66-79, README.md:25).
+
+At 100 TB: all of these are narrow projections over a single table; the
+shredded/variant arms let Parquet prune to one column and the scan never
+materializes the raw string, while ``get_json_object`` deliberately does (it
+is the slow arm the benchmark exists to demonstrate).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import register
+
+REFERENCE_JSON_DIR = "/root/reference/json"
+
+# (probe name, file, spark json path, duckdb json path, expected)
+# Mirrors /root/reference/benches/query.rs:46-67.
+GOLDEN_PROBES = (
+    ("canada_type", "canada.json", "$.type", "$.type", "FeatureCollection"),
+    (
+        "citm_area",
+        "citm_catalog.json",
+        "$.areaNames.205705994",
+        '$.areaNames."205705994"',
+        "1er balcon central",
+    ),
+    (
+        "citm_topic",
+        "citm_catalog.json",
+        "$.topicNames.324846100",
+        '$.topicNames."324846100"',
+        "Formations musicales",
+    ),
+    (
+        "twitter_max_id",
+        "twitter.json",
+        "$.search_metadata.max_id_str",
+        "$.search_metadata.max_id_str",
+        "505874924095815681",
+    ),
+)
+
+
+@register(
+    "flagship_events_enriched",
+    oracle="""
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(json_extract_string(props, '$.k')) AS max_k_str
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Flagship: JSON shred + temporal bucketing + multi-aggregate over events.",
+    tags=("json", "aggregation", "flagship"),
+    bench=True,
+)
+def flagship_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    shred = events.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+        "value",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+    return shred.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias("sum_value"),
+        F.sum("k").alias("sum_k"),
+        F.max("k_str").alias("max_k_str"),
+    )
+
+
+@register(
+    "json_path_get",
+    oracle="""
+SELECT event_id, json_extract_string(props, '$.k') AS k_str
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+""",
+    doc="O19-O21: JSON path extraction on the raw string column (per-row parse).",
+    tags=("json",),
+)
+def json_path_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_str")
+    ).where(F.col("k_str").isNotNull())
+
+
+@register(
+    "json_shred_typed",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) AS n,
+       COUNT(DISTINCT event_id) AS n_events
+FROM events
+GROUP BY 1
+""",
+    doc="O5+O13: declared-schema shredding (from_json -> typed struct -> agg).",
+    tags=("json", "aggregation"),
+)
+def json_shred_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.from_json("props", "k BIGINT").alias("p"), "event_id"
+        )
+        .select(F.col("p.k").alias("k"), "event_id")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("event_id").alias("n_events"))
+    )
+
+
+@register(
+    "json_variant_get",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+    doc="O3+O19: parse once into VariantType (Spark 4 jsonb-equivalent), "
+    "then variant_get path access on the pre-parsed binary form.",
+    tags=("json", "variant"),
+)
+def json_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.parse_json("props").alias("v"))
+        .select(F.variant_get("v", "$.k", "bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "json_tojson_canonical",
+    oracle="""
+SELECT to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT)))::VARCHAR
+         AS canon,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+    doc="O7-O9: decode back to canonical JSON text (struct -> to_json).",
+    tags=("json",),
+)
+def json_tojson_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.to_json(F.from_json("props", "k BIGINT")).alias("canon"))
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _golden_oracle() -> str:
+    rows = ",\n".join(
+        f"('{name}', '{expected.replace(chr(39), chr(39) * 2)}', "
+        f"'{expected.replace(chr(39), chr(39) * 2)}')"
+        for name, _, _, _, expected in GOLDEN_PROBES
+    )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + rows
+        + "\n) AS t(probe, extracted, expected)"
+    )
+
+
+@register(
+    "json_golden_probes",
+    oracle=_golden_oracle(),
+    doc="O22: the reference's 4 golden (file, path, expected) probes "
+    "(benches/query.rs:46-67) evaluated on the actual corpora; the oracle "
+    "pins the expected literals, so a wrong extraction hash-mismatches.",
+    tags=("json", "golden"),
+)
+def json_golden_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for name, fname, spath, _dpath, expected in GOLDEN_PROBES:
+        path = os.path.join(REFERENCE_JSON_DIR, fname)
+        doc = spark.read.text(path)
+        parts.append(
+            doc.select(
+                F.lit(name).alias("probe"),
+                F.get_json_object("value", spath).alias("extracted"),
+                F.lit(expected).alias("expected"),
+            ).distinct()  # twitter.json repeats one document on 5 lines
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "json_roundtrip_plain",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       bit_xor(('0x' || substr(md5(props), 1, 15))::BIGINT) AS doc_checksum,
+       CAST(SUM(length(props)) AS BIGINT) AS total_chars
+FROM events
+""",
+    doc="O2/O6/O10/O14: plain_json representation round-trip -- write the raw "
+    "JSON strings to Parquet ZSTD, read them back, and prove losslessness "
+    "with an order-insensitive xor checksum (the reference asserts "
+    "decode()==input, src/format/plain_json.rs:68-97).",
+    tags=("json", "roundtrip", "sink"),
+)
+def json_roundtrip_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64
+
+    events = load_table(spark, sf_dir, "events")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "jfipb_roundtrip_plain", os.path.basename(sf_dir.rstrip("/"))
+    )
+    events.select(F.col("props").alias("doc")).write.mode("overwrite").parquet(
+        out_dir, compression="zstd"
+    )
+    back = spark.read.parquet(out_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("bit_xor(" + "cast(conv(substr(md5(doc),1,15),16,10) as bigint)" + ")").alias(
+            "doc_checksum"
+        ),
+        F.sum(F.length("doc")).cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "json_ndv_profile",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT props) AS ndv_props,
+       COUNT(DISTINCT json_extract_string(props, '$.k')) AS ndv_k,
+       COUNT(DISTINCT user_id) AS ndv_user
+FROM events
+GROUP BY 1
+""",
+    doc="NDV accounting per group -- the axis the reference's storage results "
+    "are parameterized by (scripts/json-generator.py:66-79, README.md:25).",
+    tags=("json", "aggregation", "distinct"),
+)
+def json_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("props").alias("ndv_props"),
+        F.countDistinct(F.get_json_object("props", "$.k")).alias("ndv_k"),
+        F.countDistinct("user_id").alias("ndv_user"),
+    )

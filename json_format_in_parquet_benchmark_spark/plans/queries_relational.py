@@ -1,0 +1,560 @@
+"""Relational operator coverage over the TPC-H-ish testdata.
+
+The reference has no relational runtime (SURVEY.md section 2.2 -- no joins,
+aggregation, windows, sorts or set ops), so this module supplies the standard
+coverage the category checklist demands, each query expressed declaratively so
+Catalyst picks the physical strategy:
+
+- broadcast hash join  : dimension joins (region/nation/supplier) -- small
+  sides are explicitly ``F.broadcast()``-hinted so the plan survives missing
+  stats on a real cluster.
+- shuffle/sort-merge   : orders x lineitem fact-fact join on the shuffle key.
+- semi / anti joins    : existence checks without row multiplication.
+- windows              : top-N per group, running totals.
+- rollup / cube        : multi-level aggregates in one shuffle.
+- sorts / top-k        : global order + limit (Spark runs TakeOrderedAndProject,
+  no full sort at scale).
+- set ops, string/date/array functions, filter pushdown.
+- as-of join           : Spark lacks a native one; expressed as a running
+  ``max_by`` window over a union-ordered stream -- one shuffle, no UDF, scales
+  linearly (the standard Spark formulation of point-in-time joins).
+
+Cross-engine exactness: every double aggregate uses the decimal-exact pattern
+(registry module docstring); timestamps are emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import register
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-style pricing summary: filtered scan -> hash aggregate with "
+    "map-side partial aggregation; the shipdate predicate pushes to Parquet.",
+    tags=("relational", "aggregation", "filter"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    flt = li.where(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    return flt.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").alias("sum_qty"),
+        F.expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").alias(
+            "sum_base_price"
+        ),
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2))"
+            " * (1 - cast(l_discount as decimal(18,2)))) as double)"
+        ).alias("sum_disc_price"),
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2))"
+            " * (1 - cast(l_discount as decimal(18,2)))"
+            " * (1 + cast(l_tax as decimal(18,2)))) as double)"
+        ).alias("sum_charge"),
+        F.expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*)"
+        ).alias("avg_qty"),
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*)"
+        ).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderkey, orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3-style: selective dimension filter -> two joins -> top-k by "
+    "aggregated revenue (TakeOrderedAndProject; customer side broadcasts).",
+    tags=("relational", "join", "topk"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,2))"
+                " * (1 - cast(l_discount as decimal(18,2))))"
+                " as double)"
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "join_broadcast_region_revenue",
+    oracle="""
+SELECT r_name AS region, n_name AS nation,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""",
+    doc="Star join: fact x 3 broadcast dimensions, zero fact-side shuffles "
+    "before the final aggregate (all dim joins are broadcast-hinted).",
+    tags=("relational", "join", "broadcast"),
+    bench=True,
+)
+def join_broadcast_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dim = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,2))"
+                " * (1 - cast(l_discount as decimal(18,2))))"
+                " as double)"
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_sortmerge_order_fulfilment",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+    doc="Fact-fact join on the natural shuffle key (orderkey): shuffle hash / "
+    "sort-merge chosen by AQE; at 100 TB both sides would be bucketed on "
+    "orderkey to make this a zero-shuffle join.",
+    tags=("relational", "join", "sortmerge"),
+    bench=True,
+)
+def join_sortmerge_order_fulfilment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").alias(
+                "total_qty"
+            ),
+        )
+    )
+
+
+@register(
+    "join_semi_anti_customers",
+    oracle="""
+WITH buyers AS (SELECT DISTINCT o_custkey FROM orders)
+SELECT n_name AS nation,
+       COUNT(*) AS n_customers,
+       COUNT(b.o_custkey) AS n_with_orders,
+       COUNT(*) - COUNT(b.o_custkey) AS n_without_orders
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN buyers b ON c_custkey = b.o_custkey
+GROUP BY 1
+""",
+    doc="Semi/anti join coverage: per-nation counts of customers with and "
+    "without orders (Spark side uses genuine left_semi / left_anti joins).",
+    tags=("relational", "join", "semi", "anti"),
+)
+def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nat = load_table(spark, sf_dir, "nation")
+    base = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    semi = (
+        base.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    anti = (
+        base.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    total = base.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        total.join(semi, "n_name", "left")
+        .join(anti, "n_name", "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+@register(
+    "window_topn_orders_per_customer",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey,
+         o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    doc="Window top-N per group: one shuffle on the partition key; at scale "
+    "this beats a self-join top-N by orders of magnitude.",
+    tags=("relational", "window", "topk"),
+    bench=True,
+)
+def window_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+""",
+    doc="Running total window (decimal-exact prefix sums).",
+    tags=("relational", "window"),
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "running_spend"
+        ),
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       COUNT(c_custkey) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+    doc="ROLLUP: hierarchical (region -> nation -> grand total) aggregates in "
+    "a single pass.",
+    tags=("relational", "aggregation", "rollup"),
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.expr("cast(sum(cast(c_acctbal as decimal(18,2))) as double)").alias(
+                "total_acctbal"
+            ),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@register(
+    "agg_cube_order_status",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE: all grouping-set combinations in one shuffle.",
+    tags=("relational", "aggregation", "cube"),
+)
+def agg_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").alias(
+                "total_price"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "sort_topk_lineitems",
+    oracle="""
+SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+""",
+    doc="Global top-k: ORDER BY + LIMIT compiles to TakeOrderedAndProject "
+    "(per-partition heap + driver merge, never a full sort).",
+    tags=("relational", "sort", "topk"),
+)
+def sort_topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+        .orderBy(F.desc("price"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@register(
+    "set_ops_nations",
+    oracle="""
+WITH cn AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+     sn AS (SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT 'union' AS op, n_name FROM (SELECT n_name FROM cn UNION SELECT n_name FROM sn)
+UNION ALL
+SELECT 'intersect' AS op, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+UNION ALL
+SELECT 'except' AS op, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+""",
+    doc="Set operations: UNION / INTERSECT / EXCEPT over derived nation sets.",
+    tags=("relational", "setops"),
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cn = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name")
+        .distinct()
+    )
+    sn = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("n_name")
+        .distinct()
+    )
+    return (
+        cn.union(sn).distinct().select(F.lit("union").alias("op"), "n_name")
+        .unionByName(cn.intersect(sn).select(F.lit("intersect").alias("op"), "n_name"))
+        .unionByName(cn.exceptAll(sn).distinct().select(F.lit("except").alias("op"), "n_name"))
+    )
+
+
+@register(
+    "string_funcs_parts",
+    oracle="""
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS BIGINT) AS brand_num,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substr(p_type, 1, 5) AS type_prefix
+FROM part
+WHERE p_type LIKE '%ECO%' OR p_name LIKE 'b%'
+""",
+    doc="String function coverage: regexp_extract, upper, length, substr, LIKE.",
+    tags=("relational", "string"),
+)
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.where(
+        F.col("p_type").like("%ECO%") | F.col("p_name").like("b%")
+    ).select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("bigint").alias("brand_num"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+    )
+
+
+@register(
+    "date_funcs_order_calendar",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="Date/time function coverage: year/month extraction + monthly rollup.",
+    tags=("relational", "datetime", "aggregation"),
+)
+def date_funcs_order_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mth")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").alias(
+            "total_price"
+        ),
+    )
+
+
+@register(
+    "filter_pushdown_scan",
+    oracle="""
+SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+FROM events
+WHERE event_type = 'purchase' AND value > 150.0
+""",
+    doc="Selective filter + narrow projection; both the predicate and the "
+    "2-column ReadSchema reach the Parquet scan (verified in tests via "
+    "the explain plan).",
+    tags=("relational", "filter", "pushdown"),
+)
+def filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+    ).select("event_id", "user_id", F.col("value").cast("double").alias("value"))
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+WITH tagged AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events
+)
+SELECT event_id,
+       user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM tagged
+WHERE event_type = 'purchase'
+""",
+    doc="As-of join (point-in-time): for each purchase, the most recent "
+    "prior-or-equal click of the same user.  Spark has no native as-of join; "
+    "this is the single-shuffle window formulation (partition by the entity "
+    "key, running max of the as-of timestamp), which scales linearly and "
+    "avoids the naive range self-join blowup.",
+    tags=("relational", "join", "asof", "custom-operator"),
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = events.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return tagged.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    )

@@ -1,0 +1,121 @@
+"""Similarity-search queries over the ``embeddings`` table, with exact
+oracles (the LSH hyperplanes are deterministic md5-derived constants and the
+dot products are bit-identical across engines, so even the approximate path
+is exactly cross-checkable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_duckdb, dot_duckdb
+from ..operators.similarity import (
+    hyperplanes,
+    sign_lsh_buckets,
+    topk_bruteforce,
+    topk_lsh,
+)
+from ..tables import load_table
+from .registry import register
+
+N_QUERIES = 8
+TOP_K = 10
+N_PLANES = 8
+DIM = 64
+
+_COS_D = cosine_duckdb("a.embedding", "b.embedding")
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings),
+scored AS (
+  SELECT a.query_id, b.neighbor_id, {cosine_duckdb("a.embedding", "b.embedding")} AS cos_sim
+  FROM q a CROSS JOIN c b
+  WHERE a.query_id <> b.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="Exact top-k cosine neighbors (brute force): broadcast query set, one "
+    "corpus scan, per-query heap via window rank.",
+    tags=("similarity", "topk"),
+    bench=True,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return topk_bruteforce(emb, queries, "embedding", "vec_id", k=TOP_K)
+
+
+def _bucket_expr_duckdb(vec: str) -> str:
+    planes = hyperplanes(N_PLANES, DIM)
+    terms = []
+    for j, w in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in w) + "]"
+        terms.append(
+            f"(CASE WHEN {dot_duckdb(vec, arr)} >= 0"
+            f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "similarity_lsh_buckets",
+    oracle=f"""
+SELECT vec_id, {_bucket_expr_duckdb("embedding")} AS bucket
+FROM embeddings
+""",
+    doc="Sign-LSH bucketing: 8 deterministic md5-derived hyperplanes -> "
+    "256-way bucket id per vector (the ANN scale path: neighbor search only "
+    "probes colliding buckets).",
+    tags=("similarity", "lsh"),
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sign_lsh_buckets(emb, "embedding", "vec_id", n_planes=N_PLANES, dim=DIM)
+
+
+@register(
+    "similarity_topk_lsh",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_expr_duckdb("embedding")} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding, bucket AS qbucket
+      FROM bucketed WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id, {_COS_D.replace("b.embedding", "b.embedding")} AS cos_sim
+  FROM q a JOIN bucketed b
+    ON a.query_id <> b.vec_id AND bit_count(xor(a.qbucket, b.bucket)) <= 1
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="Approximate top-k via sign-LSH: candidates limited to bucket "
+    "collisions within Hamming distance 1 (multi-probe), then exact cosine "
+    "rank -- the O(N/2^planes) search path that survives 100 TB.",
+    tags=("similarity", "lsh", "topk"),
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    out = topk_lsh(
+        emb, queries, "embedding", "vec_id", k=TOP_K, n_planes=N_PLANES, dim=DIM
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )

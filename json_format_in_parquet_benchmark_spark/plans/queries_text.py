@@ -1,0 +1,233 @@
+"""Text-analysis queries over the ``documents`` corpus.
+
+Training-data-pipeline text operators (BASELINE.json north star): per-doc
+statistics, quality scoring, language-ID heuristic, BPE-ish token counting,
+and shingle fingerprinting.  All pure built-ins; every query has an exact
+DuckDB oracle (the heuristics are deterministic arithmetic, and both engines
+evaluate the same expression shapes, so even the doubles are bit-identical).
+
+At 100 TB these are embarrassingly parallel single-pass map operations --
+no shuffle at all except the optional per-group rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    stopword_count_duckdb,
+    stopword_count_spark,
+    tokens_duckdb,
+    tokens_spark,
+)
+from ..tables import load_table
+from .registry import register
+
+_TOKS_S = tokens_spark("text")
+_TOKS_D = tokens_duckdb("text")
+
+# (language, marker substrings) -- deterministic heuristic marker sets.
+LANG_MARKERS = (
+    ("en", (" the ", " and ")),
+    ("es", (" el ", " la ")),
+    ("fr", (" le ", " et ")),
+    ("de", (" der ", " und ")),
+    ("zh", (" zh ", " shi ")),
+)
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS_D})) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_sum(list_transform({_TOKS_D}, x -> len(x))) AS DOUBLE)
+         / CAST(len({_TOKS_D}) AS DOUBLE) AS avg_token_len,
+       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+       CAST({stopword_count_duckdb(_TOKS_D)} AS DOUBLE)
+         / CAST(len({_TOKS_D}) AS DOUBLE) AS stop_ratio
+FROM documents
+WHERE len({_TOKS_D}) > 0
+""",
+    doc="Per-document token statistics (token count, distinct tokens, average "
+    "token length, alphabetic ratio, stopword ratio).",
+    tags=("text",),
+    bench=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("n_tokens"),
+        F.expr(f"cast(size(array_distinct({_TOKS_S})) as bigint)").alias(
+            "n_distinct_tokens"
+        ),
+        F.expr(
+            f"cast(aggregate(transform({_TOKS_S}, x -> length(x)), 0,"
+            f" (acc, x) -> acc + x) as double)"
+            f" / cast(size({_TOKS_S}) as double)"
+        ).alias("avg_token_len"),
+        F.expr(
+            "cast(length(regexp_replace(text, '[^a-z]', '')) as double)"
+            " / cast(length(text) as double)"
+        ).alias("alpha_ratio"),
+        F.expr(
+            f"cast({stopword_count_spark(_TOKS_S)} as double)"
+            f" / cast(size({_TOKS_S}) as double)"
+        ).alias("stop_ratio"),
+    ).where(F.expr(f"size({_TOKS_S}) > 0"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+         CAST({stopword_count_duckdb(_TOKS_D)} AS DOUBLE)
+           / CAST(len({_TOKS_D}) AS DOUBLE) AS stop_ratio,
+         CAST(len({_TOKS_D}) AS DOUBLE) AS n_tokens
+  FROM documents WHERE len({_TOKS_D}) > 0
+)
+SELECT doc_id,
+       0.5 * alpha_ratio + 0.3 * (1.0 - stop_ratio)
+         + 0.2 * least(1.0, n_tokens / 100.0) AS quality
+FROM s
+""",
+    doc="Deterministic document quality score: weighted mix of alphabetic "
+    "ratio, stopword ratio and length saturation.",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.expr(
+            "cast(length(regexp_replace(text, '[^a-z]', '')) as double)"
+            " / cast(length(text) as double)"
+        ).alias("alpha_ratio"),
+        F.expr(
+            f"cast({stopword_count_spark(_TOKS_S)} as double)"
+            f" / cast(size({_TOKS_S}) as double)"
+        ).alias("stop_ratio"),
+        F.expr(f"cast(size({_TOKS_S}) as double)").alias("n_tokens"),
+    ).where(F.expr(f"size({_TOKS_S}) > 0"))
+    return s.select(
+        "doc_id",
+        (
+            F.lit(0.5) * F.col("alpha_ratio")
+            + F.lit(0.3) * (F.lit(1.0) - F.col("stop_ratio"))
+            + F.lit(0.2) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+        ).alias("quality"),
+    )
+
+
+def _marker_score_sql(marker: str, spark_side: bool) -> str:
+    # occurrence count of a literal substring, via length difference
+    esc = marker.replace("'", "''")
+    ln = "length" if spark_side else "length"
+    return (
+        f"({ln}(text) - {ln}(replace(text, '{esc}', ''))) / {len(marker)}"
+    )
+
+
+def _lang_predict_sql(spark_side: bool) -> str:
+    scores = {
+        lang: " + ".join(_marker_score_sql(m, spark_side) for m in markers)
+        for lang, markers in LANG_MARKERS
+    }
+    all_scores = list(scores.items())
+    greatest = ", ".join(s for _, s in all_scores)
+    cases = " ".join(
+        f"WHEN ({s}) >= greatest({greatest}) THEN '{lang}'" for lang, s in all_scores
+    )
+    return f"CASE {cases} ELSE 'unk' END"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT doc_id, lang,
+       {_lang_predict_sql(False)} AS predicted,
+       CAST(lang = {_lang_predict_sql(False)} AS INT) AS correct
+FROM documents
+""",
+    doc="Language-ID heuristic: marker-substring scoring with a fixed "
+    "priority argmax; emitted per-doc against the labeled lang column.",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = _lang_predict_sql(True)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(pred).alias("predicted"),
+        F.expr(f"cast(lang = {pred} as int)").alias("correct"),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len({_TOKS_D}) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+    doc="Token counting: whitespace tokens vs a BPE-ish regex tokenizer "
+    "(letter runs / digit runs / single marks).",
+    tags=("text", "tokenize"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(regexp_count(text, '{BPE_TOKEN_RE}') as bigint)").alias(
+            "n_bpe_tokens"
+        ),
+        F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len({_TOKS_D}) - 1),
+                        i -> md5({_TOKS_D}[i] || ' ' || {_TOKS_D}[i+1] || ' ' || {_TOKS_D}[i+2]))
+           AS hs
+  FROM documents
+  WHERE len({_TOKS_D}) >= 3
+)
+SELECT doc_id,
+       CAST(len(hs) AS BIGINT) AS n_shingles,
+       list_min(hs) AS fp_min,
+       list_max(hs) AS fp_max
+FROM sh
+""",
+    doc="Document fingerprinting: hashed 3-word shingles, min/max sketch "
+    "(the winnowing primitive -- at scale keep the k smallest per doc).",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        f"transform(sequence(1, size({_TOKS_S}) - 2),"
+        f" i -> md5(concat_ws(' ', slice({_TOKS_S}, i, 3))))"
+    )
+    return (
+        docs.where(F.expr(f"size({_TOKS_S}) >= 3"))
+        .select(
+            "doc_id",
+            F.expr(f"cast(size({hs}) as bigint)").alias("n_shingles"),
+            F.expr(f"array_min({hs})").alias("fp_min"),
+            F.expr(f"array_max({hs})").alias("fp_max"),
+        )
+    )

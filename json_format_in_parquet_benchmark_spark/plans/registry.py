@@ -1,0 +1,93 @@
+"""Registry of named queries with optional DuckDB oracles.
+
+Contract (driver, __spark_entry__.py): every query is a callable
+``(spark, sf_dir) -> DataFrame``; the oracle is an ANSI-SQL string DuckDB runs
+against views named after the testdata tables.  The driver compares row count,
+schema and an order-insensitive value hash, sorting columns by NAME -- so both
+sides must alias every computed column identically.
+
+Cross-engine exactness rules used throughout the query modules:
+
+- Sums of doubles are NEVER emitted raw: Spark sums partition-parallel (order
+  varies run to run) while DuckDB sums sequentially, so raw double sums differ
+  in the last bits.  Instead every money/quantity sum goes through an exact
+  DECIMAL cast and is cast back to DOUBLE at the end -- bit-identical in both
+  engines (helpers ``dsum_spark`` / ``dsum_duck``).
+- Averages are exact-decimal sums divided by counts (IEEE division of
+  identical operands is deterministic).
+- Timestamps/dates are emitted as formatted strings (testdata timestamps are
+  nanosecond-precision; Spark truncates to micros while DuckDB keeps what
+  parquet gives it, so raw temporal values are not comparable).
+- Randomized-looking operators (MinHash, LSH) use the portable md5-based
+  hashes from functions.hashing, identical across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline timings
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags, bench=bench
+        )
+        return fn
+
+    return deco
+
+
+# --- cross-engine exact aggregate helpers -------------------------------
+
+def dsum_spark(expr: str, alias: str, scale: int = 2, prec: int = 38) -> str:
+    """Spark SQL: exact decimal sum of a double expression, emitted as double."""
+    return (
+        f"cast(sum(cast({expr} as decimal({prec},{scale}))) as double) as {alias}"
+    )
+
+
+def dsum_duck(expr: str, alias: str, scale: int = 2, prec: int = 38) -> str:
+    """DuckDB SQL computing the bit-identical value of :func:`dsum_spark`."""
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE) AS {alias}"
+    )
+
+
+def davg_spark(expr: str, alias: str, scale: int = 6, prec: int = 38) -> str:
+    return (
+        f"cast(sum(cast({expr} as decimal({prec},{scale}))) as double)"
+        f" / count({expr}) as {alias}"
+    )
+
+
+def davg_duck(expr: str, alias: str, scale: int = 6, prec: int = 38) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
