@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline queries (REGISTRY entries tagged bench=True) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], then reproduces the reference's storage benchmark
+(Parquet size + compression ratio per format, BASELINE.md) on the
+reference's own events corpus so the two result sets are directly
+comparable.
+
+JSON shape:
+  {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>,
+   "storage": {format: {"parquet_file_size": B, "compressed_rate": r}},
+   "rows": {name: n}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+from json_format_in_parquet_benchmark_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+STORAGE_CORPUS = "/root/reference/json/events_ndv_0.1_8192.json"
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="jfipb-bench")
+
+    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+
+    # Warmup: spin the JVM/codegen once on the smallest SF so per-query
+    # timings measure the plan, not first-run JIT.
+    warm = REGISTRY["flagship_events_enriched"].fn(spark, "/root/testdata/sf0.001")
+    warm.count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, q in sorted(bench_queries.items()):
+        t0 = time.perf_counter()
+        out = q.fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        rows[name] = len(out)
+
+    # Storage benchmark on the reference's own corpus (comparable to
+    # BASELINE.md ndv=0.1 / 8192 rows).
+    storage: dict[str, dict] = {}
+    try:
+        from json_format_in_parquet_benchmark_spark.metrics import measure_all_formats
+        from json_format_in_parquet_benchmark_spark.sources.ndjson import (
+            read_ndjson_raw,
+        )
+
+        raw = read_ndjson_raw(spark, STORAGE_CORPUS)
+        out_dir = "/tmp/jfipb_bench_storage"
+        for m in measure_all_formats(spark, raw, out_dir):
+            storage[m.format] = {
+                "num_of_lines": m.num_of_lines,
+                "parquet_file_size": m.parquet_file_size,
+                "compressed_rate": round(m.compressed_rate, 4),
+                "encode_s": round(m.encode_s, 3),
+                "flush_s": round(m.flush_s, 3),
+                "load_s": round(m.load_s, 3),
+                "decode_s": round(m.decode_s, 3),
+            }
+    except Exception as exc:  # storage bench must never sink the query bench
+        storage = {"error": str(exc)[:200]}
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": infer_sf(SF_DIR),
+        "rows": rows,
+        "storage": storage,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

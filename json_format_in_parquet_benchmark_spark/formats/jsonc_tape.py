@@ -1,0 +1,179 @@
+"""jsonc: the document as a columnar "tape" -- structure/value separation.
+
+Reference: /root/reference/src/format/jsonc.rs stores each document as three
+parallel pools (node opcodes UInt8, string pool Utf8, number pool Float64;
+Parquet schema at jsonc.rs:21-44).  The tape's point is that parsing happens
+ONCE at encode time; queries walk pre-parsed structure.
+
+We keep the same physical shape (struct of three lists) but define our own
+documented opcode stream (the reference's comes from an external crate whose
+internals are out of scope):
+
+  preorder walk; each node appends one opcode to `nodes`:
+    0 null | 1 false | 2 true
+    3 number  -> value appended to `numbers`
+    4 string  -> value appended to `strings`
+    5 object  -> entry count appended to `numbers`; then per entry the key is
+                 appended to `strings` followed by the value's encoding
+    6 array   -> item count appended to `numbers`; then item encodings
+
+Limitations (shared with the reference): all numbers live in a Float64 pool,
+so integers above 2^53 lose precision (the reference's number_opt_list is
+f64, jsonc.rs:36).
+
+Spark-first note: tape construction is genuinely structural recursion Spark
+expressions can't state, so this is a legitimate Pandas-UDF use (Arrow
+batches in/out, no per-row Python round trip through the JVM boundary).
+Dynamic path ACCESS at scale should use the variant format instead; the tape
+exists for storage-layout parity and benchmarking.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .base import DOC_COL, JsonFormatBase
+
+TAPE_SCHEMA = "nodes array<tinyint>, strings array<string>, numbers array<double>"
+
+OP_NULL, OP_FALSE, OP_TRUE, OP_NUMBER, OP_STRING, OP_OBJECT, OP_ARRAY = range(7)
+
+
+def encode_tape(value) -> tuple[list[int], list[str], list[float]]:
+    """Python-side preorder tape encoder (exercised inside the pandas UDF
+    and directly unit-testable)."""
+    nodes: list[int] = []
+    strings: list[str] = []
+    numbers: list[float] = []
+
+    def walk(v) -> None:
+        if v is None:
+            nodes.append(OP_NULL)
+        elif v is True:
+            nodes.append(OP_TRUE)
+        elif v is False:
+            nodes.append(OP_FALSE)
+        elif isinstance(v, (int, float)):
+            nodes.append(OP_NUMBER)
+            numbers.append(float(v))
+        elif isinstance(v, str):
+            nodes.append(OP_STRING)
+            strings.append(v)
+        elif isinstance(v, list):
+            nodes.append(OP_ARRAY)
+            numbers.append(float(len(v)))
+            for item in v:
+                walk(item)
+        elif isinstance(v, dict):
+            nodes.append(OP_OBJECT)
+            numbers.append(float(len(v)))
+            for k, item in v.items():
+                strings.append(k)
+                walk(item)
+        else:  # pragma: no cover
+            raise TypeError(f"unsupported JSON value {type(v)}")
+
+    walk(value)
+    return nodes, strings, numbers
+
+
+def decode_tape(nodes, strings, numbers):
+    """Inverse of :func:`encode_tape` -> Python JSON value."""
+    ni = si = xi = 0
+
+    def read():
+        nonlocal ni, si, xi
+        op = nodes[ni]
+        ni += 1
+        if op == OP_NULL:
+            return None
+        if op == OP_FALSE:
+            return False
+        if op == OP_TRUE:
+            return True
+        if op == OP_NUMBER:
+            x = numbers[xi]
+            xi += 1
+            return int(x) if float(x).is_integer() and abs(x) < 2**53 else x
+        if op == OP_STRING:
+            s = strings[si]
+            si += 1
+            return s
+        if op == OP_ARRAY:
+            n = int(numbers[xi])
+            xi += 1
+            return [read() for _ in range(n)]
+        if op == OP_OBJECT:
+            n = int(numbers[xi])
+            xi += 1
+            out = {}
+            for _ in range(n):
+                nonlocal_key = strings[si]
+                si += 1
+                out[nonlocal_key] = read()
+            return out
+        raise ValueError(f"bad opcode {op}")
+
+    return read()
+
+
+@functools.lru_cache(maxsize=1)
+def _encode_udf():
+    # built lazily: pandas_udf registration needs an active SparkSession
+    @pandas_udf(TAPE_SCHEMA)
+    def encode_udf(docs: pd.Series) -> pd.DataFrame:
+        rows = [encode_tape(json.loads(d)) for d in docs]
+        return pd.DataFrame(
+            {
+                "nodes": [r[0] for r in rows],
+                "strings": [r[1] for r in rows],
+                "numbers": [r[2] for r in rows],
+            }
+        )
+
+    return encode_udf
+
+
+@functools.lru_cache(maxsize=1)
+def _decode_udf():
+    @pandas_udf("string")
+    def decode_udf(
+        nodes: pd.Series, strings: pd.Series, numbers: pd.Series
+    ) -> pd.Series:
+        out = []
+        for n, s, x in zip(nodes, strings, numbers):
+            value = decode_tape(list(n), list(s), list(x))
+            out.append(json.dumps(value, separators=(",", ":"), ensure_ascii=False))
+        return pd.Series(out)
+
+    return decode_udf
+
+
+class JsoncTapeFormat(JsonFormatBase):
+    name = "jsonc"
+
+    def encode(self, raw: DataFrame) -> DataFrame:
+        from ..session import ship_package
+
+        ship_package(raw.sparkSession)
+        return raw.select(_encode_udf()(F.col(DOC_COL)).alias("tape")).select(
+            F.col("tape.nodes").alias("nodes"),
+            F.col("tape.strings").alias("strings"),
+            F.col("tape.numbers").alias("numbers"),
+        )
+
+    def decode(self, encoded: DataFrame) -> DataFrame:
+        from ..session import ship_package
+
+        ship_package(encoded.sparkSession)
+        return encoded.select(
+            _decode_udf()(F.col("nodes"), F.col("strings"), F.col("numbers")).alias(
+                DOC_COL
+            )
+        )

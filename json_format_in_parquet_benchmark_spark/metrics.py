@@ -1,0 +1,117 @@
+"""Storage + timing metrics (O23/O24, SURVEY.md section 2.1).
+
+The reference's published results are Parquet file size and compression
+ratio (size / original NDJSON bytes) per format x NDV x row count
+(/root/reference/scripts/benchmark_results.csv, README.md:16-19).  This
+module reproduces those measurements for the Spark engine: write each
+representation with the ZSTD writer, sum the output bytes from the
+filesystem, and time each codec stage around triggered actions.
+
+Output rows use the reference CSV's column vocabulary
+(format / num_of_lines / parquet_file_size / compressed_rate / original)
+so the two result sets are directly comparable.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .formats import FORMATS, get_format
+from .formats.base import DOC_COL
+
+
+def dir_bytes(path: str) -> int:
+    """Total bytes of parquet data files under an output dir (excluding
+    _SUCCESS markers and checksums)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+@dataclass
+class StorageMetric:
+    format: str
+    num_of_lines: int
+    original: int
+    parquet_file_size: int
+    compressed_rate: float
+
+    # timing (seconds) of each codec stage around a triggered action
+    encode_s: float = 0.0
+    decode_s: float = 0.0
+    flush_s: float = 0.0
+    load_s: float = 0.0
+
+
+def measure_format(
+    spark: SparkSession, raw: DataFrame, fmt, out_dir: str
+) -> StorageMetric:
+    """Round-trip one corpus through one format (name or instance),
+    measuring size + stage times.  `raw` must have a string column ``doc``."""
+    fmt = get_format(fmt) if isinstance(fmt, str) else fmt
+    fmt_name = fmt.name
+    raw = raw.persist()
+    stats = raw.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length(DOC_COL)).alias("chars")
+    ).collect()[0]
+    # original size counts newline separators, like the reference's on-disk
+    # NDJSON corpus
+    original = int(stats["chars"]) + int(stats["n"])
+
+    t0 = time.perf_counter()
+    encoded = fmt.encode(raw)
+    encoded.persist().count()  # materialize the representation
+    t1 = time.perf_counter()
+
+    path = os.path.join(out_dir, f"{fmt_name}.parquet")
+    fmt.flush(encoded, path)
+    t2 = time.perf_counter()
+
+    loaded = fmt.load(spark, path)
+    loaded.persist().count()
+    t3 = time.perf_counter()
+
+    fmt.decode(loaded).select(F.max(F.length(DOC_COL))).collect()
+    t4 = time.perf_counter()
+
+    size = dir_bytes(path)
+    metric = StorageMetric(
+        format=fmt_name,
+        num_of_lines=int(stats["n"]),
+        original=original,
+        parquet_file_size=size,
+        compressed_rate=size / original if original else 0.0,
+        encode_s=t1 - t0,
+        flush_s=t2 - t1,
+        load_s=t3 - t2,
+        decode_s=t4 - t3,
+    )
+    encoded.unpersist()
+    loaded.unpersist()
+    raw.unpersist()
+    return metric
+
+
+def measure_all_formats(
+    spark: SparkSession, raw: DataFrame, out_dir: str, shred_ddl: str | None = None
+) -> list[StorageMetric]:
+    """All four formats over one corpus; `shred_ddl` overrides the variant
+    format's declared schema to match the corpus shape."""
+    fmts = []
+    for name in FORMATS:
+        if name == "variant" and shred_ddl is not None:
+            from .formats.variant_shred import VariantShredFormat
+
+            fmts.append(VariantShredFormat(shred_ddl))
+        else:
+            fmts.append(get_format(name))
+    return [measure_format(spark, raw, f, out_dir) for f in fmts]

@@ -1,0 +1,148 @@
+"""Format-cycle queries: the reference's encode -> flush -> load -> decode
+lifecycle (O1-O18) exercised end-to-end through real Parquet ZSTD files, plus
+the NDJSON scan and the storage-metrics table.
+
+Each round-trip query pushes the events JSON corpus through one physical
+representation, THROUGH PARQUET ON DISK, decodes it back and aggregates the
+canonical text -- so a hash match with the oracle proves the entire cycle is
+lossless, not just the in-memory transform.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..formats import get_format
+from ..formats.base import DOC_COL
+from ..sources.ndjson import read_ndjson_raw
+from ..tables import load_table
+from .registry import register
+
+REFERENCE_LOGS = "/root/reference/json/logs.json"
+
+
+def _tmp(sf_dir: str, tag: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), "jfipb_formats", os.path.basename(sf_dir.rstrip("/")), tag
+    )
+
+
+def _events_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(F.col("props").alias(DOC_COL))
+
+
+def _roundtrip_canon(spark: SparkSession, sf_dir: str, fmt_name: str) -> DataFrame:
+    fmt = get_format(fmt_name) if fmt_name != "variant" else None
+    if fmt is None:
+        from ..formats.variant_shred import VariantShredFormat
+
+        fmt = VariantShredFormat("k bigint")
+    docs = _events_docs(spark, sf_dir)
+    path = _tmp(sf_dir, fmt_name)
+    fmt.flush(fmt.encode(docs), path)
+    decoded = fmt.decode(fmt.load(spark, path))
+    return decoded.groupBy(F.col(DOC_COL).alias("canon")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_CANON_ORACLE = """
+SELECT json(props)::VARCHAR AS canon, COUNT(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "scan_ndjson",
+    oracle=f"""
+WITH lines AS (
+  SELECT unnest(string_split(content, chr(10))) AS doc
+  FROM read_text('{REFERENCE_LOGS}')
+)
+SELECT COUNT(*) AS n_lines,
+       bit_xor(('0x' || substr(md5(doc), 1, 15))::BIGINT) AS line_checksum,
+       CAST(SUM(length(doc)) AS BIGINT) AS total_chars
+FROM lines WHERE length(doc) > 0
+""",
+    doc="O1: raw NDJSON scan of a reference corpus (codec.rs:8-19) -- line "
+    "count + order-insensitive checksum proves byte-faithful line reading.",
+    tags=("source", "ndjson"),
+)
+def scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = read_ndjson_raw(spark, REFERENCE_LOGS)
+    return raw.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr("bit_xor(cast(conv(substr(md5(doc),1,15),16,10) as bigint))").alias(
+            "line_checksum"
+        ),
+        F.sum(F.length(DOC_COL)).cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "format_roundtrip_jsonb",
+    oracle=_CANON_ORACLE,
+    doc="O3/O7/O11/O15: parse_json -> VariantType -> Parquet ZSTD -> load -> "
+    "to_json; canonical-text histogram proves the binary cycle lossless.",
+    tags=("format", "roundtrip", "variant"),
+)
+def format_roundtrip_jsonb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip_canon(spark, sf_dir, "jsonb")
+
+
+@register(
+    "format_roundtrip_jsonc",
+    oracle=_CANON_ORACLE,
+    doc="O4/O8/O12/O16: columnar tape (nodes/strings/numbers pools, Arrow-"
+    "batched pandas UDF) -> Parquet ZSTD -> load -> decode.",
+    tags=("format", "roundtrip", "tape"),
+)
+def format_roundtrip_jsonc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip_canon(spark, sf_dir, "jsonc")
+
+
+@register(
+    "format_roundtrip_variant_shred",
+    oracle=_CANON_ORACLE,
+    doc="O5/O9/O13/O17: declared-schema shredding (from_json -> typed "
+    "columns) -> Parquet ZSTD -> load -> to_json, including the load arm "
+    "the reference leaves unimplemented (variant.rs:130-132).",
+    tags=("format", "roundtrip", "shred"),
+)
+def format_roundtrip_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip_canon(spark, sf_dir, "variant")
+
+
+@register(
+    "format_storage_metrics",
+    oracle=None,  # filesystem sizes are writer-dependent; rows-only check
+    doc="O23: per-format Parquet size + compression ratio over the events "
+    "JSON corpus (the reference's headline result table, "
+    "scripts/benchmark_results.csv).",
+    tags=("format", "metrics"),
+)
+def format_storage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..metrics import measure_all_formats
+
+    docs = _events_docs(spark, sf_dir)
+    out = _tmp(sf_dir, "storage_metrics")
+    rows = [
+        (
+            m.format,
+            m.num_of_lines,
+            m.original,
+            m.parquet_file_size,
+            float(m.compressed_rate),
+        )
+        for m in measure_all_formats(spark, docs, out, shred_ddl="k bigint")
+    ]
+    return spark.createDataFrame(
+        rows,
+        "format string, num_of_lines bigint, original bigint,"
+        " parquet_file_size bigint, compressed_rate double",
+    )

@@ -17,10 +17,38 @@ config choice is made for a real multi-executor cluster at ~100 TB:
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Local pytest runs inherit the repo cwd on sys.path, but an external
+    driver (or a real cluster) launches workers whose PYTHONPATH does not
+    include the repo -- any Pandas-UDF stage would then fail to unpickle.
+    Zipping the package and ``addPyFile``-ing it is the standard Spark
+    deployment path and is exactly what a 1000-executor cluster needs too.
+    Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), "jfipb_pyfiles", "json_format_in_parquet_benchmark_spark"
+    )
+    zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                                   os.path.basename(pkg_dir))
+    sc.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
 
 
 def default_cpus() -> int:

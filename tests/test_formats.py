@@ -1,0 +1,123 @@
+"""Round-trip tests per representation, mirroring the reference's inline
+codec tests (src/format/*.rs #[cfg(test)]): encode -> decode recovers the
+document (semantically -- canonicalization may reorder nothing here but
+float formatting differs), and flush -> load recovers the representation.
+Corpora: the reference's tiny inline fixtures + real reference NDJSON files.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from json_format_in_parquet_benchmark_spark.formats import FORMATS, get_format
+from json_format_in_parquet_benchmark_spark.formats.jsonc_tape import (
+    decode_tape,
+    encode_tape,
+)
+from json_format_in_parquet_benchmark_spark.formats.variant_shred import (
+    VariantShredFormat,
+)
+from json_format_in_parquet_benchmark_spark.sources.ndjson import read_ndjson_raw
+
+# The reference's inline unit-test docs (plain_json.rs:74-78, jsonc.rs:168-172)
+FLAT_DOCS = ['{"a":1,"b":"foo"}', '{"a":2,"b":"bar"}', '{"a":3,"b":"baz"}']
+NESTED_DOCS = [
+    '{"a":1.0,"b":[2.0,3.0],"c":{"d":4.0}}',
+    '{"e":null,"f":[true,false],"g":{"h":"x"}}',
+    '{"i":[{"j":1},{"k":[1,2,{"l":"deep"}]}]}',
+]
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame([(d,) for d in docs], "doc string")
+
+
+def _num_norm(v):
+    """Normalize numbers (1.0 == 1) so representations that canonicalize
+    integral floats -- as the variant binary form does -- compare equal."""
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        if isinstance(v, list):
+            return [_num_norm(x) for x in v]
+        if isinstance(v, dict):
+            return {k: _num_norm(x) for k, x in v.items()}
+        return v
+    return float(v)
+
+
+def _reparse(rows_or_docs):
+    docs = [r.doc if hasattr(r, "doc") else r for r in rows_or_docs]
+    return sorted(json.dumps(_num_norm(json.loads(d)), sort_keys=True) for d in docs)
+
+
+@pytest.mark.parametrize("fmt_name", sorted(FORMATS))
+def test_encode_decode_roundtrip(spark, fmt_name):
+    fmt = (
+        VariantShredFormat("a bigint, b string")
+        if fmt_name == "variant"
+        else get_format(fmt_name)
+    )
+    df = _docs_df(spark, FLAT_DOCS)
+    out = fmt.decode(fmt.encode(df)).collect()
+    assert _reparse(out) == _reparse(FLAT_DOCS)
+
+
+@pytest.mark.parametrize("fmt_name", ["plain_json", "jsonb", "jsonc"])
+def test_nested_roundtrip(spark, fmt_name):
+    fmt = get_format(fmt_name)
+    df = _docs_df(spark, NESTED_DOCS)
+    out = fmt.decode(fmt.encode(df)).collect()
+    assert _reparse(out) == _reparse(NESTED_DOCS)
+
+
+@pytest.mark.parametrize("fmt_name", sorted(FORMATS))
+def test_flush_load_roundtrip(spark, tmp_path, fmt_name):
+    fmt = (
+        VariantShredFormat("a bigint, b string")
+        if fmt_name == "variant"
+        else get_format(fmt_name)
+    )
+    df = _docs_df(spark, FLAT_DOCS)
+    encoded = fmt.encode(df)
+    path = str(tmp_path / fmt_name)
+    fmt.flush(encoded, path)
+    loaded = fmt.load(spark, path)
+    assert sorted(loaded.columns) == sorted(encoded.columns)
+    assert _reparse(fmt.decode(loaded).collect()) == _reparse(
+        fmt.decode(encoded).collect()
+    )
+
+
+def test_tape_encoder_pure():
+    for doc in FLAT_DOCS + NESTED_DOCS:
+        v = json.loads(doc)
+        assert decode_tape(*encode_tape(v)) == v
+
+
+def test_reference_corpus_roundtrip(spark):
+    """Real reference corpus (logs.json: arrays, nulls, nested) through the
+    variant binary representation."""
+    raw = read_ndjson_raw(spark, "/root/reference/json/logs.json")
+    fmt = get_format("jsonb")
+    decoded = fmt.decode(fmt.encode(raw)).collect()
+    assert len(decoded) == 1024
+    one = json.loads(decoded[0].doc)
+    assert {"timestamp", "system", "actor", "action", "objects"} <= set(one)
+
+
+def test_events_shred_reference_schema(spark):
+    """The reference's hard-coded events shred schema (variant.rs:22-48)
+    against a real generated events line."""
+    raw = read_ndjson_raw(spark, "/root/reference/json/events_ndv_0.1_1024.json")
+    fmt = VariantShredFormat()  # default: reference events schema
+    encoded = fmt.encode(raw)
+    assert encoded.columns == ["name", "timestamp", "attributes"]
+    row = encoded.where(encoded.name.isNotNull()).first()
+    assert row.attributes.event_attributes is not None
+
+
+def test_format_dispatch():
+    assert sorted(FORMATS) == ["jsonb", "jsonc", "plain_json", "variant"]
+    with pytest.raises(KeyError):
+        get_format("nope")
