@@ -8,6 +8,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 # Registration side effects -- each module adds its queries to REGISTRY.
 from . import queries_json  # noqa: E402,F401
 from . import queries_formats  # noqa: E402,F401
+from . import queries_generator  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_dedup  # noqa: E402,F401
