@@ -13,3 +13,4 @@ from . import queries_relational  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_dedup  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
+from . import queries_streaming  # noqa: E402,F401

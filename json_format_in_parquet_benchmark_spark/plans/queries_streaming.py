@@ -1,0 +1,209 @@
+"""Streaming queries over the ``events`` stream table.
+
+Capability parity note: the reference is purely batch (SURVEY.md §2.2 —
+"Streaming: None"), but its events corpus is stream-shaped (per-row distinct
+timestamps, /root/reference/README.md:47 and scripts/json-generator.py:58-63),
+so the engine adds the Structured Streaming surface a production deployment of
+that corpus would need: file-source ingestion, watermarked tumbling-window
+aggregation, and a custom stateful sessionization operator.
+
+Every streaming query here executes a REAL streaming plan
+(``readStream`` → transform → ``writeStream`` with an availableNow trigger
+into a memory sink) and returns the sink as a batch DataFrame, so the
+driver's DuckDB oracle can value-check the streaming runtime itself — not
+just a batch twin.  Batch twins of both transforms are registered alongside,
+sharing the identical transform code (streaming_batch parity is additionally
+asserted in tests/test_streaming.py).
+
+Determinism: the staged input is written as ONE parquet file so availableNow
+processes exactly one micro-batch.  With multiple batches the stateful
+operator's output would depend on file boundaries (sessions close as the
+stream progresses), which is fine in production but not value-checkable.
+The per-batch ordering inside the operator is made total by sorting on
+(ts_us, event_id).
+
+Scale notes (100 TB): the session operator shuffles once on user_id (the
+natural key, 1 row of state per user, O(1) state per key); the window agg is
+partially aggregated map-side by the streaming agg operator; both run on an
+incremental state store (RocksDB via
+spark.sql.streaming.stateStore.providerClass on a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.events_stream import (
+    read_events_stream,
+    sessionize_batch,
+    sessionize_stream,
+    stage_events_dir,
+    tumbling_event_counts,
+)
+from ..tables import load_table
+from .registry import register
+
+GAP_MINUTES = 480  # ~median inter-event gap in the testdata is ~7.7h
+GAP_US = GAP_MINUTES * 60 * 1_000_000
+
+_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "jfipb_stream_stage")
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as a single-file parquet dir for a file-source
+    stream (single file => single availableNow micro-batch => deterministic
+    stateful output)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = os.path.join(_STAGE_ROOT, tag)
+    events = load_table(spark, sf_dir, "events").coalesce(1)
+    events.write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+_RUN_SEQ = 0
+
+
+def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the sink contents as a batch DataFrame.
+
+    Checkpoint dir and sink name are unique per call: a reused checkpoint
+    would mark the staged input files as already-processed and replay prior
+    state, silently corrupting a re-run.
+    """
+    global _RUN_SEQ
+    _RUN_SEQ += 1
+    unique = f"{name}_{_RUN_SEQ}"
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"jfipb_ckpt_{unique}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(unique)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(unique)
+
+
+# DuckDB twin of streaming/events_stream.py::sessionize_batch — lag() flags a
+# session start when the gap exceeds GAP_US, running sum numbers sessions.
+_SESSION_CTE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         COUNT(*) AS n_events,
+         MIN(ts_us) AS start_us,
+         MAX(ts_us) AS end_us
+  FROM sess
+  GROUP BY user_id, session_seq
+)
+"""
+
+# DuckDB twin of streaming/events_stream.py::tumbling_event_counts.  Spark's
+# window('1 hour') is epoch-aligned, identical to date_trunc('hour') for
+# whole-hour durations.
+_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _fmt_win_start(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_tumbling_window_batch",
+    oracle=_TUMBLING_SQL,
+    doc="Batch twin of the watermarked tumbling-window aggregation: 1h "
+    "epoch-aligned windows x event_type, count + exact-decimal value sum.",
+    tags=("streaming", "window", "aggregation"),
+)
+def stream_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return _fmt_win_start(tumbling_event_counts(events, "1 hour"))
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=_TUMBLING_SQL,
+    doc="TRUE streaming tumbling-window aggregation: file-source readStream "
+    "-> 1h window agg -> availableNow -> memory sink (complete mode), "
+    "value-checked against the same DuckDB oracle as the batch twin.",
+    tags=("streaming", "window", "aggregation", "stateful"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events_dir = _staged_events(spark, sf_dir)
+    stream = read_events_stream(spark, events_dir)
+    agg = tumbling_event_counts(stream, "1 hour")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sink = _run_to_memory(agg, f"tumbling_{tag}", "complete")
+    return _fmt_win_start(sink)
+
+
+@register(
+    "stream_sessionize_batch",
+    oracle=_SESSION_CTE + "SELECT * FROM sessions",
+    doc="Batch gap-sessionization (8h gap) via lag + running-sum window "
+    "functions: one shuffle on user_id, both windows share one sort.",
+    tags=("streaming", "session", "window"),
+)
+def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_minutes=GAP_MINUTES)
+
+
+@register(
+    "stream_sessionize_stateful",
+    oracle=_SESSION_CTE
+    + """
+SELECT user_id, session_seq, n_events, start_us, end_us
+FROM sessions
+QUALIFY session_seq < MAX(session_seq) OVER (PARTITION BY user_id)
+""",
+    doc="TRUE streaming custom stateful operator: gap-sessionization via "
+    "applyInPandasWithState (one open session per user in state). A finite "
+    "availableNow run closes every session except each user's still-open "
+    "last one; the oracle is the batch session set minus each user's "
+    "trailing session.",
+    tags=("streaming", "session", "stateful", "custom-operator"),
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events_dir = _staged_events(spark, sf_dir)
+    stream = read_events_stream(spark, events_dir)
+    sessions = sessionize_stream(stream, gap_minutes=GAP_MINUTES)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return _run_to_memory(sessions, f"sessions_{tag}", "append")

@@ -1,0 +1,152 @@
+"""Streaming tests: true streaming runtime vs batch twins vs DuckDB oracle,
+plus watermark late-data semantics (the one behavior only observable across
+multiple micro-batches)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+    GAP_MINUTES,
+)
+from json_format_in_parquet_benchmark_spark.streaming.events_stream import (
+    EVENTS_SCHEMA,
+    sessionize_batch,
+    sessionize_stream,
+    tumbling_event_counts,
+)
+from json_format_in_parquet_benchmark_spark.tables import load_table
+
+from conftest import assert_oracle_match
+
+
+def _oracle(duck, name):
+    return duck.sql(REGISTRY[name].oracle)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stream_tumbling_window_batch",
+        "stream_tumbling_window",
+        "stream_sessionize_batch",
+        "stream_sessionize_stateful",
+    ],
+)
+def test_streaming_queries_match_oracle(spark, duck, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert_oracle_match(df, _oracle(duck, name), name)
+
+
+def test_stream_sessionize_matches_batch_minus_open(spark, sf_dir):
+    """The streaming stateful operator must emit exactly the batch sessions
+    minus each user's still-open trailing session."""
+    stream_out = REGISTRY["stream_sessionize_stateful"].fn(spark, sf_dir)
+    batch = sessionize_batch(
+        load_table(spark, sf_dir, "events"), gap_minutes=GAP_MINUTES
+    )
+    last = batch.groupBy("user_id").agg(F.max("session_seq").alias("last_seq"))
+    expected = (
+        batch.join(last, "user_id")
+        .where(F.col("session_seq") < F.col("last_seq"))
+        .drop("last_seq")
+    )
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in expected.collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_watermark_drops_late_rows(spark):
+    """Two micro-batches: batch 2 advances the watermark past batch 1's
+    windows AND carries one event older than the new watermark; append-mode
+    output must contain the finalized batch-1 windows but never count the
+    late event."""
+    import glob
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="jfipb_late_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+
+    def write_file(dest_name, rows):
+        """Write rows as a single parquet FILE directly under in_dir (the
+        file source lists plain files; mtime order = arrival order)."""
+        tmp = os.path.join(root, "tmp_" + dest_name)
+        df = spark.createDataFrame(
+            [(i, ts, 1, et, 1.0, None) for i, (ts, et) in enumerate(rows)],
+            schema="event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(in_dir, dest_name))
+
+    # Spark's streaming agg filters late INPUT rows with the previous
+    # batch's watermark but evicts state with the current one (verified on
+    # recentProgress.stateOperators), so the late row must arrive two
+    # batches after the watermark-advancing event:
+    # batch 1: two events in the 10:00 window
+    write_file("b1.parquet", [("2024-01-01 10:05:00", "a"), ("2024-01-01 10:20:00", "a")])
+    time.sleep(1.1)  # distinct mtime => deterministic file order
+    # batch 2: 14:00 event -> watermark 13:00; the 10:00 window is
+    # finalized (emitted) during this batch with its 2 on-time events.
+    write_file("b2.parquet", [("2024-01-01 14:00:00", "b")])
+    time.sleep(1.1)
+    # batch 3: benign on-time event (late-filter watermark still 09:20)
+    write_file("b3.parquet", [("2024-01-01 14:30:00", "b")])
+    time.sleep(1.1)
+    # batch 4: LATE event for the finalized 10:00 window; the late filter
+    # now carries watermark 13:00 -> dropped on input.
+    write_file("b4.parquet", [("2024-01-01 10:30:00", "a")])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    agg = tumbling_event_counts(stream, "1 hour", watermark="1 hour")
+    name = f"late_{int(time.time() * 1000) % 10**9}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (str(r.win_start), r.event_type): r.n_events
+        for r in spark.table(name).collect()
+    }
+    # The 10:00 window was finalized when the watermark passed 11:00 —
+    # with exactly the 2 on-time events; the late 10:30 event was dropped.
+    key_10 = [k for k in rows if k[0].startswith("2024-01-01 10:00")]
+    assert key_10, f"10:00 window never finalized: {rows}"
+    assert rows[key_10[0]] == 2, f"late event leaked into window: {rows}"
+
+
+def test_sessionize_stream_state_is_per_user(spark, sf_dir):
+    """Session numbering restarts at 1 for every user (state keyed by
+    user_id, not global)."""
+    out = REGISTRY["stream_sessionize_stateful"].fn(spark, sf_dir)
+    firsts = out.groupBy("user_id").agg(F.min("session_seq").alias("m")).collect()
+    assert firsts and all(r.m == 1 for r in firsts)
