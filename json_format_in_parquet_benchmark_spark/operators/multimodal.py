@@ -1,0 +1,179 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+Capability extension beyond the reference (SURVEY.md §2.2 lists no binary
+media handling; the closest analogue is the opaque-binary jsonb column,
+/root/reference/src/format/jsonb.rs:17-19): a training-data pipeline at
+100 TB carries media as parquet ``binary`` columns next to a typed metadata
+struct, and runs decode / feature-extraction / resize / frame-sampling as
+Arrow-batched Python stages over ``mapInPandas``.
+
+Container note: no image/audio codec libraries ship in this environment, so
+the decode step is STUBBED with a deterministic fake (payload-derived
+features; see :func:`_decode_payload_features`).  Everything around the stub
+— binary column handling, metadata schema, ``mapInPandas`` signatures,
+Arrow batch shapes, partitioning — is real and tested; swapping the fake for
+PIL/ffmpeg is a local change inside one function.
+
+Scale design:
+- media rows are WIDE (payload dominates); all mapInPandas stages here
+  project only the columns they read, so Parquet column pruning keeps
+  payload I/O out of metadata-only queries (verified: .explain shows
+  ReadSchema without ``payload`` for the catalog query).
+- decode stages are embarrassingly parallel per-partition map operations —
+  no shuffle at any point; spark.sql.files.maxPartitionBytes bounds the
+  per-task payload footprint.
+- outputs are flat typed columns, so downstream joins/aggs stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KINDS = ("image", "audio", "video")
+
+# resize target: fit the longest side to 224 px, integer floor arithmetic
+# (bit-identical in Python, Spark SQL and DuckDB -- no float rounding).
+RESIZE_MAX_SIDE = 224
+FRAME_SAMPLE_K = 8
+
+
+def media_table(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media catalog from the documents table.
+
+    Each document becomes one media row: the UTF-8 payload bytes stand in
+    for an encoded image/audio/video blob (opaque binary — the engine never
+    interprets it outside the decode stub), and the typed metadata struct is
+    deterministic arithmetic on doc_id so an external oracle can reproduce
+    it exactly.
+    """
+    kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]), (F.pmod("doc_id", F.lit(3)) + 1).cast("int"))
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            # image metadata (null for other kinds)
+            (F.lit(64) + F.pmod("doc_id", F.lit(32)) * 16).alias("width"),
+            (F.lit(64) + F.pmod("doc_id", F.lit(24)) * 16).alias("height"),
+            F.lit(3).alias("channels"),
+            # audio metadata
+            F.lit(16000).alias("sample_rate"),
+            # video metadata
+            (F.lit(24) + F.pmod("doc_id", F.lit(2)) * 6).alias("fps"),
+            (F.lit(100) + F.pmod("doc_id", F.lit(900))).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload_features(payload: bytes) -> tuple[int, str]:
+    """STUB decode: deterministic payload-derived features.
+
+    A real deployment decodes the blob with PIL/torchaudio/ffmpeg here and
+    emits actual features; those libraries are absent in this container, so
+    the stub emits (byte length, md5 fingerprint) — deterministic, so the
+    full Spark pipeline around it is value-checkable cross-engine.
+    """
+    return len(payload), hashlib.md5(payload).hexdigest()
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract stage over the binary payload.
+
+    mapInPandas (not a scalar pandas_udf) because a real decoder returns a
+    variable number of rows per input (corrupt blobs dropped, multi-stream
+    containers expanded) — the iterator-of-batches shape is the one that
+    generalizes.
+    """
+    src = media.select("media_id", "kind", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_decode_payload_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload_bytes": [f[0] for f in feats],
+                    "fingerprint": [f[1] for f in feats],
+                }
+            )
+
+    return src.mapInPandas(
+        batches,
+        schema="media_id long, kind string, payload_bytes long, fingerprint string",
+    )
+
+
+def resize_images(media: DataFrame, max_side: int = RESIZE_MAX_SIDE) -> DataFrame:
+    """Resize planning for image media: fit longest side to ``max_side``.
+
+    The geometry (pure integer arithmetic) runs in the Python stage to
+    exercise the real pixel-stage plumbing; the actual pixel resample is the
+    stubbed part (no imaging library in this container).  Payload is NOT
+    read — column pruning keeps this metadata-only.
+    """
+    src = media.where(F.col("kind") == "image").select(
+        "media_id", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            long_side = w.combine(h, max)
+            new_w = (w * max_side) // long_side
+            new_h = (h * max_side) // long_side
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": w.values,
+                    "height": h.values,
+                    "new_width": new_w.values,
+                    "new_height": new_h.values,
+                }
+            )
+
+    return src.mapInPandas(
+        batches,
+        schema="media_id long, width long, height long, new_width long, new_height long",
+    )
+
+
+def sample_frames(media: DataFrame, k: int = FRAME_SAMPLE_K) -> DataFrame:
+    """Evenly sample ``k`` frame indices per video (floor(i*n/k)).
+
+    One input row fans out to k output rows — the mapInPandas shape a real
+    frame extractor has (decode stub: indices only, no pixel data).
+    """
+    src = media.where(F.col("kind") == "video").select(
+        "media_id", F.col("meta.n_frames").alias("n_frames")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_media, out_sample, out_frame, out_n = [], [], [], []
+            for mid, n in zip(pdf["media_id"], pdf["n_frames"]):
+                n = int(n)
+                for i in range(k):
+                    out_media.append(mid)
+                    out_sample.append(i)
+                    out_frame.append((i * n) // k)
+                    out_n.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": out_media,
+                    "sample_idx": out_sample,
+                    "frame_idx": out_frame,
+                    "n_frames": out_n,
+                }
+            )
+
+    return src.mapInPandas(
+        batches,
+        schema="media_id long, sample_idx long, frame_idx long, n_frames long",
+    )

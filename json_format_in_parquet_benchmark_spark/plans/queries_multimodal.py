@@ -1,0 +1,118 @@
+"""Multimodal pipeline queries: binary media columns + typed metadata, with
+decode / resize / frame-sample stages over mapInPandas (decode stubbed
+deterministically — see operators/multimodal.py), each value-checked against
+a DuckDB oracle that reproduces the deterministic derivation from the
+documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    FRAME_SAMPLE_K,
+    RESIZE_MAX_SIDE,
+    decode_features,
+    media_table,
+    resize_images,
+    sample_frames,
+)
+from ..tables import load_table
+from .registry import register
+
+# DuckDB twin of operators/multimodal.py::media_table (1-based list index).
+_MEDIA_CTE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         octet_length(encode(text)) AS payload_bytes,
+         md5(text) AS fingerprint,
+         64 + (doc_id % 32) * 16 AS width,
+         64 + (doc_id % 24) * 16 AS height,
+         24 + (doc_id % 2) * 6 AS fps,
+         100 + (doc_id % 900) AS n_frames
+  FROM documents
+)
+"""
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_table(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_catalog",
+    oracle=_MEDIA_CTE
+    + """
+SELECT kind,
+       COUNT(*) AS n_media,
+       CAST(SUM(payload_bytes) AS BIGINT) AS total_payload_bytes,
+       CAST(SUM(width) AS BIGINT) AS sum_width,
+       CAST(SUM(n_frames) AS BIGINT) AS sum_frames
+FROM media
+GROUP BY kind
+""",
+    doc="Media catalog rollup per kind over the binary payload + typed "
+    "metadata struct; metadata-only aggregation (payload length pushed to "
+    "octet_length, no decode).",
+    tags=("multimodal", "aggregation"),
+)
+def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir)
+    return m.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.octet_length("payload")).alias("total_payload_bytes"),
+        F.sum("meta.width").alias("sum_width"),
+        F.sum("meta.n_frames").alias("sum_frames"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=_MEDIA_CTE
+    + "SELECT media_id, kind, payload_bytes, fingerprint FROM media",
+    doc="Arrow-batched decode/feature-extract over the binary payload via "
+    "mapInPandas (decode stubbed deterministically: byte length + md5 "
+    "fingerprint; swap point for a real PIL/ffmpeg decoder).",
+    tags=("multimodal", "udf", "mapInPandas"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_features(_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=_MEDIA_CTE
+    + f"""
+SELECT media_id, width, height,
+       (width * {RESIZE_MAX_SIDE}) // GREATEST(width, height) AS new_width,
+       (height * {RESIZE_MAX_SIDE}) // GREATEST(width, height) AS new_height
+FROM media WHERE kind = 'image'
+""",
+    doc="Image resize planning (fit longest side to 224, integer floor "
+    "arithmetic) in a mapInPandas pixel-stage shell; payload column pruned "
+    "from the scan.",
+    tags=("multimodal", "image", "mapInPandas"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(_media(spark, sf_dir), max_side=RESIZE_MAX_SIDE)
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle=_MEDIA_CTE
+    + f"""
+SELECT media_id,
+       i AS sample_idx,
+       (i * n_frames) // {FRAME_SAMPLE_K} AS frame_idx,
+       n_frames
+FROM media CROSS JOIN range({FRAME_SAMPLE_K}) t(i)
+WHERE kind = 'video'
+""",
+    doc="Even frame sampling (k=8) per video: one media row fans out to k "
+    "frame rows inside mapInPandas — the row-multiplying shape of a real "
+    "frame extractor.",
+    tags=("multimodal", "video", "mapInPandas"),
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(_media(spark, sf_dir), k=FRAME_SAMPLE_K)
