@@ -45,6 +45,42 @@ def hash64(col: Column | str, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+# Universal-hash MinHash permutations: ONE md5 per shingle produces a 60-bit
+# base hash h; component j is (A_j * (h mod P) + B_j) mod P with P = 2^31-1.
+# Products stay < 2^62, so the arithmetic is exact int64 in both engines --
+# 16x cheaper than one salted md5 per component.
+P31 = 2147483647
+
+
+def perm_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (A_j, B_j) multiplier/offset pairs, A_j != 0."""
+    out = []
+    for j in range(k):
+        a = (j * 2654435761 + 40503) % P31 or 1
+        b = (j * 97 + 17) % P31
+        out.append((a, b))
+    return out
+
+
+def minhash_mins_spark(arr: str, k: int) -> list[str]:
+    """Spark SQL fragments m0..m{k-1}: per-component min over a string array
+    (array_min(transform(...)) -- codegen higher-order fn, no explode)."""
+    h31 = f"({hash64_sql_spark('s')} % {P31})"
+    return [
+        f"array_min(transform({arr}, s -> ({a} * {h31} + {b}) % {P31}))"
+        for a, b in perm_consts(k)
+    ]
+
+
+def minhash_mins_duckdb(arr: str, k: int) -> list[str]:
+    """DuckDB fragments computing identical values."""
+    h31 = f"(({hash64_sql_duckdb('s')}) % {P31})"
+    return [
+        f"list_min(list_transform({arr}, s -> ({a} * {h31} + {b}) % {P31}))"
+        for a, b in perm_consts(k)
+    ]
+
+
 def minhash_hex(col: Column | str, seed: int) -> Column:
     """One MinHash component: the md5 hex digest under a seeded salt.
 

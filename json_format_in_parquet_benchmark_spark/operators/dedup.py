@@ -69,17 +69,27 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 16
 ) -> DataFrame:
-    """One row per doc with k MinHash components m0..m{k-1}.
+    """One row per doc with k MinHash components m0..m{k-1} plus the shingle
+    count.
 
-    Each component is min(md5('mh{j}:' || shingle)) -- lexicographic min of
-    hex digests, order-equivalent to min-of-integer-hash and portable.
+    ONE md5 per exploded shingle produces a 60-bit base hash; the k
+    components are universal-hash permutations of it (exact int64
+    arithmetic, functions.hashing.perm_consts) aggregated with cheap min()s
+    -- 16x less hashing than salted-md5-per-component.  The explode+groupBy
+    shape (rather than array_min(transform(...)) per component) keeps the
+    md5 evaluated exactly once per shingle: projection collapse would
+    otherwise duplicate the expensive lambda into every component.
     """
-    sh = _doc_shingles(df, text_col, id_col, n)
+    from ..functions.hashing import P31, hash64_sql_spark, perm_consts
+
+    sh = _doc_shingles(df, text_col, id_col, n).withColumn(
+        "h31", F.expr(f"{hash64_sql_spark('sh')} % {P31}")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"mh{j}:"), F.col("sh")))).alias(f"m{j}")
-        for j in range(k)
+        F.min(F.expr(f"({a} * h31 + {b}) % {P31}")).alias(f"m{j}")
+        for j, (a, b) in enumerate(perm_consts(k))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n_sh"))
 
 
 def minhash_lsh_pairs(
@@ -99,14 +109,38 @@ def minhash_lsh_pairs(
     banding only affects recall (8 bands x 2 rows: P(catch) = 1-(1-J^2)^8,
     ~90% at J=0.5, ~100% at J>=0.8).
     """
+    from ..functions.hashing import P31, hash64_sql_spark, perm_consts
+
     rows = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n, k)
+    # Shingling is the expensive scan-side computation (tokenize + slide +
+    # distinct); three plan branches need its result (signatures, verify
+    # left, verify right), so compute the per-doc shingle array ONCE and
+    # persist it -- ~20 bytes/shingle, the natural materialization point of
+    # every MinHash pipeline at any scale.
+    docsets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
+    ).persist()
+    # Signatures: one explode + groupBy over the cached arrays, one md5 per
+    # shingle, k universal-hash permutations (exact int64).  Docs with zero
+    # shingles never reach banding (explode drops them), so no degenerate
+    # all-empty bucket exists.
+    sh = docsets.select("doc_id", F.explode("shset").alias("sh")).withColumn(
+        "h31", F.expr(f"{hash64_sql_spark('sh')} % {P31}")
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a} * h31 + {b}) % {P31}")).alias(f"m{j}")
+            for j, (a, b) in enumerate(perm_consts(k))
+        ]
+    )
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"m{b * rows + r}") for r in range(rows)]
+        parts = [F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
         band_cols.append(
             F.struct(
-                F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_hash")
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(",", *parts).alias("band_hash"),
             ).alias(f"b{b}")
         )
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
@@ -124,21 +158,19 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _doc_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    inter = (
-        cand.join(a, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(b, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Verification: candidate pairs are rare, so broadcast them into the
+    # cached per-doc shingle arrays and intersect JVM-side (array_intersect)
+    # -- no exploded-shingle shuffle.
+    a = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"), F.size("shset").alias("na")
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    b = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"), F.size("shset").alias("nb")
+    )
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        a.join(F.broadcast(cand), "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
         .select(
             "doc_a",
             "doc_b",

@@ -74,6 +74,96 @@ def sign_lsh_buckets(
     )
 
 
+def centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random IVF centroids (same md5 scheme as
+    :func:`hyperplanes`, different salt)."""
+    cells = []
+    for c in range(n_cells):
+        w = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"iv{c}:{d}".encode()).hexdigest()[:15], 16)
+            w.append((h % 2001 - 1000) / 1000.0)
+        cells.append(w)
+    return cells
+
+
+def _centroids_spark_literal(cells: list[list[float]]) -> str:
+    rows = ", ".join(
+        "array(" + ", ".join(repr(x) + "D" for x in w) + ")" for w in cells
+    )
+    return f"array({rows})"
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16, dim: int = 64
+) -> DataFrame:
+    """Coarse-quantize each vector to its best IVF cell (argmax dot against
+    the deterministic centroids; ties broken by lowest cell id).
+
+    This is the IVF BUILD step: at 100 TB the (vec_id, cell) assignment is
+    computed once and persisted partitioned by cell, so queries touch only
+    n_probe/n_cells of the corpus.  Assignment is a single corpus scan
+    fanned out n_cells-fold before a per-id argmax — no shuffle wider than
+    the id itself.
+    """
+    cents = _centroids_spark_literal(centroids(n_cells, dim))
+    cell_dots = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.expr(f"sequence(0, {n_cells - 1})")).alias("cell"),
+        F.col(vec_col).alias("v"),
+    ).withColumn(
+        "d", F.expr(dot_spark("v", f"element_at({cents}, cell + 1)"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
+    return (
+        cell_dots.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via IVF: each query probes its ``n_probe`` nearest
+    cells and scores only corpus vectors assigned there — expected search
+    cost O(N * n_probe / n_cells) per query instead of O(N)."""
+    cents = _centroids_spark_literal(centroids(n_cells, dim))
+    corpus_cells = ivf_assign(corpus, vec_col, id_col, n_cells, dim).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.expr(f"sequence(0, {n_cells - 1})")).alias("cell"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("d", F.expr(dot_spark("v", f"element_at({cents}, cell + 1)")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cell"))
+    probes = (
+        qd.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).join(corpus_cells, "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).join(
+        probes, "query_id"
+    )
+    pairs = c.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.expr(cosine_spark("qvec", "cvec")).alias("cos_sim")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= k)
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

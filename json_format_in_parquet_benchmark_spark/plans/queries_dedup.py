@@ -70,25 +70,30 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from ..functions.hashing import minhash_mins_duckdb
+
     n, k, bands = MINHASH_SHINGLE, MINHASH_K, MINHASH_BANDS
     rows = k // bands
-    sig_cols = ",\n         ".join(
-        f"min(md5('mh{j}:' || sh)) AS m{j}" for j in range(k)
-    )
+    mins = minhash_mins_duckdb("shset", k)
+    sig_cols = ",\n         ".join(f"{m} AS m{j}" for j, m in enumerate(mins))
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_idx, "
-        f"md5({' || '.join(f'm{b * rows + r}' for r in range(rows))}) AS band_hash FROM sig"
+        f"concat_ws(',', {', '.join(f'm{b * rows + r}' for r in range(rows))})"
+        " AS band_hash FROM sig"
         for b in range(bands)
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id, unnest({shingles_duckdb(_TOKS_D, n)}) AS sh
+WITH docsets AS (
+  SELECT doc_id, {shingles_duckdb(_TOKS_D, n)} AS shset
   FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(shset) AS sh FROM docsets
 ),
 sig AS (
   SELECT doc_id,
          {sig_cols}
-  FROM sh GROUP BY doc_id
+  FROM docsets WHERE len(shset) > 0
 ),
 bands AS (
 {band_rows}

@@ -10,9 +10,11 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_duckdb, dot_duckdb
 from ..operators.similarity import (
+    centroids,
     hyperplanes,
     sign_lsh_buckets,
     topk_bruteforce,
+    topk_ivf,
     topk_lsh,
 )
 from ..tables import load_table
@@ -81,6 +83,64 @@ FROM embeddings
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sign_lsh_buckets(emb, "embedding", "vec_id", n_planes=N_PLANES, dim=DIM)
+
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _centroids_duckdb_literal() -> str:
+    cells = centroids(N_CELLS, DIM)
+    return "[" + ", ".join("[" + ", ".join(repr(x) for x in w) + "]" for w in cells) + "]"
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=f"""
+WITH cellranked AS (
+  SELECT vec_id, cell, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+  FROM (
+    SELECT e.vec_id, t.i AS cell,
+           {dot_duckdb("e.embedding", f"({_centroids_duckdb_literal()})[t.i + 1]")} AS d
+    FROM embeddings e CROSS JOIN range({N_CELLS}) t(i)
+  )
+),
+corpus_cells AS (SELECT vec_id AS neighbor_id, cell FROM cellranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM cellranked
+           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+scored AS (
+  SELECT p.query_id, cc.neighbor_id, {cosine_duckdb("a.embedding", "b.embedding")} AS cos_sim
+  FROM probes p
+  JOIN corpus_cells cc USING (cell)
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = cc.neighbor_id
+  WHERE p.query_id <> cc.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="Approximate top-k via IVF (inverted file): deterministic coarse "
+    "centroids, each vector assigned to its argmax-dot cell, queries probe "
+    "their 4 nearest of 16 cells — the persisted-cell-partition ANN layout "
+    "for 100 TB (search cost O(N*n_probe/n_cells) per query).",
+    tags=("similarity", "ivf", "topk", "custom-operator"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    out = topk_ivf(
+        emb, queries, "embedding", "vec_id",
+        k=TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, dim=DIM,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
 
 
 @register(
