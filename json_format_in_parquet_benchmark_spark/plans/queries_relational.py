@@ -185,9 +185,10 @@ FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1
 """,
-    doc="Fact-fact join on the natural shuffle key (orderkey): shuffle hash / "
-    "sort-merge chosen by AQE; at 100 TB both sides would be bucketed on "
-    "orderkey to make this a zero-shuffle join.",
+    doc="Fact-fact join on the natural shuffle key (orderkey), merge-hinted "
+    "so the plan is a true SortMergeJoin even at test scale (the big-big "
+    "shape this query has at 100 TB); there, both sides would additionally "
+    "be bucketed on orderkey to make it a zero-shuffle join.",
     tags=("relational", "join", "sortmerge"),
     bench=True,
 )
@@ -195,7 +196,7 @@ def join_sortmerge_order_fulfilment(spark: SparkSession, sf_dir: str) -> DataFra
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        orders.hint("merge").join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderstatus")
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
@@ -557,4 +558,107 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
         F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    )
+
+
+@register(
+    "map_funcs_event_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(len(json_keys(props))) AS BIGINT) AS n_entries,
+       MIN(json_keys(props)[1]) AS first_key
+FROM events
+GROUP BY 1
+""",
+    doc="Map functions over semi-structured props: from_json to "
+    "map<string,int>, then element_at / size / map_keys aggregated per "
+    "event_type (MapType surface; reference keeps JSON opaque, "
+    "/root/reference/src/format/plain_json.rs:17-19).",
+    tags=("relational", "map", "json"),
+)
+def map_funcs_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.withColumn("m", F.from_json("props", "map<string,bigint>"))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.element_at("m", "k")).alias("sum_k"),
+        F.sum(F.size("m")).alias("n_entries"),
+        F.min(F.element_at(F.map_keys("m"), 1)).alias("first_key"),
+    )
+
+
+@register(
+    "array_funcs_order_lines",
+    oracle="""
+WITH arrs AS (
+  SELECT l_orderkey,
+         list_sort(list(l_linenumber)) AS lines
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey,
+       len(lines) AS n_lines,
+       lines[1] AS first_line,
+       lines[-1] AS last_line,
+       list_contains(lines, 7) AS has_line7,
+       CAST(list_sum(lines) AS BIGINT) AS line_sum
+FROM arrs
+""",
+    doc="Array functions: collect_list + sort_array per order, then "
+    "size/element_at/array_contains/aggregate over the array -- the "
+    "ArrayType operator surface (reference's tape lists, "
+    "/root/reference/src/format/jsonc.rs:24-39, held 1 array per doc).",
+    tags=("relational", "array", "aggregation"),
+)
+def array_funcs_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines")
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.element_at("lines", -1).alias("last_line"),
+        F.array_contains("lines", 7).alias("has_line7"),
+        F.expr("aggregate(lines, 0L, (acc, x) -> acc + x)").alias("line_sum"),
+    )
+
+
+@register(
+    "range_join_user_events",
+    oracle="""
+SELECT a.user_id,
+       COUNT(*) AS n_pairs,
+       CAST(MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS min_gap_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+GROUP BY 1
+""",
+    doc="Range join: same-user event pairs within a 1-hour horizon "
+    "(click-attribution shape).  The equi-key (user_id) prunes the "
+    "cross-product so Spark executes SMJ + range filter; at 100 TB the "
+    "pattern adds a coarse time-bucket to the equi-key so each side only "
+    "meets neighbors within +-1 bucket.",
+    tags=("relational", "join", "range"),
+)
+def range_join_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.select("user_id", F.unix_micros("ts").alias("ts_a"))
+    b = events.select(
+        F.col("user_id").alias("user_b"), F.unix_micros("ts").alias("ts_b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") - F.col("ts_a") <= 3_600_000_000),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("ts_b") - F.col("ts_a")).alias("min_gap_us"),
     )
