@@ -1,0 +1,136 @@
+"""Invariant tests: operators checked against independent recomputation
+(numpy/pure Python) on randomized-but-seeded data, complementing the
+example-based oracle parity tests.  Each test builds ONE DataFrame of many
+random cases and asserts the invariant over all rows at once, so the cost is
+two Spark jobs per property, not one per example."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_format_in_parquet_benchmark_spark.operators.dedup import (
+    minhash_signatures,
+)
+from json_format_in_parquet_benchmark_spark.operators.similarity import (
+    centroids,
+    ivf_assign,
+    topk_bruteforce,
+    topk_lsh,
+)
+from json_format_in_parquet_benchmark_spark.streaming.events_stream import (
+    sessionize_batch,
+)
+from json_format_in_parquet_benchmark_spark.tables import load_table
+
+GAP_MIN = 45
+
+
+def _random_events(spark, n_users=40, max_events=60, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        t_us = rng.randrange(10**12)
+        for _ in range(rng.randrange(1, max_events)):
+            t_us += rng.randrange(1, 3 * GAP_MIN * 60 * 1_000_000)
+            rows.append((eid, u, t_us))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+    return df.select(
+        "event_id", "user_id", F.expr("timestamp_micros(ts_us)").alias("ts")
+    )
+
+
+def test_sessionize_partitions_events_and_respects_gap(spark):
+    """Sessions (a) cover every event exactly once, (b) never contain an
+    internal gap > GAP, (c) are separated by > GAP per user."""
+    events = _random_events(spark)
+    gap_us = GAP_MIN * 60 * 1_000_000
+    sess = sessionize_batch(events, gap_minutes=GAP_MIN).cache()
+
+    n_events = events.count()
+    assert sess.agg(F.sum("n_events")).first()[0] == n_events
+
+    # session spans are consistent and sessions per user are ordered,
+    # disjoint, and separated by more than the gap
+    rows = sorted(
+        sess.collect(), key=lambda r: (r.user_id, r.session_seq)
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.start_us <= r.end_us
+        # a session of n events within gap-rule spans < n*gap
+        assert r.end_us - r.start_us <= (r.n_events - 1) * gap_us
+        by_user.setdefault(r.user_id, []).append(r)
+    for sess_list in by_user.values():
+        for a, b in zip(sess_list, sess_list[1:]):
+            assert b.session_seq == a.session_seq + 1
+            assert b.start_us - a.end_us > gap_us
+    sess.unpersist()
+
+
+def test_minhash_identical_docs_share_signature(spark, sf_dir):
+    """Exact-duplicate texts must get identical signatures, and signature
+    columns must never be null for docs with >= n tokens."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    dup = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    sig = minhash_signatures(docs.unionByName(dup), "text", "doc_id", n=3, k=16)
+    m_cols = [f"m{j}" for j in range(16)]
+    orig = {r.doc_id: tuple(r[c] for c in m_cols) for r in sig.collect()}
+    for doc_id, s in orig.items():
+        if doc_id < 1_000_000:
+            assert orig.get(doc_id + 1_000_000) == s
+        assert all(v is not None for v in s)
+
+
+def test_ivf_assign_matches_numpy_argmax(spark, sf_dir):
+    """Cell assignment == numpy argmax of centroid dot products (ties to the
+    lowest cell id)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    got = {r.vec_id: r.cell for r in ivf_assign(emb, "embedding", "vec_id").collect()}
+    cents = np.array(centroids(16, 64))
+    for r in emb.collect():
+        dots = cents @ np.array(r.embedding, dtype=np.float64)
+        want = int(np.argmax(dots))  # np.argmax returns first max = lowest id
+        assert got[r.vec_id] == want, r.vec_id
+
+
+def test_lsh_topk_is_subset_of_bruteforce_scores(spark, sf_dir):
+    """Every LSH-reported neighbor must carry the same cosine the exact
+    brute-force assigns to that pair (LSH affects recall, never scores)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 4)
+    bf = topk_bruteforce(emb, q, "embedding", "vec_id", k=1000)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim for r in bf.collect()
+    }
+    approx = topk_lsh(emb, q, "embedding", "vec_id", k=10).collect()
+    assert approx, "LSH returned no neighbors at all"
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        assert key in exact
+        assert math.isclose(r.cos_sim, exact[key], rel_tol=0, abs_tol=0.0)
+
+
+def test_exact_dedup_counts_partition_table(spark, sf_dir):
+    """Dedup groups partition the table: group sizes sum to row count and
+    every representative id is a member of its group."""
+    from json_format_in_parquet_benchmark_spark.operators.dedup import exact_dedup
+
+    events = load_table(spark, sf_dir, "events")
+    groups = exact_dedup(events, "props", "event_id")
+    assert groups.agg(F.sum("n_copies")).first()[0] == events.count()
+    joined = groups.join(
+        events.select(F.md5("props").alias("value_hash"), F.col("event_id").alias("rep_id")),
+        ["value_hash", "rep_id"],
+        "left_semi",
+    )
+    assert joined.count() == groups.count()
