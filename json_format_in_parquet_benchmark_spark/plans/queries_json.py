@@ -87,14 +87,17 @@ GROUP BY 1, 2
 )
 def flagship_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # Parse props ONCE; k_str derives from the typed value (identical string
+    # since k is an integer) instead of a second per-row get_json_object
+    # parse -- the three-way parse comparison lives in json_path_get /
+    # json_variant_get, not here.
     shred = events.select(
         "event_type",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         "user_id",
         "value",
         F.from_json("props", "k BIGINT").getField("k").alias("k"),
-        F.get_json_object("props", "$.k").alias("k_str"),
-    )
+    ).withColumn("k_str", F.col("k").cast("string"))
     return shred.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),

@@ -662,3 +662,33 @@ def range_join_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.min(F.col("ts_b") - F.col("ts_a")).alias("min_gap_us"),
     )
+
+
+@register(
+    "agg_salted_skew_user",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+    doc="Two-phase salted aggregation for skewed keys: phase 1 groups on "
+    "(user_id, salt16) spreading each hot key over 16 reducers, phase 2 "
+    "combines the partials.  Result identical to a plain groupBy (the "
+    "oracle IS the plain groupBy); decimal partials re-sum exactly.  This "
+    "is the manual fallback when AQE skew handling cannot apply (e.g. "
+    "skewed aggregation rather than join).",
+    tags=("relational", "aggregation", "skew", "salting"),
+)
+def agg_salted_skew_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    salted = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.expr("sum(cast(value as decimal(18,2)))").alias("pv"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.expr("cast(sum(pv) as double)").alias("total_value"),
+    )

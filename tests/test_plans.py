@@ -1,0 +1,66 @@
+"""Physical-plan assertions: the scale properties (broadcast choices, true
+SMJ, predicate pushdown, column pruning, no Python in hot paths) are part of
+the engine's contract, so they are pinned by tests, not just eyeballed with
+.explain()."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    plan = plan_of(spark, "join_broadcast_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_fact_join_is_sort_merge(spark):
+    plan = plan_of(spark, "join_sortmerge_order_fulfilment")
+    assert "SortMergeJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = plan_of(spark, "filter_pushdown_scan")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), plan
+
+
+def test_q1_prunes_unused_columns(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert schemas
+    assert all("l_comment" not in s and "l_shipmode" not in s for s in schemas)
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "sort_topk_lineitems")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "flagship_events_enriched",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "dedup_minhash_lsh",
+        "similarity_topk_bruteforce",
+        "text_stats",
+    ],
+)
+def test_hot_queries_have_no_python_stages(spark, name):
+    """Scalar work in headline queries must stay JVM-side (mapInPandas is
+    reserved for the multimodal/stateful operators that genuinely need it)."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
