@@ -75,6 +75,7 @@ def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapInPandas (decode stubbed deterministically: byte length + md5 "
     "fingerprint; swap point for a real PIL/ffmpeg decoder).",
     tags=("multimodal", "udf", "mapInPandas"),
+    bench=True,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(_media(spark, sf_dir))

@@ -645,6 +645,7 @@ GROUP BY 1
     "pattern adds a coarse time-bucket to the equi-key so each side only "
     "meets neighbors within +-1 bucket.",
     tags=("relational", "join", "range"),
+    bench=True,
 )
 def range_join_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

@@ -130,6 +130,7 @@ SELECT * FROM ranked WHERE rank <= {TOP_K}
     "their 4 nearest of 16 cells — the persisted-cell-partition ANN layout "
     "for 100 TB (search cost O(N*n_probe/n_cells) per query).",
     tags=("similarity", "ivf", "topk", "custom-operator"),
+    bench=True,
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

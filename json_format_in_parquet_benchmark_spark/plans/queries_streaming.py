@@ -180,6 +180,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Batch gap-sessionization (8h gap) via lag + running-sum window "
     "functions: one shuffle on user_id, both windows share one sort.",
     tags=("streaming", "session", "window"),
+    bench=True,
 )
 def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
