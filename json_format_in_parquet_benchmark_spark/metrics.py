@@ -101,6 +101,72 @@ def measure_format(
     return metric
 
 
+# Reference CSV format-name vocabulary: our plain_json is its "json"
+# (scripts/benchmark_results.csv:2 uses `json,0.1,1024,...`).
+_REFERENCE_FORMAT_NAMES = {"plain_json": "json"}
+
+CSV_COLUMNS = (
+    "format",
+    "ndv",
+    "num_of_lines",
+    "parquet_file_size",
+    "compressed_rate",
+    "original",
+)
+
+
+def parse_events_corpus_name(path: str) -> float | None:
+    """NDV fraction from an events corpus filename
+    (``events_ndv_{ndv}_{rows}.json``), or None for non-events corpora."""
+    base = os.path.basename(path)
+    if not base.startswith("events_ndv_"):
+        return None
+    try:
+        return float(base[len("events_ndv_"):].rsplit("_", 1)[0])
+    except ValueError:
+        return None
+
+
+def sweep_corpora(
+    spark: SparkSession,
+    corpus_paths: list[str],
+    out_dir: str,
+    csv_path: str | None = None,
+) -> list[dict]:
+    """Reproduce the reference's full storage benchmark table: every corpus
+    x every format -> rows in the exact column layout of
+    /root/reference/scripts/benchmark_results.csv (so the reference's
+    scripts/plot.py renders our results unmodified)."""
+    import csv
+
+    from .sources.ndjson import read_ndjson_raw
+
+    rows: list[dict] = []
+    for path in corpus_paths:
+        ndv = parse_events_corpus_name(path)
+        raw = read_ndjson_raw(spark, path)
+        corpus_dir = os.path.join(
+            out_dir, os.path.splitext(os.path.basename(path))[0]
+        )
+        for m in measure_all_formats(spark, raw, corpus_dir):
+            rows.append(
+                {
+                    "format": _REFERENCE_FORMAT_NAMES.get(m.format, m.format),
+                    "ndv": ndv if ndv is not None else "",
+                    "num_of_lines": m.num_of_lines,
+                    "parquet_file_size": m.parquet_file_size,
+                    "compressed_rate": m.compressed_rate,
+                    "original": m.original,
+                }
+            )
+    if csv_path:
+        with open(csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(CSV_COLUMNS))
+            w.writeheader()
+            w.writerows(rows)
+    return rows
+
+
 def measure_all_formats(
     spark: SparkSession, raw: DataFrame, out_dir: str, shred_ddl: str | None = None
 ) -> list[StorageMetric]:

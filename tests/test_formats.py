@@ -121,3 +121,30 @@ def test_format_dispatch():
     assert sorted(FORMATS) == ["jsonb", "jsonc", "plain_json", "variant"]
     with pytest.raises(KeyError):
         get_format("nope")
+
+
+def test_storage_sweep_emits_reference_csv_layout(spark, tmp_path):
+    """sweep_corpora reproduces the reference CSV column layout
+    (scripts/benchmark_results.csv header) so its plot script can render
+    our results unmodified."""
+    import csv
+
+    from json_format_in_parquet_benchmark_spark.metrics import (
+        CSV_COLUMNS,
+        parse_events_corpus_name,
+        sweep_corpora,
+    )
+
+    corpus = "/root/reference/json/events_ndv_0.1_1024.json"
+    assert parse_events_corpus_name(corpus) == 0.1
+    assert parse_events_corpus_name("/x/events_ndv_1_8192.json") == 1.0
+    assert parse_events_corpus_name("/x/twitter.json") is None
+
+    csv_path = str(tmp_path / "results.csv")
+    rows = sweep_corpora(spark, [corpus], str(tmp_path / "out"), csv_path)
+    assert {r["format"] for r in rows} == {"json", "jsonb", "jsonc", "variant"}
+    assert all(r["num_of_lines"] == 1024 and r["ndv"] == 0.1 for r in rows)
+    assert all(0 < r["compressed_rate"] < 1 for r in rows)
+    with open(csv_path) as f:
+        header = next(csv.reader(f))
+    assert tuple(header) == CSV_COLUMNS
