@@ -183,6 +183,59 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected pair graph: (node,
+    cluster_rep) where cluster_rep is the component's minimum node id.
+
+    Iterative min-label propagation (Pregel-lite on DataFrames): each round
+    every node takes the min of its own label and its neighbors' labels;
+    convergence needs at most diameter rounds (duplicate clusters are
+    near-cliques, so 2-3 in practice; ``max_iter`` bounds pathological
+    chains).  Each round is one shuffle of the label table on node id; at
+    100 TB both sides stay partitioned on node so the join is co-located.
+    The fixpoint (component-min) is iteration-order independent, which is
+    what makes an exact cross-engine oracle (recursive CTE) possible.
+    """
+    both = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    both = both.persist()
+    labels = (
+        both.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            both.join(labels, both.s == labels.node)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
 def simhash_docs(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:

@@ -69,7 +69,9 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_cte() -> str:
+    """CTE chain (no WITH prefix) ending in the verified near-dup `pairs`
+    table -- shared by the pair query and the cluster query's oracle."""
     from ..functions.hashing import minhash_mins_duckdb
 
     n, k, bands = MINHASH_SHINGLE, MINHASH_K, MINHASH_BANDS
@@ -82,8 +84,7 @@ def _minhash_oracle() -> str:
         " AS band_hash FROM sig"
         for b in range(bands)
     )
-    return f"""
-WITH docsets AS (
+    return f"""docsets AS (
   SELECT doc_id, {shingles_duckdb(_TOKS_D, n)} AS shset
   FROM documents
 ),
@@ -110,14 +111,20 @@ inter AS (
   JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= {MINHASH_THRESHOLD}
 )
-SELECT i.doc_a, i.doc_b,
-       CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= {MINHASH_THRESHOLD}
 """
+
+
+def _minhash_oracle() -> str:
+    return "WITH " + _minhash_pairs_cte() + "SELECT doc_a, doc_b, jaccard FROM pairs"
 
 
 @register(
@@ -139,6 +146,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=MINHASH_BANDS,
         threshold=MINHASH_THRESHOLD,
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + _minhash_pairs_cte()
+    + """,
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach AS (
+  SELECT s AS node, s AS label FROM edges
+  UNION
+  SELECT e.d AS node, r.label FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_rep
+FROM reach GROUP BY node
+""",
+    doc="Duplicate clusters: connected components over the verified "
+    "MinHash-LSH pair graph via iterative min-label propagation "
+    "(operators/dedup.py:connected_components) -- the iterative-algorithm "
+    "path; the oracle is a recursive CTE computing the same "
+    "order-independent fixpoint.",
+    tags=("dedup", "clusters", "iterative", "custom-operator"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=MINHASH_SHINGLE,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+    return connected_components(pairs)
 
 
 def _simhash_oracle() -> str:

@@ -134,3 +134,18 @@ def test_exact_dedup_counts_partition_table(spark, sf_dir):
         "left_semi",
     )
     assert joined.count() == groups.count()
+
+
+def test_connected_components_on_known_graph(spark):
+    """Chains, separate components, and reversed edge directions all resolve
+    to the component-minimum representative."""
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (7, 6), (9, 8), (10, 9)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_rep for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8, 9: 8, 10: 8}
