@@ -106,6 +106,39 @@ def test_reference_corpus_roundtrip(spark):
     assert {"timestamp", "system", "actor", "action", "objects"} <= set(one)
 
 
+@pytest.mark.parametrize(
+    "corpus", ["logs", "tags", "tags_with_time", "trace", "twitter"]
+)
+@pytest.mark.parametrize("fmt_name", ["plain_json", "jsonb", "jsonc"])
+def test_all_reference_corpora_roundtrip_semantically(spark, corpus, fmt_name):
+    """Every multi-shape reference corpus round-trips through every
+    schema-less representation; equality is semantic (re-parse) because
+    serializers differ in key order / float formatting (SURVEY.md section 7
+    hard part c).  variant is excluded: its declared schema is
+    events-specific by design (variant.rs:22-48)."""
+    raw = read_ndjson_raw(spark, f"/root/reference/json/{corpus}.json")
+    fmt = get_format(fmt_name)
+    originals = [r.doc for r in raw.collect()]
+    decoded = [r.doc for r in fmt.decode(fmt.encode(raw)).collect()]
+    assert len(decoded) == len(originals)
+
+    def norm(v):
+        # the tape's number pool is float64 (reference jsonc.rs:36 uses the
+        # same Float64 pool), so >=2^53 integers round-trip lossily there;
+        # compare numbers in the float64 domain for that representation.
+        if fmt_name == "jsonc" and isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        return v
+
+    # both sides scan the same file with no shuffle, so collect order aligns
+    for o, d in zip(originals, decoded):
+        assert norm(json.loads(o)) == norm(json.loads(d))
+
+
 def test_events_shred_reference_schema(spark):
     """The reference's hard-coded events shred schema (variant.rs:22-48)
     against a real generated events line."""
