@@ -16,3 +16,4 @@ from . import queries_similarity  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
+from . import queries_sinks  # noqa: E402,F401

@@ -1,0 +1,94 @@
+"""Sink queries: the write-side layouts that matter at 100 TB.
+
+The reference's only sink is a single-row-group parquet file per corpus
+(`flush`, e.g. /root/reference/src/format/plain_json.rs:32-45) -- an
+anti-pattern at scale (SURVEY.md §4).  This module supplies the layouts a
+real deployment writes instead, each one exercised end-to-end (write, read
+back, value-check against the DuckDB oracle over the ORIGINAL table -- a
+lossy sink cannot pass):
+
+- hive-partitioned parquet (partition pruning: a reader with a partition
+  predicate touches only matching directories; pinned by
+  tests/test_plans.py::test_partitioned_read_prunes_partitions).
+- NDJSON text export (the reference's decode arm O6-O9 written back out as
+  a line-per-doc corpus -- source/sink symmetry with sources/ndjson.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import register
+
+_SINK_ROOT = os.path.join(tempfile.gettempdir(), "jfipb_sinks")
+
+
+def partitioned_events_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(_SINK_ROOT, f"events_by_type_day_{tag}")
+
+
+def write_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write events hive-partitioned by (event_type, day): the layout that
+    turns the dominant predicate (type + time range) into directory pruning
+    at any scale."""
+    out = partitioned_events_path(sf_dir)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    events.write.mode("overwrite").partitionBy("event_type", "day").parquet(out)
+    return out
+
+
+@register(
+    "sink_partitioned_events",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+""",
+    doc="Partitioned parquet sink + pruned read-back: events written "
+    "hive-partitioned by (event_type, day), then read with a partition "
+    "predicate and aggregated.  The oracle runs on the ORIGINAL table, so "
+    "a lossy write or wrong partition mapping fails the value check; the "
+    "pruning itself is pinned by a plan test.",
+    tags=("sink", "partitioning", "pruning"),
+)
+def sink_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = write_partitioned_events(spark, sf_dir)
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+            "total_value"
+        ),
+    )
+
+
+@register(
+    "sink_ndjson_export",
+    oracle="SELECT md5(props) AS line_hash FROM events",
+    doc="NDJSON text sink: the decode arm (O6-O9) written back out as a "
+    "line-per-document corpus and re-read through the NDJSON source -- "
+    "per-line hashes must match the original column exactly "
+    "(source/sink symmetry; reference only ever reads NDJSON, "
+    "/root/reference/src/codec.rs:8-19).",
+    tags=("sink", "source", "ndjson"),
+)
+def sink_ndjson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ndjson import read_ndjson_raw
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = os.path.join(_SINK_ROOT, f"events_props_ndjson_{tag}")
+    events = load_table(spark, sf_dir, "events")
+    events.select(F.col("props").alias("value")).write.mode("overwrite").text(out)
+    back = read_ndjson_raw(spark, out)
+    return back.select(F.md5("doc").alias("line_hash"))

@@ -64,3 +64,43 @@ def test_hot_queries_have_no_python_stages(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """Reading the partitioned sink with a partition predicate must turn it
+    into PartitionFilters (directory pruning), not a data filter."""
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_sinks import (
+        write_partitioned_events,
+    )
+
+    out = write_partitioned_events(spark, SF)
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """Both fact tables bucketed on the join key -> the join runs with zero
+    Exchange operators (the 100 TB zero-shuffle co-located join)."""
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF, "orders")
+        li = load_table(spark, SF, "lineitem")
+        for df, name, key in ((orders, "orders_b", "o_orderkey"), (li, "lineitem_b", "l_orderkey")):
+            df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
+        j = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            spark.table("orders_b").o_orderkey == spark.table("lineitem_b").l_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
