@@ -17,3 +17,4 @@ from . import queries_streaming  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 from . import queries_sinks  # noqa: E402,F401
+from . import queries_udf  # noqa: E402,F401

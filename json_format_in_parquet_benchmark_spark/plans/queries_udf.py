@@ -1,0 +1,54 @@
+"""UDF/UDAF surface: the one place the engine deliberately crosses into
+Python, shown with the fast (Arrow-batched) shapes only.
+
+The reference has no user-defined-function surface (SURVEY.md §2.2: the
+codec trait is an internal extension point).  The engine's stance is
+"built-ins first" — every scalar expression elsewhere is JVM-side — but the
+checklist's UDAF capability is demonstrated here with a pandas grouped-agg
+UDAF (Arrow transfer, one Python roundtrip per GROUP, not per row).  The
+mapInPandas / applyInPandasWithState shapes live with their operators
+(multimodal, streaming sessionization).
+
+At 100 TB: a grouped-agg pandas UDAF ships each group's column slice
+through Arrow once; groups here are low-cardinality (event types), so the
+Python cost is O(groups), invisible next to the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import register
+
+
+@register(
+    "udaf_median_value",
+    oracle="""
+SELECT event_type,
+       median(value::DOUBLE) AS median_value
+FROM events
+GROUP BY 1
+""",
+    doc="Custom UDAF: per-group median via a pandas grouped-agg UDF "
+    "(Arrow-batched, one Python call per group).  numpy's interpolated "
+    "median of doubles is bit-identical to DuckDB's median over DOUBLE, so "
+    "even the Python path is exactly oracle-checked.",
+    tags=("udf", "udaf", "aggregation"),
+)
+def udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit GROUPED_AGG: this module uses string annotations (PEP 563),
+    # which pandas_udf's type-hint inference cannot resolve on nested fns
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return float(np.median(v.values))
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg()
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        median_udaf("value").alias("median_value")
+    )

@@ -181,3 +181,34 @@ def test_storage_sweep_emits_reference_csv_layout(spark, tmp_path):
     with open(csv_path) as f:
         header = next(csv.reader(f))
     assert tuple(header) == CSV_COLUMNS
+
+
+def test_schema_inference_on_reference_corpus(spark):
+    """spark.read.json infers the events corpus shape (the capability the
+    reference lacks -- its variant schema is hard-coded, variant.rs:1-2)."""
+    df = spark.read.json("/root/reference/json/events_ndv_0.1_1024.json")
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert set(fields) == {"name", "timestamp", "attributes"}
+    assert fields["attributes"].startswith("struct<event_attributes:")
+
+
+def test_malformed_json_degrades_to_null_not_failure(spark):
+    """from_json/parse_json must degrade malformed rows to null (PERMISSIVE),
+    never fail the job -- at 100 TB some rows WILL be garbage."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ('{"k": 1}',),
+        ("not json at all",),
+        ('{"k": }',),
+        (None,),
+        ('{"k": 4}',),
+    ]
+    df = spark.createDataFrame(rows, "doc string")
+    parsed = df.select(
+        F.from_json("doc", "k BIGINT").getField("k").alias("k"),
+        F.try_parse_json("doc").alias("v"),
+    )
+    got = parsed.collect()
+    assert [r.k for r in got] == [1, None, None, None, 4]
+    assert sum(r.v is not None for r in got) == 2  # only the two valid docs
