@@ -208,6 +208,10 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    # Convergence check: labels only ever DECREASE (least of own and
+    # neighbor minima), so sum(label) strictly decreases until the fixpoint
+    # -- one cheap aggregate per round instead of a change-detection join.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neigh = (
             both.join(labels, both.s == labels.node)
@@ -222,16 +226,12 @@ def connected_components(
             )
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     both.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
 

@@ -150,3 +150,59 @@ def test_sessionize_stream_state_is_per_user(spark, sf_dir):
     out = REGISTRY["stream_sessionize_stateful"].fn(spark, sf_dir)
     firsts = out.groupBy("user_id").agg(F.min("session_seq").alias("m")).collect()
     assert firsts and all(r.m == 1 for r in firsts)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream join (clicks x purchases of the same user within 1h,
+    both sides watermarked) must produce exactly the batch join's pairs.
+    This is the stateful two-sided join Structured Streaming buffers with
+    watermark-bounded state -- the operator a real attribution pipeline
+    runs forever."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        _run_to_memory,
+        _staged_events,
+    )
+    from json_format_in_parquet_benchmark_spark.streaming.events_stream import (
+        EVENTS_SCHEMA,
+    )
+
+    events_dir = _staged_events(spark, sf_dir)
+
+    def pair(clicks, purchases):
+        c = clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        p = purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        return c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("c_user", "click_id", "purchase_id")
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    s_out = _run_to_memory(
+        pair(
+            stream.where(F.col("event_type") == "click").withWatermark("ts", "2 hours"),
+            stream.where(F.col("event_type") == "purchase").withWatermark("ts", "2 hours"),
+        ),
+        "ssjoin",
+        "append",
+    )
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    b_out = pair(
+        events.where(F.col("event_type") == "click"),
+        events.where(F.col("event_type") == "purchase"),
+    )
+    got = {tuple(r) for r in s_out.collect()}
+    want = {tuple(r) for r in b_out.collect()}
+    assert got == want
+    assert want, "no click->purchase pairs in testdata; join untested"
