@@ -92,6 +92,45 @@ def main() -> None:
     except Exception as exc:  # storage bench must never sink the query bench
         storage = {"error": str(exc)[:200]}
 
+    # Three-way path-query timing (the reference's query bench, E3 in
+    # SURVEY.md §3): per-row re-parse (get_json_object, the serde arm) vs
+    # pre-parsed variant access (the jsonb/jsonc arm) vs shredded column
+    # access -- same comparison, measured over the events table at SF.
+    path_query: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from json_format_in_parquet_benchmark_spark.tables import load_table
+
+        events = load_table(spark, SF_DIR, "events")
+        variant = events.select(F.parse_json("props").alias("v")).persist()
+        shredded = events.select(
+            F.from_json("props", "k BIGINT").alias("s")
+        ).persist()
+        arms = {
+            "reparse_get_json_object": lambda: events.select(
+                F.get_json_object("props", "$.k").alias("k")
+            ).agg(F.max("k")).collect(),
+            "variant_get_preparsed": lambda: variant.select(
+                F.variant_get("v", "$.k", "string").alias("k")
+            ).agg(F.max("k")).collect(),
+            "shredded_column_access": lambda: shredded.select(
+                F.col("s.k").cast("string").alias("k")
+            ).agg(F.max("k")).collect(),
+        }
+        variant.count(), shredded.count()  # materialize pre-parsed arms
+        for arm, run in arms.items():
+            run()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run()
+                best = min(best, time.perf_counter() - t0)
+            path_query[arm] = round(best, 4)
+        variant.unpersist(), shredded.unpersist()
+    except Exception as exc:
+        path_query = {"error": str(exc)[:200]}
+
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -100,6 +139,7 @@ def main() -> None:
         "sf": infer_sf(SF_DIR),
         "rows": rows,
         "storage": storage,
+        "path_query": path_query,
     }
     print(json.dumps(result))
     spark.stop()
