@@ -693,3 +693,97 @@ def agg_salted_skew_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.expr("cast(sum(pv) as double)").alias("total_value"),
     )
+
+
+@register(
+    "pivot_daily_event_types",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+""",
+    doc="Pivot: event_type rotated into columns per day (explicit value "
+    "list, so the plan is a single aggregate -- no second pass to discover "
+    "pivot values).",
+    tags=("relational", "pivot", "aggregation"),
+)
+def pivot_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        .groupBy("day")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .count()
+    )
+    # pivot leaves missing combinations null; the oracle's SUM(CASE) yields 0
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "purchase", "view")],
+    )
+
+
+@register(
+    "subquery_orders_above_cust_avg",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(o.o_totalprice AS DOUBLE) AS totalprice
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT 1.5 * CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*)
+  FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+""",
+    doc="Correlated scalar subquery: orders priced >1.5x their customer's "
+    "average (Catalyst de-correlates into an aggregate + join -- the "
+    "rewrite that makes correlated subqueries scale).",
+    tags=("relational", "subquery"),
+)
+def subquery_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice
+        FROM orders_sq o
+        WHERE o.o_totalprice > (
+          SELECT 1.5 * CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*)
+          FROM orders_sq i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "agg_grouping_sets_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="Explicit GROUPING SETS (beyond rollup/cube): two independent "
+    "1-level groupings plus the grand total in ONE shuffle instead of a "
+    "union of three aggregations.",
+    tags=("relational", "aggregation", "grouping-sets"),
+)
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
