@@ -180,3 +180,69 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     )
+
+
+@register(
+    "similarity_lsh_recall",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings),
+exact_ranked AS (
+  SELECT a.query_id, b.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+                            ORDER BY {cosine_duckdb("a.embedding", "b.embedding")} DESC,
+                                     b.neighbor_id) AS rank
+  FROM q a CROSS JOIN c b
+  WHERE a.query_id <> b.neighbor_id
+),
+truth AS (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {TOP_K}),
+bucketed AS (
+  SELECT vec_id, embedding, {_bucket_expr_duckdb("embedding")} AS bucket
+  FROM embeddings
+),
+qb AS (SELECT vec_id AS query_id, embedding, bucket AS qbucket
+       FROM bucketed WHERE vec_id < {N_QUERIES}),
+approx_scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+                            ORDER BY {cosine_duckdb("a.embedding", "b.embedding")} DESC,
+                                     b.vec_id) AS rank
+  FROM qb a JOIN bucketed b
+    ON a.query_id <> b.vec_id AND bit_count(xor(a.qbucket, b.bucket)) <= 1
+),
+approx AS (SELECT query_id, neighbor_id FROM approx_scored WHERE rank <= {TOP_K})
+SELECT t.query_id,
+       COUNT(*) AS k_true,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS k_hit,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY 1
+""",
+    doc="ANN evaluation harness: per-query recall@k of the sign-LSH path "
+    "against exact brute force -- the measurement loop that tunes "
+    "n_planes/probes before a 100 TB rollout (recall is data-dependent; "
+    "computing it IS the capability).",
+    tags=("similarity", "lsh", "evaluation"),
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    truth = topk_bruteforce(emb, queries, "embedding", "vec_id", k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = topk_lsh(
+        emb, queries, "embedding", "vec_id", k=TOP_K, n_planes=N_PLANES, dim=DIM
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    joined = truth.join(
+        approx,
+        (truth.query_id == approx.query_id)
+        & (truth.neighbor_id == approx.a_neighbor),
+        "left",
+    ).select(truth.query_id, "neighbor_id", "a_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k_true"),
+        F.count("a_neighbor").alias("k_hit"),
+        (F.count("a_neighbor").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )

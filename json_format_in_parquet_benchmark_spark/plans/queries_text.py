@@ -231,3 +231,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"array_max({hs})").alias("fp_max"),
         )
     )
+
+
+@register(
+    "text_top_terms_per_lang",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest({_TOKS_D}) AS term FROM documents
+),
+counted AS (
+  SELECT lang, term, COUNT(*) AS n
+  FROM tok
+  WHERE NOT list_contains(['the','and','of','a','to','in'], term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, term, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rank
+  FROM counted
+)
+SELECT * FROM ranked WHERE rank <= 5
+""",
+    doc="Top-5 non-stopword terms per language: explode -> partial-agg "
+    "count -> per-group window rank (the term-frequency building block of "
+    "corpus analytics; one shuffle on (lang, term), one on lang).",
+    tags=("text", "topk", "window"),
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.expr(_TOKS_S)).alias("term"))
+    counted = (
+        tok.where(~F.col("term").isin(*STOPWORDS))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
