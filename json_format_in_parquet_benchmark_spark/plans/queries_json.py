@@ -245,8 +245,6 @@ FROM events
     tags=("json", "roundtrip", "sink"),
 )
 def json_roundtrip_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import hash64
-
     events = load_table(spark, sf_dir, "events")
     out_dir = os.path.join(
         tempfile.gettempdir(), "jfipb_roundtrip_plain", os.path.basename(sf_dir.rstrip("/"))

@@ -40,7 +40,6 @@ from ..streaming.events_stream import (
     read_events_stream,
     sessionize_batch,
     sessionize_stream,
-    stage_events_dir,
     tumbling_event_counts,
 )
 from ..tables import load_table

@@ -9,7 +9,6 @@ from __future__ import annotations
 import math
 import random
 
-import pytest
 from pyspark.sql import functions as F
 
 from json_format_in_parquet_benchmark_spark.operators.dedup import (

@@ -18,7 +18,6 @@ from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
 from json_format_in_parquet_benchmark_spark.streaming.events_stream import (
     EVENTS_SCHEMA,
     sessionize_batch,
-    sessionize_stream,
     tumbling_event_counts,
 )
 from json_format_in_parquet_benchmark_spark.tables import load_table
