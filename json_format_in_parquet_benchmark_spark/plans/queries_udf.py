@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens_duckdb
 from ..tables import load_table
 from .registry import register
 
@@ -51,4 +52,49 @@ def udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         median_udaf("value").alias("median_value")
+    )
+
+
+@register(
+    "udtf_tokenize_positions",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {tokens_duckdb('text')} AS toks FROM documents WHERE doc_id < 50
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(toks)),
+                i -> struct_pack(token := toks[CAST(i AS INT) + 1],
+                                 pos := CAST(i AS INT)))) AS u
+  FROM d
+)
+SELECT doc_id, u.token AS token, u.pos AS pos FROM ex
+""",
+    doc="Python UDTF (table function): one text row fans out to "
+    "(token, position) rows via a lateral join.  Demonstration of the "
+    "UDTF surface -- the production path for THIS particular job is "
+    "posexplode(split(...)), which stays JVM-side; a real UDTF earns its "
+    "keep when the row-expansion logic needs Python libraries.",
+    tags=("udf", "udtf"),
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            pos = 0
+            for tok in text.split(" "):
+                if tok:
+                    yield tok, pos
+                    pos += 1
+
+    spark.udtf.register("jfipb_tokenize", Tokenize)
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 50")
+    docs.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.pos"
+        " FROM docs_udtf d, LATERAL jfipb_tokenize(d.text) t"
     )
