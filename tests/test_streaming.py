@@ -205,3 +205,38 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     want = {tuple(r) for r in b_out.collect()}
     assert got == want
     assert want, "no click->purchase pairs in testdata; join untested"
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """Streaming exact dedup: duplicated input rows collapse to one within
+    the watermark horizon (dropDuplicatesWithinWatermark keeps state only
+    until the watermark passes -- the streaming arm of dedup_exact)."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        _run_to_memory,
+    )
+    from json_format_in_parquet_benchmark_spark.streaming.events_stream import (
+        EVENTS_SCHEMA,
+    )
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    # stage the events table DUPLICATED (union with itself) as one file
+    import os
+    import tempfile
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="jfipb_dedup_"), "in")
+    events = load_table(spark, sf_dir, "events")
+    events.unionByName(events).coalesce(1).write.mode("overwrite").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(out_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = _run_to_memory(
+        stream.select("event_id"), "stream_dedup", "append"
+    )
+    n_unique = events.count()
+    got = sink.count()
+    assert got == n_unique, f"expected {n_unique} deduped rows, got {got}"
+    assert sink.distinct().count() == n_unique
