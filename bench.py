@@ -131,6 +131,9 @@ def main() -> None:
     except Exception as exc:
         path_query = {"error": str(exc)[:200]}
 
+    from json_format_in_parquet_benchmark_spark.operators.dedup import release_caches
+
+    release_caches()  # drop persisted dedup intermediates before exit
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),

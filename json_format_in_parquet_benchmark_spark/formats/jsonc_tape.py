@@ -83,14 +83,19 @@ def encode_tape(value) -> tuple[list[int], list[str], list[float]]:
     return nodes, strings, numbers
 
 
-def decode_tape(nodes, strings, numbers):
-    """Inverse of :func:`encode_tape` -> Python JSON value."""
-    ni = si = xi = 0
+class _Cursor:
+    """Position in the three pools; methods advance it past one value."""
 
-    def read():
-        nonlocal ni, si, xi
-        op = nodes[ni]
-        ni += 1
+    __slots__ = ("nodes", "strings", "numbers", "ni", "si", "xi")
+
+    def __init__(self, nodes, strings, numbers):
+        self.nodes, self.strings, self.numbers = nodes, strings, numbers
+        self.ni = self.si = self.xi = 0
+
+    def read(self):
+        """Materialize the value at the cursor (advances past it)."""
+        op = self.nodes[self.ni]
+        self.ni += 1
         if op == OP_NULL:
             return None
         if op == OP_FALSE:
@@ -98,29 +103,86 @@ def decode_tape(nodes, strings, numbers):
         if op == OP_TRUE:
             return True
         if op == OP_NUMBER:
-            x = numbers[xi]
-            xi += 1
+            x = self.numbers[self.xi]
+            self.xi += 1
             return int(x) if float(x).is_integer() and abs(x) < 2**53 else x
         if op == OP_STRING:
-            s = strings[si]
-            si += 1
+            s = self.strings[self.si]
+            self.si += 1
             return s
         if op == OP_ARRAY:
-            n = int(numbers[xi])
-            xi += 1
-            return [read() for _ in range(n)]
+            n = int(self.numbers[self.xi])
+            self.xi += 1
+            return [self.read() for _ in range(n)]
         if op == OP_OBJECT:
-            n = int(numbers[xi])
-            xi += 1
+            n = int(self.numbers[self.xi])
+            self.xi += 1
             out = {}
             for _ in range(n):
-                nonlocal_key = strings[si]
-                si += 1
-                out[nonlocal_key] = read()
+                key = self.strings[self.si]
+                self.si += 1
+                out[key] = self.read()
             return out
         raise ValueError(f"bad opcode {op}")
 
-    return read()
+    def skip(self):
+        """Advance past the value at the cursor WITHOUT materializing it --
+        the operation that makes tape path-access cheaper than full decode
+        (structure is in the opcode stream, so skipping costs O(subtree
+        nodes) index bumps and zero allocation)."""
+        op = self.nodes[self.ni]
+        self.ni += 1
+        if op in (OP_NULL, OP_FALSE, OP_TRUE):
+            return
+        if op == OP_NUMBER:
+            self.xi += 1
+            return
+        if op == OP_STRING:
+            self.si += 1
+            return
+        n = int(self.numbers[self.xi])  # OP_ARRAY / OP_OBJECT
+        self.xi += 1
+        for _ in range(n):
+            if op == OP_OBJECT:
+                self.si += 1  # entry key
+            self.skip()
+
+
+def decode_tape(nodes, strings, numbers):
+    """Inverse of :func:`encode_tape` -> Python JSON value."""
+    return _Cursor(nodes, strings, numbers).read()
+
+
+def get_path_tape(nodes, strings, numbers, path):
+    """Path access ON the tape representation (reference ``Jsonc::get``,
+    /root/reference/src/format/jsonc.rs via benches/query.rs:23-28): walk the
+    pre-parsed opcode stream, descending into matching object entries and
+    SKIPPING non-matching subtrees -- the document is never re-parsed and
+    non-matching values are never materialized.
+
+    ``path`` is a sequence of object keys (the reference's probes are all
+    dot-paths of object fields).  Returns the Python value at the path, or
+    None if any step is missing or hits a non-object.
+    """
+    cur = _Cursor(nodes, strings, numbers)
+    for key in path:
+        op = cur.nodes[cur.ni]
+        if op != OP_OBJECT:
+            return None
+        cur.ni += 1
+        n = int(cur.numbers[cur.xi])
+        cur.xi += 1
+        found = False
+        for _ in range(n):
+            k = cur.strings[cur.si]
+            cur.si += 1
+            if k == key:
+                found = True
+                break
+            cur.skip()
+        if not found:
+            return None
+    return cur.read()
 
 
 @functools.lru_cache(maxsize=1)
@@ -138,6 +200,28 @@ def _encode_udf():
         )
 
     return encode_udf
+
+
+@functools.lru_cache(maxsize=32)
+def get_path_udf(path: tuple[str, ...]):
+    """Pandas UDF extracting ``path`` from tape columns as a string (strings
+    come back raw, other values as compact JSON -- the same convention as
+    ``get_json_object``, so the three query arms are value-comparable)."""
+
+    @pandas_udf("string")
+    def _udf(nodes: pd.Series, strings: pd.Series, numbers: pd.Series) -> pd.Series:
+        out = []
+        for n, s, x in zip(nodes, strings, numbers):
+            v = get_path_tape(list(n), list(s), list(x), path)
+            if v is None:
+                out.append(None)
+            elif isinstance(v, str):
+                out.append(v)
+            else:
+                out.append(json.dumps(v, separators=(",", ":"), ensure_ascii=False))
+        return pd.Series(out, dtype=object)
+
+    return _udf
 
 
 @functools.lru_cache(maxsize=1)

@@ -25,14 +25,23 @@ from pyspark.sql import functions as F
 HASH_BITS = 60  # 15 hex chars; keeps the value positive in a signed int64
 
 
+def _check_salt(salt: str) -> None:
+    # Salts are interpolated into SQL string literals; a quote/backslash
+    # would break or inject the statement in either engine.
+    if "'" in salt or "\\" in salt:
+        raise ValueError(f"salt must not contain quotes or backslashes: {salt!r}")
+
+
 def hash64_sql_spark(expr: str, salt: str = "") -> str:
     """Spark SQL fragment: 60-bit deterministic hash of a string expression."""
+    _check_salt(salt)
     salted = f"concat('{salt}', {expr})" if salt else expr
     return f"cast(conv(substr(md5({salted}), 1, 15), 16, 10) as bigint)"
 
 
 def hash64_sql_duckdb(expr: str, salt: str = "") -> str:
     """DuckDB SQL fragment computing the identical 60-bit hash."""
+    _check_salt(salt)
     salted = f"'{salt}' || {expr}" if salt else expr
     return f"('0x' || substr(md5({salted}), 1, 15))::BIGINT"
 
@@ -62,36 +71,3 @@ def perm_consts(k: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_mins_spark(arr: str, k: int) -> list[str]:
-    """Spark SQL fragments m0..m{k-1}: per-component min over a string array
-    (array_min(transform(...)) -- codegen higher-order fn, no explode)."""
-    h31 = f"({hash64_sql_spark('s')} % {P31})"
-    return [
-        f"array_min(transform({arr}, s -> ({a} * {h31} + {b}) % {P31}))"
-        for a, b in perm_consts(k)
-    ]
-
-
-def minhash_mins_duckdb(arr: str, k: int) -> list[str]:
-    """DuckDB fragments computing identical values."""
-    h31 = f"(({hash64_sql_duckdb('s')}) % {P31})"
-    return [
-        f"list_min(list_transform({arr}, s -> ({a} * {h31} + {b}) % {P31}))"
-        for a, b in perm_consts(k)
-    ]
-
-
-def minhash_hex(col: Column | str, seed: int) -> Column:
-    """One MinHash component: the md5 hex digest under a seeded salt.
-
-    Taking ``min()`` of these hex strings per document is an order-preserving
-    stand-in for min-of-integer-hash (hex compares lexicographically the same
-    way the underlying 128-bit integer compares numerically), and the string
-    form is identical across engines.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.concat(F.lit(f"mh{seed}:"), c))
-
-
-def minhash_hex_sql_duckdb(expr: str, seed: int) -> str:
-    return f"md5('mh{seed}:' || {expr})"

@@ -23,7 +23,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.hashing import hash64_sql_duckdb, hash64_sql_spark
+from .functions.hashing import _check_salt, hash64_sql_duckdb, hash64_sql_spark
 
 # epoch micros of 2024-07-25T00:00:00Z (arbitrary base near the reference's
 # sample timestamps, README.md:44-50)
@@ -43,6 +43,7 @@ def generate_events(
     """Events DataFrame (name string, timestamp string, attributes
     struct<event_attributes double>) with the reference's shape and
     NDV/pool/timestamp invariants."""
+    _check_salt(seed)  # seed is interpolated into SQL literals below
     pool = max(1, math.ceil(ndv * n))
     idx = _pool_idx_spark(seed, pool)
     name = f"concat('ev_', substr(md5(concat('{seed}:name:', cast(({idx}) as string))), 1, 16))"
@@ -70,6 +71,7 @@ def generate_events_ndjson(spark: SparkSession, n: int, ndv: float, seed: str = 
 
 def generator_oracle_sql(n: int, ndv: float, seed: str = "g1") -> str:
     """DuckDB SQL generating the byte-identical corpus."""
+    _check_salt(seed)
     pool = max(1, math.ceil(ndv * n))
     h_idx = hash64_sql_duckdb("CAST(id AS VARCHAR)", f"{seed}:idx:")
     idx = f"CASE WHEN id < {pool} THEN id ELSE {h_idx} % {pool} END"

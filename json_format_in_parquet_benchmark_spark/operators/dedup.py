@@ -7,9 +7,10 @@ Five strategies, each a pure DataFrame transformation:
   (catches reordered/duplicated-word copies).
 - :func:`minhash_lsh_pairs`      -- MinHash signatures over word shingles +
   LSH banding for candidate generation + exact Jaccard verification.
-- :func:`simhash_pairs`          -- 32-bit SimHash + blocked Hamming join.
+- :func:`simhash_pairs`          -- 60-bit SimHash + signature-band-blocked
+  Hamming join (multi-index, full recall).
 - :func:`embedding_near_dup_pairs` -- cosine near-duplicates over an
-  embedding column, blocked to bound the pair count.
+  embedding column, sign-LSH-bucket blocked + exact verify.
 
 Scale design (the part that matters at 100 TB):
 - Every hash is the portable md5-based hash (functions.hashing), so results
@@ -21,16 +22,24 @@ Scale design (the part that matters at 100 TB):
   step; the all-pairs blowup never happens.  Band buckets with huge
   cardinality (degenerate shingles) would skew (b); AQE skew-join handles it,
   and `max_bucket` caps pathological buckets explicitly.
-- SimHash: one explode + one groupBy to compute 32 bit-sums per doc, then a
-  blocked self-join.  Blocking key defaults to a metadata column; at real
-  scale you'd block on simhash prefix bytes (multi-probe), which is a
-  one-line change of `block_cols`.
-- Embedding near-dup: blocked self-join; cosine runs in codegen.
+- SimHash: one explode + one groupBy to compute the per-bit sums, then a
+  BAND-blocked self-join (the Manku/Jain/Sarma multi-index scheme): the
+  signature splits into ``bands`` fixed bit-ranges and docs pair only when
+  some band matches exactly.  With ``bands > max_hamming`` the pigeonhole
+  principle guarantees every pair within the Hamming radius shares >= 1
+  band, so banding loses NOTHING -- the output is identical to the all-pairs
+  definition while the join cost drops from O(N^2) to
+  O(bands * sum_b |bucket_b|^2) with 2^(bits/bands) buckets per band.
+- Embedding near-dup: sign-LSH bucket blocking (reusing
+  operators/similarity.sign_lsh_buckets) + exact cosine verification --
+  the same candidate-then-verify shape as MinHash-LSH, never all-pairs.
 
 The matching DuckDB oracle SQL lives in plans/queries_dedup.py.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +47,29 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash64_sql_spark
 from ..functions.text import shingles_spark, tokens_spark
 from ..functions.vectors import cosine_spark
+
+# Persisted intermediates created by operators in this module.  A persist
+# inside a returned-lazy plan cannot be unpersisted before the caller
+# materializes the result, so long-lived sessions (the driver runs all
+# registered queries in one session) call :func:`release_caches` between
+# query families instead; bench.py and the pytest session teardown do.
+# Spark's CacheManager matches by canonicalized plan, so re-running the same
+# query re-uses (not re-adds) an entry -- the registry stays bounded.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    _ACTIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by dedup operators (idempotent)."""
+    while _ACTIVE_CACHES:
+        try:
+            _ACTIVE_CACHES.pop().unpersist()
+        except Exception:  # session already stopped
+            pass
 
 
 def exact_dedup(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
@@ -117,10 +149,12 @@ def minhash_lsh_pairs(
     # left, verify right), so compute the per-doc shingle array ONCE and
     # persist it -- ~20 bytes/shingle, the natural materialization point of
     # every MinHash pipeline at any scale.
-    docsets = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
-    ).persist()
+    docsets = _track_persist(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
+        )
+    )
     # Signatures: one explode + groupBy over the cached arrays, one md5 per
     # shingle, k universal-hash permutations (exact int64).  Docs with zero
     # shingles never reach banding (explode drops them), so no degenerate
@@ -212,6 +246,7 @@ def connected_components(
     # neighbor minima), so sum(label) strictly decreases until the fixpoint
     # -- one cheap aggregate per round instead of a change-detection join.
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neigh = (
             both.join(labels, both.s == labels.node)
@@ -230,9 +265,21 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     both.unpersist()
+    if not converged:
+        # Non-converged labels WILL diverge from the recursive-CTE oracle on
+        # long-chain graphs; surface it so a mismatch is attributable.
+        warnings.warn(
+            f"connected_components: min-label propagation did not reach the "
+            f"fixpoint within max_iter={max_iter} rounds; labels may be "
+            f"non-minimal for components with diameter > {max_iter}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    _ACTIVE_CACHES.append(labels)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 
@@ -266,19 +313,54 @@ def simhash_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    block_col: str,
-    bits: int = 32,
-    max_hamming: int = 8,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs with Hamming(simhash) <= max_hamming, blocked
-    on `block_col` to bound the self-join."""
-    sims = simhash_docs(df, text_col, id_col, bits=bits, extra_cols=(block_col,))
-    a = sims.alias("a")
-    b = sims.alias("b")
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via signature-band
+    blocking (multi-index SimHash, the scheme of Manku et al. WWW'07).
+
+    The ``bits``-bit signature splits into ``bands`` contiguous bit-ranges;
+    docs become candidates only when some band is bit-identical (an equi-join
+    on (band_idx, band_val) -- 2^(bits/bands) buckets per band, so candidate
+    cost scales with bucket occupancy, not N^2).  Because
+    ``bands > max_hamming``, a pair within the radius cannot differ in every
+    band (pigeonhole), so the candidate set has FULL recall and the output
+    equals the all-pairs definition exactly -- which is why the DuckDB
+    oracle may use the direct O(N^2) definition while this plan stays
+    sub-quadratic.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for full-recall banding"
+        )
+    width = bits // bands
+    sims = simhash_docs(df, text_col, id_col, bits=bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.expr(f"shiftright(simhash, {b * width}) & {(1 << width) - 1}").alias(
+                "band_val"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sims.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band_idx").alias("band_idx"),
+        F.col("bb.band_val").alias("band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
         a.join(
             b,
-            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -287,6 +369,7 @@ def simhash_pairs(
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide in several bands
     )
 
 
@@ -294,22 +377,39 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    block_col: str,
     threshold: float = 0.4,
+    n_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs within blocks of `block_col`."""
-    a = df.alias("a")
-    b = df.alias("b")
-    cos = cosine_spark(f"a.{vec_col}", f"b.{vec_col}")
+    """Cosine near-duplicate candidate pairs, blocked on the deterministic
+    sign-LSH bucket (operators/similarity.sign_lsh_buckets) and verified with
+    the exact cosine.
+
+    Candidate = same 2^n_planes-way LSH bucket, so the self-join cost is
+    O(sum_b |bucket_b|^2), not O(N^2) -- identical blocking to the ANN scale
+    path, and (hyperplanes being md5-derived constants) exactly reproducible
+    in the DuckDB oracle.  Like any LSH blocking this trades recall for
+    scale: pairs whose vectors land in different buckets are not considered
+    (P[same bucket] = (1 - theta/pi)^n_planes).
+    """
+    from .similarity import sign_lsh_buckets
+
+    buckets = sign_lsh_buckets(df, vec_col, id_col, n_planes=n_planes, dim=dim)
+    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
+        buckets, "vec_id"
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    cos = cosine_spark("a.v", "b.v")
     return (
         a.join(
             b,
-            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
             F.expr(cos).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)

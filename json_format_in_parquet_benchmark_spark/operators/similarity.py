@@ -74,6 +74,21 @@ def sign_lsh_buckets(
     )
 
 
+def bucket_expr_duckdb(vec: str, n_planes: int, dim: int) -> str:
+    """DuckDB SQL computing the identical bucket id as
+    :func:`sign_lsh_buckets` (hyperplanes are shared md5-derived constants)."""
+    from ..functions.vectors import dot_duckdb
+
+    terms = []
+    for j, w in enumerate(hyperplanes(n_planes, dim)):
+        arr = "[" + ", ".join(repr(x) for x in w) + "]"
+        terms.append(
+            f"(CASE WHEN {dot_duckdb(vec, arr)} >= 0"
+            f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
 def centroids(n_cells: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random IVF centroids (same md5 scheme as
     :func:`hyperplanes`, different salt)."""
@@ -174,7 +189,19 @@ def topk_lsh(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: only score candidates whose LSH bucket matches the
-    query's bucket exactly or at Hamming distance 1 (multi-probe)."""
+    query's bucket exactly or at Hamming distance 1 (multi-probe).
+
+    Candidate generation EXPLODES each query into its n_planes + 1 probe
+    buckets (its own bucket plus every single-bit flip) and equi-joins the
+    corpus on ``bucket`` -- a hash join whose cost is the occupancy of the
+    probed buckets, expected O(N * (n_planes + 1) / 2^n_planes) per query.
+    This produces the identical candidate set as filtering
+    ``bit_count(bucket ^ qbucket) <= 1`` over the cross product (a bucket is
+    within Hamming 1 of qbucket iff it IS one of the probes), without the
+    O(N * Q) nested-loop scan; the probe buckets are pairwise distinct, so
+    no candidate is emitted twice.  tests/test_plans.py pins the plan to a
+    broadcast HASH join on bucket, not BroadcastNestedLoopJoin.
+    """
     cb = sign_lsh_buckets(corpus, vec_col, id_col, n_planes, dim).withColumnRenamed(
         "vec_id", "neighbor_id"
     )
@@ -184,12 +211,18 @@ def topk_lsh(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")).join(
         cb, "neighbor_id"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).join(
-        qb, "query_id"
-    ).withColumnRenamed("bucket", "qbucket")
-    pairs = c.crossJoin(F.broadcast(q)).where(
-        (F.col("query_id") != F.col("neighbor_id"))
-        & (F.expr("bit_count(bucket ^ qbucket)") <= 1)
+    probe_arr = F.array(
+        F.col("qbucket"),
+        *[F.expr(f"qbucket ^ {1 << j}").cast("bigint") for j in range(n_planes)],
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .join(qb, "query_id")
+        .withColumnRenamed("bucket", "qbucket")
+        .select("query_id", "qvec", F.explode(probe_arr).alias("bucket"))
+    )
+    pairs = c.join(F.broadcast(q), "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.select(
         "query_id", "neighbor_id", F.expr(cosine_spark("qvec", "cvec")).alias("cos_sim")

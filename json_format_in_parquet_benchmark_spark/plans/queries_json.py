@@ -231,6 +231,71 @@ def json_golden_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_golden_probes_tape",
+    oracle=_golden_oracle(),
+    doc="O20/O22: the same 4 golden probes answered BY WALKING THE TAPE "
+    "representation (reference Jsonc::get, benches/query.rs:23-28,91-102): "
+    "each corpus document is encoded once into the columnar opcode/string/"
+    "number pools, then the path is resolved on the pre-parsed tape with "
+    "subtree SKIPPING (formats/jsonc_tape.py:get_path_tape) -- no re-parse, "
+    "no full decode.  With json_golden_probes (re-parse arm) and "
+    "json_golden_probes_variant (pre-parsed binary arm) this completes the "
+    "reference's three-way query comparison on all three representations.",
+    tags=("json", "golden", "tape"),
+)
+def json_golden_probes_tape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..formats.base import DOC_COL
+    from ..formats.jsonc_tape import JsoncTapeFormat, get_path_udf
+
+    fmt = JsoncTapeFormat()
+    parts = []
+    for name, fname, spath, _dpath, expected in GOLDEN_PROBES:
+        path = os.path.join(REFERENCE_JSON_DIR, fname)
+        # query.rs:70-72 probes one document per corpus (twitter.json repeats
+        # the same line 5x); distinct the raw line before encoding
+        doc = spark.read.text(path).distinct().select(F.col("value").alias(DOC_COL))
+        tape = fmt.encode(doc)
+        keys = tuple(spath[2:].split("."))
+        parts.append(
+            tape.select(
+                F.lit(name).alias("probe"),
+                get_path_udf(keys)("nodes", "strings", "numbers").alias("extracted"),
+                F.lit(expected).alias("expected"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "json_golden_probes_variant",
+    oracle=_golden_oracle(),
+    doc="O19/O22: the golden probes on the PRE-PARSED binary arm -- "
+    "parse_json once into VariantType, then variant_get path access "
+    "(the Spark-native jsonb equivalent; benches/query.rs:77-88).",
+    tags=("json", "golden", "variant"),
+)
+def json_golden_probes_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for name, fname, spath, _dpath, expected in GOLDEN_PROBES:
+        path = os.path.join(REFERENCE_JSON_DIR, fname)
+        doc = spark.read.text(path).distinct()
+        parts.append(
+            doc.select(F.parse_json("value").alias("v")).select(
+                F.lit(name).alias("probe"),
+                F.variant_get("v", spath, "string").alias("extracted"),
+                F.lit(expected).alias("expected"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
     "json_roundtrip_plain",
     oracle="""
 SELECT COUNT(*) AS n_docs,

@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_duckdb, dot_duckdb
 from ..operators.similarity import (
+    bucket_expr_duckdb,
     centroids,
-    hyperplanes,
     sign_lsh_buckets,
     topk_bruteforce,
     topk_ivf,
@@ -58,15 +58,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_expr_duckdb(vec: str) -> str:
-    planes = hyperplanes(N_PLANES, DIM)
-    terms = []
-    for j, w in enumerate(planes):
-        arr = "[" + ", ".join(repr(x) for x in w) + "]"
-        terms.append(
-            f"(CASE WHEN {dot_duckdb(vec, arr)} >= 0"
-            f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        )
-    return " + ".join(terms)
+    return bucket_expr_duckdb(vec, N_PLANES, DIM)
 
 
 @register(

@@ -16,6 +16,7 @@ Python cost is O(groups), invisible next to the shuffle.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves PEP-563 string hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,12 +41,12 @@ GROUP BY 1
 )
 def udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
-    from pyspark.sql.functions import PandasUDFType
 
-    # explicit GROUPED_AGG: this module uses string annotations (PEP 563),
-    # which pandas_udf's type-hint inference cannot resolve on nested fns
-    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def median_udaf(v):
+    # Type-hint form (Series -> float == grouped agg).  Under PEP 563 the
+    # hints are strings; pandas_udf resolves them via get_type_hints against
+    # module globals, hence the module-level ``pd`` import above.
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
         return float(np.median(v.values))
 
     # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg()

@@ -66,6 +66,33 @@ def test_hot_queries_have_no_python_stages(spark, name):
     assert "MapInPandas" not in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "similarity_topk_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+    ],
+)
+def test_blocked_candidates_are_equi_joins(spark, name):
+    """Candidate generation in the blocked dedup/ANN paths must be a HASH
+    equi-join on the blocking key (bucket / signature band / shingle), never
+    a nested-loop or cartesian scan -- the plan property that separates
+    O(bucket occupancy) from O(N^2) at scale."""
+    plan = plan_of(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lsh_topk_probes_by_hash_join(spark):
+    """topk_lsh's multi-probe rewrite: query rows explode into Hamming<=1
+    probe buckets and equi-join the corpus on bucket (a BroadcastHashJoin),
+    instead of filtering bit_count over a cross product."""
+    plan = plan_of(spark, "similarity_topk_lsh")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_partitioned_read_prunes_partitions(spark):
     """Reading the partitioned sink with a partition predicate must turn it
     into PartitionFilters (directory pruning), not a data filter."""

@@ -119,6 +119,35 @@ def test_lsh_topk_is_subset_of_bruteforce_scores(spark, sf_dir):
         assert math.isclose(r.cos_sim, exact[key], rel_tol=0, abs_tol=0.0)
 
 
+def test_simhash_banding_equals_all_pairs(spark, sf_dir):
+    """The band-blocked Hamming join must produce EXACTLY the all-pairs
+    result (bands > max_hamming => pigeonhole guarantees a shared band for
+    every pair within the radius) -- the property that lets the plan be
+    sub-quadratic while the oracle stays the direct definition."""
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        simhash_docs,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    sims = simhash_docs(docs, "text", "doc_id", bits=60).collect()
+    want = set()
+    for a in sims:
+        for b in sims:
+            if a.doc_id < b.doc_id:
+                h = bin(a.simhash ^ b.simhash).count("1")
+                if h <= 3:
+                    want.add((a.doc_id, b.doc_id, h))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(
+            docs, "text", "doc_id", bits=60, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == want
+    assert want, "no near-dup pairs in sample; banding property untested"
+
+
 def test_exact_dedup_counts_partition_table(spark, sf_dir):
     """Dedup groups partition the table: group sizes sum to row count and
     every representative id is a member of its group."""
