@@ -1,12 +1,17 @@
 """Vector math over ``array<float>`` embedding columns, as built-in
-higher-order functions (zip_with/aggregate run inside codegen; verified
-bit-identical to DuckDB's list_dot_product on the testdata).
+higher-order functions (verified bit-identical to DuckDB's
+list_dot_product on the testdata).
 
-Design note for 100 TB: these expressions keep the similarity math JVM-side
-and rely on blocking (label blocks, LSH sign buckets) to bound the pair count;
-the brute-force form is only ever applied to a broadcast-small query set.  A
-vectorized Pandas-UDF path would only win if we batched into BLAS -- for 64-d
-vectors the codegen form is already memory-bandwidth bound.
+Design note for 100 TB: these expressions keep the similarity math
+JVM-side and rely on blocking (LSH sign buckets, IVF cells) to bound the
+pair count; the brute-force form is only ever applied to a
+broadcast-small query set.  Higher-order array expressions evaluate
+INTERPRETED (Spark excludes them from whole-stage codegen), so the
+operators using them precompute per-VECTOR quantities (norms) in
+projections and spend only one dot product per candidate pair -- see
+operators/similarity._PAIR_COS.  A vectorized Pandas-UDF path would only
+win if we batched into BLAS; for 64-d vectors the join, not the
+arithmetic, dominates once per-pair work is a single dot.
 """
 
 from __future__ import annotations
@@ -27,6 +32,8 @@ def norm_spark(a: str) -> str:
 
 
 def cosine_spark(a: str, b: str) -> str:
+    """Inline one-expression cosine (norms recomputed per evaluation --
+    prefer the factored per-side-norm form for per-pair hot paths)."""
     return f"{dot_spark(a, b)} / ({norm_spark(a)} * {norm_spark(b)})"
 
 

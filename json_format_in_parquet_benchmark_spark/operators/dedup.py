@@ -46,7 +46,6 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64_sql_spark
 from ..functions.text import shingles_spark, tokens_spark
-from ..functions.vectors import cosine_spark
 
 # Persisted intermediates created by operators in this module.  A persist
 # inside a returned-lazy plan cannot be unpersisted before the caller
@@ -392,15 +391,24 @@ def embedding_near_dup_pairs(
     scale: pairs whose vectors land in different buckets are not considered
     (P[same bucket] = (1 - theta/pi)^n_planes).
     """
+    from ..functions.vectors import dot_spark, norm_spark
     from .similarity import sign_lsh_buckets
 
     buckets = sign_lsh_buckets(df, vec_col, id_col, n_planes=n_planes, dim=dim)
-    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
-        buckets, "vec_id"
-    )
+    # Precompute each vector's norm ONCE in the projection: higher-order
+    # array expressions (zip_with/aggregate) evaluate interpreted, outside
+    # whole-stage codegen, so evaluating norms per candidate PAIR would cost
+    # O(candidates * dim) interpreted work; per-vector it is O(N * dim).
+    # cos = dot / (norm_a * norm_b) is the identical IEEE computation the
+    # oracle runs (same dot, same sqrt operands), just factored.
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.expr(norm_spark(vec_col)).alias("nrm"),
+    ).join(buckets, "vec_id")
     a = vecs.alias("a")
     b = vecs.alias("b")
-    cos = cosine_spark("a.v", "b.v")
+    cos = f"{dot_spark('a.v', 'b.v')} / (a.nrm * b.nrm)"
     return (
         a.join(
             b,

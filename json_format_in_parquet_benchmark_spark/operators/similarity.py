@@ -19,7 +19,24 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_spark, dot_spark
+from ..functions.vectors import dot_spark, norm_spark
+
+# Per-pair cosine, with each side's norm precomputed in its projection:
+# higher-order array expressions (zip_with/aggregate) run interpreted
+# (outside whole-stage codegen), so norms are evaluated once per VECTOR and
+# only the dot once per pair -- same IEEE ops as the inline form (identical
+# sqrt operands, identical division), so oracle exactness is unaffected.
+_PAIR_COS = f"{dot_spark('qvec', 'cvec')} / (qnrm * cnrm)"
+
+
+def _with_norm(df: DataFrame, vec_col: str, id_col: str, side: str) -> DataFrame:
+    """Project (id, vec, norm) for one join side (side = 'q' or 'c')."""
+    ident = "query_id" if side == "q" else "neighbor_id"
+    return df.select(
+        F.col(id_col).alias(ident),
+        F.col(vec_col).alias(f"{side}vec"),
+        F.expr(norm_spark(vec_col)).alias(f"{side}nrm"),
+    )
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -45,15 +62,13 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (query side
     broadcast; ties broken by neighbor id for determinism)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = _with_norm(queries, vec_col, id_col, "q")
+    c = _with_norm(corpus, vec_col, id_col, "c")
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.expr(cosine_spark("qvec", "cvec")).alias("cos_sim"),
+        F.expr(_PAIR_COS).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -165,15 +180,11 @@ def topk_ivf(
         .where(F.col("rn") <= n_probe)
         .select("query_id", "cell")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    ).join(corpus_cells, "neighbor_id")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).join(
-        probes, "query_id"
-    )
+    c = _with_norm(corpus, vec_col, id_col, "c").join(corpus_cells, "neighbor_id")
+    q = _with_norm(queries, vec_col, id_col, "q").join(probes, "query_id")
     pairs = c.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
-        "query_id", "neighbor_id", F.expr(cosine_spark("qvec", "cvec")).alias("cos_sim")
+        "query_id", "neighbor_id", F.expr(_PAIR_COS).alias("cos_sim")
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= k)
@@ -208,24 +219,22 @@ def topk_lsh(
     qb = sign_lsh_buckets(queries, vec_col, id_col, n_planes, dim).withColumnRenamed(
         "vec_id", "query_id"
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")).join(
-        cb, "neighbor_id"
-    )
+    c = _with_norm(corpus, vec_col, id_col, "c").join(cb, "neighbor_id")
     probe_arr = F.array(
         F.col("qbucket"),
         *[F.expr(f"qbucket ^ {1 << j}").cast("bigint") for j in range(n_planes)],
     )
     q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        _with_norm(queries, vec_col, id_col, "q")
         .join(qb, "query_id")
         .withColumnRenamed("bucket", "qbucket")
-        .select("query_id", "qvec", F.explode(probe_arr).alias("bucket"))
+        .select("query_id", "qvec", "qnrm", F.explode(probe_arr).alias("bucket"))
     )
     pairs = c.join(F.broadcast(q), "bucket").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.select(
-        "query_id", "neighbor_id", F.expr(cosine_spark("qvec", "cvec")).alias("cos_sim")
+        "query_id", "neighbor_id", F.expr(_PAIR_COS).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

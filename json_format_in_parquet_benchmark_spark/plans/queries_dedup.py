@@ -306,6 +306,7 @@ WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= {NGRAM_THRESHOL
     "are exact and only pairs sharing nothing but stop-shingles are "
     "(deliberately) out of scope.",
     tags=("dedup", "jaccard"),
+    bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -384,6 +385,7 @@ WHERE {cos} >= {EMBED_THRESHOLD}
     "candidates = same 256-way bucket, then exact cosine verify in codegen "
     "-- the candidate/verify shape that survives 100 TB, never all-pairs).",
     tags=("dedup", "embedding", "lsh"),
+    bench=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(

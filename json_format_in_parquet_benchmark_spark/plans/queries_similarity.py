@@ -162,6 +162,7 @@ SELECT * FROM ranked WHERE rank <= {TOP_K}
     "collisions within Hamming distance 1 (multi-probe), then exact cosine "
     "rank -- the O(N/2^planes) search path that survives 100 TB.",
     tags=("similarity", "lsh", "topk"),
+    bench=True,
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Regenerate results/storage_results.csv: the reference's storage benchmark
+grid (format x NDV x rows), including the 100k-row cells.
+
+The reference's committed results (scripts/benchmark_results.csv) cover
+{1024, 8192, 100000} rows x 4 NDVs, but its 100k corpora are not in the repo
+snapshot (.MISSING_LARGE_BLOBS).  This script measures:
+
+- the reference's own committed corpora (/root/reference/json/events_ndv_*),
+- PLUS 100k-row corpora at the same 4 NDVs synthesized by the engine's
+  generator (generator.py -- same payload shape, NDV-pool and
+  distinct-timestamp invariants as the reference's json-generator.py),
+
+so the headline claim -- shredding wins hardest at low NDV x high rows
+(reference: variant 0.0747 vs plain 0.3524 at ndv=0.1/100k) -- is
+reproduced at the row count where it is dramatic.
+
+Usage: python scripts/run_storage_sweep.py [csv_out]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from json_format_in_parquet_benchmark_spark.generator import (  # noqa: E402
+    generate_events_ndjson,
+)
+from json_format_in_parquet_benchmark_spark.metrics import sweep_corpora  # noqa: E402
+from json_format_in_parquet_benchmark_spark.session import get_spark  # noqa: E402
+
+GEN_ROWS = 100_000
+GEN_NDVS = (0.1, 0.3, 0.6, 1.0)
+GEN_DIR = "/tmp/jfipb_gen_corpora"
+OUT_DIR = "/tmp/jfipb_sweep_out"
+
+
+def generate_corpus(spark, ndv: float) -> str:
+    """Write one NDJSON corpus file named like the reference's
+    (events_ndv_{ndv}_{rows}.json, so sweep_corpora parses the NDV)."""
+    path = os.path.join(GEN_DIR, f"events_ndv_{ndv}_{GEN_ROWS}.json")
+    if os.path.exists(path):
+        return path
+    tmp = os.path.join(GEN_DIR, f"_stage_{ndv}")
+    df = generate_events_ndjson(spark, GEN_ROWS, ndv, seed="g1")
+    df.coalesce(1).write.mode("overwrite").text(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+    return path
+
+
+def main() -> None:
+    csv_out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO_ROOT, "results", "storage_results.csv"
+    )
+    os.makedirs(GEN_DIR, exist_ok=True)
+    spark = get_spark(app_name="jfipb-storage-sweep")
+    corpora = sorted(glob.glob("/root/reference/json/events_ndv_*.json"))
+    corpora += [generate_corpus(spark, ndv) for ndv in GEN_NDVS]
+    rows = sweep_corpora(spark, corpora, OUT_DIR, csv_out)
+    for r in rows:
+        print(r)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
