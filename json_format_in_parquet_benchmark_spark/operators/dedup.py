@@ -71,6 +71,19 @@ def release_caches() -> None:
             pass
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism ONLY when the input has
+    fewer partitions (a small-file corpus arrives as one Parquet row group =
+    one task, serializing the whole tokenize/explode/aggregate chain).  At
+    real scale inputs already carry >= parallelism partitions and this is an
+    exact no-op -- no shuffle is ever added to a well-partitioned input.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def exact_dedup(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
     """Group identical values: (value_hash, n_copies, representative min id)."""
     return df.groupBy(F.md5(F.col(value_col)).alias("value_hash")).agg(
@@ -131,6 +144,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, exact jaccard >= threshold).
 
@@ -139,6 +153,13 @@ def minhash_lsh_pairs(
     EXACT shingle-set Jaccard, so the output has no false positives and the
     banding only affects recall (8 bands x 2 rows: P(catch) = 1-(1-J^2)^8,
     ~90% at J=0.5, ~100% at J>=0.8).
+
+    ``max_bucket`` caps pathological band buckets: a bucket holding f docs
+    produces f^2/2 candidate rows, so one degenerate bucket (boilerplate
+    corpora hashing to the same band signature) can dominate the whole
+    join.  Buckets larger than the cap are dropped from CANDIDATE
+    generation only (pairs there usually co-occur in an uncapped band too);
+    the cap is mirrored exactly in the DuckDB oracle.
     """
     from ..functions.hashing import P31, hash64_sql_spark, perm_consts
 
@@ -149,7 +170,7 @@ def minhash_lsh_pairs(
     # persist it -- ~20 bytes/shingle, the natural materialization point of
     # every MinHash pipeline at any scale.
     docsets = _track_persist(
-        df.select(
+        _spread(df).select(
             F.col(id_col).alias("doc_id"),
             F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
         )
@@ -176,8 +197,23 @@ def minhash_lsh_pairs(
                 F.concat_ws(",", *parts).alias("band_hash"),
             ).alias(f"b{b}")
         )
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.band_hash").alias("band_hash")
+    from pyspark.sql import Window
+
+    # Bucket-size guard as a window count over the SAME key the self-join
+    # shuffles on -- one sort in the already-required exchange, no separate
+    # aggregate/broadcast pass.  Persisted: both self-join sides consume it,
+    # and without the cache each side re-runs the signature pipeline.
+    wb = Window.partitionBy("band_idx", "band_hash")
+    banded = _track_persist(
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+        .select(
+            "doc_id",
+            F.col("bb.band_idx").alias("band_idx"),
+            F.col("bb.band_hash").alias("band_hash"),
+        )
+        .withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("bsz") <= max_bucket)
+        .drop("bsz")
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -283,27 +319,32 @@ def connected_components(
 
 
 def simhash_docs(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 32, extra_cols: tuple[str, ...] = ()
+    df: DataFrame, text_col: str, id_col: str, bits: int = 60, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """Per-doc SimHash over tokens (with multiplicity): bit j of the signature
-    is the sign of sum over tokens of (2*bit_j(hash(token)) - 1)."""
-    tok = df.select(
+    is the sign of sum over tokens of (2*bit_j(hash(token)) - 1).
+
+    Computed as sign(2*B_j - N) where B_j = sum of bit_j(h) over tokens and
+    N = token count -- exact integer arithmetic, identical in the oracle,
+    and branch-free per (row, bit) (a bare shiftright-and instead of a
+    CASE).  One explode + ONE aggregation: map-side partial aggregation
+    collapses each doc's tokens before the shuffle, so the exchanged rows
+    are one (doc, 61 sums) tuple per doc per map partition.
+    """
+    tok = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in extra_cols],
         F.explode(F.expr(tokens_spark(text_col))).alias("tok"),
     ).withColumn("h", F.expr(hash64_sql_spark("tok")))
     bit_aggs = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s{j}")
-        for j in range(bits)
-    ]
+        F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"b{j}") for j in range(bits)
+    ] + [F.count(F.lit(1)).alias("n_tok")]
     sums = tok.groupBy("doc_id", *extra_cols).agg(*bit_aggs)
     sim = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(1).cast("bigint")).otherwise(
+        term = F.when(2 * F.col(f"b{j}") - F.col("n_tok") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
-        ) * F.lit(1 << j).cast("bigint")
+        )
         sim = term if sim is None else sim + term
     return sums.select("doc_id", *extra_cols, sim.alias("simhash"))
 
@@ -335,7 +376,9 @@ def simhash_pairs(
             "for full-recall banding"
         )
     width = bits // bands
-    sims = simhash_docs(df, text_col, id_col, bits=bits)
+    # Persist signatures: both self-join sides consume them, and without the
+    # cache each side re-runs the whole tokenize/explode/aggregate pipeline.
+    sims = _track_persist(simhash_docs(df, text_col, id_col, bits=bits))
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -392,20 +435,23 @@ def embedding_near_dup_pairs(
     (P[same bucket] = (1 - theta/pi)^n_planes).
     """
     from ..functions.vectors import dot_spark, norm_spark
-    from .similarity import sign_lsh_buckets
+    from .similarity import bucket_column
 
-    buckets = sign_lsh_buckets(df, vec_col, id_col, n_planes=n_planes, dim=dim)
-    # Precompute each vector's norm ONCE in the projection: higher-order
-    # array expressions (zip_with/aggregate) evaluate interpreted, outside
-    # whole-stage codegen, so evaluating norms per candidate PAIR would cost
-    # O(candidates * dim) interpreted work; per-vector it is O(N * dim).
-    # cos = dot / (norm_a * norm_b) is the identical IEEE computation the
-    # oracle runs (same dot, same sqrt operands), just factored.
-    vecs = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        F.expr(norm_spark(vec_col)).alias("nrm"),
-    ).join(buckets, "vec_id")
+    # One projection computes id, vector, norm AND bucket (no join back to a
+    # separate bucket table), persisted once for both self-join sides.  The
+    # norm is precomputed per VECTOR because higher-order array expressions
+    # (zip_with/aggregate) evaluate interpreted, outside whole-stage
+    # codegen: per candidate PAIR they would cost O(candidates * dim)
+    # interpreted work.  cos = dot / (norm_a * norm_b) is the identical IEEE
+    # computation the oracle runs (same dot, same sqrt operands), factored.
+    vecs = _track_persist(
+        _spread(df).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.expr(norm_spark(vec_col)).alias("nrm"),
+            bucket_column(vec_col, n_planes, dim).alias("bucket"),
+        )
+    )
     a = vecs.alias("a")
     b = vecs.alias("b")
     cos = f"{dot_spark('a.v', 'b.v')} / (a.nrm * b.nrm)"

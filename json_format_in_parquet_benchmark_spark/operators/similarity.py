@@ -74,18 +74,24 @@ def topk_bruteforce(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def bucket_column(vec_col: str, n_planes: int = 8, dim: int = 64):
+    """Spark Column: the sign-LSH bucket id in [0, 2^n_planes) of a vector
+    column (usable inline in any projection -- no join needed)."""
+    bucket = None
+    for j, w in enumerate(hyperplanes(n_planes, dim)):
+        arr = f"array({', '.join(repr(x) for x in w)})"
+        bit = F.when(F.expr(dot_spark(vec_col, arr)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("bigint")
+
+
 def sign_lsh_buckets(
     df: DataFrame, vec_col: str, id_col: str, n_planes: int = 8, dim: int = 64
 ) -> DataFrame:
     """Assign each vector a sign-LSH bucket id in [0, 2^n_planes)."""
-    planes = hyperplanes(n_planes, dim)
-    bucket = None
-    for j, w in enumerate(planes):
-        arr = f"array({', '.join(repr(x) for x in w)})"
-        bit = F.when(F.expr(dot_spark(vec_col, arr)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
     return df.select(
-        F.col(id_col).alias("vec_id"), bucket.cast("bigint").alias("bucket")
+        F.col(id_col).alias("vec_id"),
+        bucket_column(vec_col, n_planes, dim).alias("bucket"),
     )
 
 
@@ -152,6 +158,30 @@ def ivf_assign(
     )
 
 
+def ivf_probes(
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, cell) rows: each query's ``n_probe`` nearest IVF cells by
+    centroid dot product (ties to the lowest cell id)."""
+    cents = _centroids_spark_literal(centroids(n_cells, dim))
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.expr(f"sequence(0, {n_cells - 1})")).alias("cell"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("d", F.expr(dot_spark("v", f"element_at({cents}, cell + 1)")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cell"))
+    return (
+        qd.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+
 def topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -161,25 +191,24 @@ def topk_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     dim: int = 64,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query probes its ``n_probe`` nearest
     cells and scores only corpus vectors assigned there — expected search
-    cost O(N * n_probe / n_cells) per query instead of O(N)."""
-    cents = _centroids_spark_literal(centroids(n_cells, dim))
-    corpus_cells = ivf_assign(corpus, vec_col, id_col, n_cells, dim).withColumnRenamed(
-        "vec_id", "neighbor_id"
+    cost O(N * n_probe / n_cells) per query instead of O(N).
+
+    ``assigned`` optionally supplies a pre-built (neighbor_id, cell)
+    assignment — e.g. read back from a cell-partitioned Parquet layout, the
+    at-scale deployment shape — otherwise it is computed inline.
+    """
+    corpus_cells = (
+        assigned
+        if assigned is not None
+        else ivf_assign(corpus, vec_col, id_col, n_cells, dim).withColumnRenamed(
+            "vec_id", "neighbor_id"
+        )
     )
-    qd = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.expr(f"sequence(0, {n_cells - 1})")).alias("cell"),
-        F.col(vec_col).alias("v"),
-    ).withColumn("d", F.expr(dot_spark("v", f"element_at({cents}, cell + 1)")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cell"))
-    probes = (
-        qd.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "cell")
-    )
+    probes = ivf_probes(queries, vec_col, id_col, n_cells, n_probe, dim)
     c = _with_norm(corpus, vec_col, id_col, "c").join(corpus_cells, "neighbor_id")
     q = _with_norm(queries, vec_col, id_col, "q").join(probes, "query_id")
     pairs = c.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("neighbor_id"))

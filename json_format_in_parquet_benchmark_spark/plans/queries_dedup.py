@@ -27,6 +27,7 @@ MINHASH_K = 16
 MINHASH_BANDS = 8
 MINHASH_SHINGLE = 3
 MINHASH_THRESHOLD = 0.5
+MINHASH_MAX_BUCKET = 1000  # skew guard: drop band buckets larger than this
 NGRAM_N = 4
 NGRAM_THRESHOLD = 0.4
 NGRAM_DF_CAP = 50  # shingles in more docs than this are stop-shingles
@@ -116,9 +117,13 @@ sig AS MATERIALIZED (
 bands AS (
 {band_rows}
 ),
+mh_kept AS (
+  SELECT doc_id, band_idx, band_hash FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {MINHASH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
+  FROM mh_kept l JOIN mh_kept r
     ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
@@ -162,6 +167,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=MINHASH_K,
         bands=MINHASH_BANDS,
         threshold=MINHASH_THRESHOLD,
+        max_bucket=MINHASH_MAX_BUCKET,
     )
 
 
@@ -201,6 +207,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=MINHASH_K,
         bands=MINHASH_BANDS,
         threshold=MINHASH_THRESHOLD,
+        max_bucket=MINHASH_MAX_BUCKET,
     )
     return connected_components(pairs)
 
@@ -213,12 +220,11 @@ def _simhash_oracle() -> str:
     # bands), so a hash match here verifies the banding lost nothing.
     bits = SIMHASH_BITS
     bit_sums = ",\n         ".join(
-        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(bits)
+        f"SUM((h >> {j}) & 1) AS b{j}" for j in range(bits)
     )
     sim_expr = " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        f" * CAST({1 << j} AS BIGINT))"
+        f"(CASE WHEN 2 * b{j} - n_tok >= 0 THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
         for j in range(bits)
     )
     return f"""
@@ -229,7 +235,8 @@ WITH tok AS (
 ),
 sums AS (
   SELECT doc_id,
-         {bit_sums}
+         {bit_sums},
+         COUNT(*) AS n_tok
   FROM tok GROUP BY doc_id
 ),
 sims AS MATERIALIZED (SELECT doc_id, {sim_expr} AS simhash FROM sums)
@@ -312,11 +319,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..functions.text import shingles_spark, tokens_spark
-    from ..operators.dedup import _track_persist
+    from ..operators.dedup import _spread, _track_persist
 
     docs = load_table(spark, sf_dir, "documents")
     docsets = _track_persist(
-        docs.select(
+        _spread(docs).select(
             "doc_id",
             F.expr(shingles_spark(tokens_spark("text"), NGRAM_N)).alias("shset"),
         )

@@ -33,6 +33,7 @@ from ..tables import load_table
 from .queries_dedup import (
     MINHASH_BANDS,
     MINHASH_K,
+    MINHASH_MAX_BUCKET,
     MINHASH_SHINGLE,
     MINHASH_THRESHOLD,
     _minhash_pairs_cte,
@@ -126,6 +127,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id",
         n=MINHASH_SHINGLE, k=MINHASH_K, bands=MINHASH_BANDS,
         threshold=MINHASH_THRESHOLD,
+        max_bucket=MINHASH_MAX_BUCKET,
     )
     cluster_drop = (
         connected_components(pairs)

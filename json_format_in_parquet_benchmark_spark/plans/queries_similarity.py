@@ -86,9 +86,10 @@ def _centroids_duckdb_literal() -> str:
     return "[" + ", ".join("[" + ", ".join(repr(x) for x in w) + "]" for w in cells) + "]"
 
 
-@register(
-    "similarity_topk_ivf",
-    oracle=f"""
+# Shared by similarity_topk_ivf and similarity_ivf_partitioned: the
+# partitioned variant serves the corpus from the on-disk cell layout but is
+# defined to produce the identical result set.
+_IVF_ORACLE = f"""
 WITH cellranked AS (
   SELECT vec_id, cell, d,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
@@ -116,7 +117,12 @@ ranked AS (
   FROM scored
 )
 SELECT * FROM ranked WHERE rank <= {TOP_K}
-""",
+"""
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=_IVF_ORACLE,
     doc="Approximate top-k via IVF (inverted file): deterministic coarse "
     "centroids, each vector assigned to its argmax-dot cell, queries probe "
     "their 4 nearest of 16 cells — the persisted-cell-partition ANN layout "
@@ -130,6 +136,62 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = topk_ivf(
         emb, queries, "embedding", "vec_id",
         k=TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, dim=DIM,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+_IVF_SINK: dict[str, str] = {}
+
+
+def ivf_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write the embeddings corpus cell-partitioned (hive layout, one
+    directory per IVF cell) -- the persisted ANN index layout for 100 TB:
+    queries touch only their probed cells' directories.  Memoized per
+    sf_dir."""
+    import os
+    import tempfile
+
+    from ..operators.similarity import ivf_assign
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    if tag in _IVF_SINK:
+        return _IVF_SINK[tag]
+    out = os.path.join(tempfile.gettempdir(), "jfipb_ivf_cells", tag)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = ivf_assign(emb, "embedding", "vec_id", N_CELLS, DIM)
+    (
+        emb.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out)
+    )
+    _IVF_SINK[tag] = out
+    return out
+
+
+@register(
+    "similarity_ivf_partitioned",
+    oracle=_IVF_ORACLE,
+    doc="IVF index AS A PERSISTED LAYOUT: embeddings written hive-partitioned "
+    "by IVF cell (the at-scale ANN deployment -- build the index once, each "
+    "query reads only its probed cells' directories; pruning pinned in "
+    "tests/test_plans.py), read back and searched with the same probes and "
+    "scoring as similarity_topk_ivf -- the identical oracle proves the "
+    "sink/load cycle is lossless and the partition mapping correct.",
+    tags=("similarity", "ivf", "sink", "pruning"),
+)
+def similarity_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    back = spark.read.parquet(ivf_partitioned_path(spark, sf_dir))
+    assigned = back.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    out = topk_ivf(
+        emb, queries, "embedding", "vec_id",
+        k=TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, dim=DIM,
+        assigned=assigned,
     )
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")

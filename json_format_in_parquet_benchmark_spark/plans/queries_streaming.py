@@ -219,6 +219,99 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+SELECT c.user_id AS c_user,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+    doc="TRUE stream-stream join: clicks x purchases of the same user within "
+    "1 hour, BOTH sides watermarked (2h) so the join buffers bounded state "
+    "-- the attribution join a production pipeline runs forever.  An "
+    "availableNow run emits exactly the batch join's pairs (inner-join "
+    "matches emit as rows arrive; the watermark only bounds buffered "
+    "state), so the oracle is the plain batch join at microsecond "
+    "precision.",
+    tags=("streaming", "join", "stateful", "watermark"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events_dir = _staged_events(spark, sf_dir)
+    stream = read_events_stream(spark, events_dir)
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("c_user", "click_id", "purchase_id")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return _run_to_memory(joined, f"ssjoin_{tag}", "append")
+
+
+def _staged_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table UNIONED WITH ITSELF as one parquet file -- the
+    duplicated input the streaming-dedup query must collapse."""
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_dup"
+    if tag in _STAGED:
+        return _STAGED[tag]
+    out_dir = os.path.join(_STAGE_ROOT, tag)
+    events = load_table(spark, sf_dir, "events")
+    events.unionByName(events).coalesce(1).write.mode("overwrite").parquet(out_dir)
+    _STAGED[tag] = out_dir
+    return out_dir
+
+
+@register(
+    "stream_dedup_watermarked",
+    oracle="SELECT event_id FROM events",
+    doc="TRUE streaming exact dedup: the events table staged DUPLICATED "
+    "(every row twice), streamed through withWatermark + "
+    "dropDuplicatesWithinWatermark(event_id) -- the streaming arm of "
+    "dedup_exact, keeping per-key state only until the watermark passes "
+    "(bounded state on an unbounded stream).  Output must be exactly one "
+    "row per original event.",
+    tags=("streaming", "dedup", "stateful", "watermark"),
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import EVENTS_SCHEMA
+
+    dup_dir = _staged_events_duplicated(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(dup_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return _run_to_memory(stream.select("event_id"), f"sdedup_{tag}", "append")
+
+
+@register(
     "stream_sessionize_batch",
     oracle=_SESSION_CTE + "SELECT * FROM sessions",
     doc="Batch gap-sessionization (8h gap) via lag + running-sum window "

@@ -109,6 +109,25 @@ def test_partitioned_read_prunes_partitions(spark):
     assert m and "event_type" in m.group(1), plan
 
 
+def test_ivf_partitioned_layout_prunes_cells(spark):
+    """The cell-partitioned ANN index: a reader probing specific cells must
+    hit PartitionFilters (directory pruning), so a query touches
+    n_probe/n_cells of the corpus on disk -- the IVF at-scale contract."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_similarity import (
+        ivf_partitioned_path,
+    )
+
+    out = ivf_partitioned_path(spark, SF)
+    back = spark.read.parquet(out).where(F.col("cell").isin(0, 3, 7))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+
+
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
     """Both fact tables bucketed on the join key -> the join runs with zero
     Exchange operators (the 100 TB zero-shuffle co-located join)."""
