@@ -327,6 +327,42 @@ def json_roundtrip_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REFERENCE_LOGS_CORPUS = os.path.join(REFERENCE_JSON_DIR, "logs.json")
+
+
+@register(
+    "json_keys_profile",
+    oracle=f"""
+WITH lines AS (
+  SELECT unnest(string_split(content, chr(10))) AS doc
+  FROM read_text('{REFERENCE_LOGS_CORPUS}')
+),
+docs AS (SELECT doc FROM lines WHERE length(doc) > 0)
+SELECT key, COUNT(*) AS n_docs
+FROM docs, unnest(json_keys(doc)) AS t(key)
+GROUP BY 1
+""",
+    doc="Schema discovery over a schema-less corpus: per-key document "
+    "frequency of the reference's logs corpus (nested objects, nulls, "
+    "string arrays).  The reference has NO schema inference (SURVEY.md "
+    "section 1.3 -- its variant schema is hard-coded); Spark derives "
+    "structure from the data itself (json_object_keys here; "
+    "spark.read.json / schema_of_json for full inference), which is what "
+    "makes the shredded representation usable on corpora without a "
+    "declared schema.",
+    tags=("json", "schema", "inference"),
+)
+def json_keys_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ndjson import read_ndjson_raw
+
+    docs = read_ndjson_raw(spark, REFERENCE_LOGS_CORPUS)
+    return (
+        docs.select(F.explode(F.expr("json_object_keys(doc)")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 @register(
     "json_ndv_profile",
     oracle="""
