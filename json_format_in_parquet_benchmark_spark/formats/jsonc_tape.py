@@ -205,8 +205,15 @@ def _encode_udf():
 @functools.lru_cache(maxsize=32)
 def get_path_udf(path: tuple[str, ...]):
     """Pandas UDF extracting ``path`` from tape columns as a string (strings
-    come back raw, other values as compact JSON -- the same convention as
-    ``get_json_object``, so the three query arms are value-comparable)."""
+    come back raw, other values as compact JSON).
+
+    Parity caveat: string results match ``get_json_object`` exactly, but
+    numbers are re-serialized from the Float64 pool (integral floats emit as
+    ints), NOT from the source literal -- the tape stores every number as
+    f64 (same as the reference's number pool, jsonc.rs:36), so "1.0" in the
+    source would come back "1" here while the re-parse arm preserves the
+    source text.  The golden probes are all strings, where the three arms
+    are exactly comparable."""
 
     @pandas_udf("string")
     def _udf(nodes: pd.Series, strings: pd.Series, numbers: pd.Series) -> pd.Series:

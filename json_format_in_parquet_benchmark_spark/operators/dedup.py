@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale text corpora.
 
-Five strategies, each a pure DataFrame transformation:
+Six strategies, each a pure DataFrame transformation:
 
 - :func:`exact_dedup`            -- hash-groupBy on the raw value.
 - :func:`normalized_dedup`       -- groupBy on a canonicalized token-set hash
@@ -9,6 +9,8 @@ Five strategies, each a pure DataFrame transformation:
   LSH banding for candidate generation + exact Jaccard verification.
 - :func:`simhash_pairs`          -- 60-bit SimHash + signature-band-blocked
   Hamming join (multi-index, full recall).
+- :func:`ngram_jaccard_pairs`    -- exact n-gram Jaccard via a DF-capped
+  inverted index (stop-shingles cut from candidate generation).
 - :func:`embedding_near_dup_pairs` -- cosine near-duplicates over an
   embedding column, sign-LSH-bucket blocked + exact verify.
 
@@ -239,6 +241,67 @@ def minhash_lsh_pairs(
     return (
         a.join(F.broadcast(cand), "doc_a")
         .join(b, "doc_b")
+        .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+    threshold: float = 0.4,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a document-frequency-capped
+    inverted index.
+
+    Shingles appearing in more than ``df_cap`` docs are stop-shingles
+    dropped from CANDIDATE generation only (bounding the posting-list
+    self-join to df_cap^2 rows per shingle); surviving candidate pairs are
+    verified with the exact Jaccard over the FULL shingle sets, so scores
+    are exact and only pairs sharing nothing but stop-shingles are
+    (deliberately) out of scope.
+    """
+    docsets = _track_persist(
+        _spread(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
+        )
+    )
+    sh = docsets.select("doc_id", F.explode("shset").alias("sh"))
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("sh")
+    )
+    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    left = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"), F.size("shset").alias("na")
+    )
+    right = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"), F.size("shset").alias("nb")
+    )
+    return (
+        left.join(F.broadcast(cand), "doc_a")
+        .join(right, "doc_b")
         .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
         .select(
             "doc_a",

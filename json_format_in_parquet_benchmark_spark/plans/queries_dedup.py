@@ -316,52 +316,15 @@ WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= {NGRAM_THRESHOL
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
+    from ..operators.dedup import ngram_jaccard_pairs
 
-    from ..functions.text import shingles_spark, tokens_spark
-    from ..operators.dedup import _spread, _track_persist
-
-    docs = load_table(spark, sf_dir, "documents")
-    docsets = _track_persist(
-        _spread(docs).select(
-            "doc_id",
-            F.expr(shingles_spark(tokens_spark("text"), NGRAM_N)).alias("shset"),
-        )
-    )
-    sh = docsets.select("doc_id", F.explode("shset").alias("sh"))
-    hot = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > NGRAM_DF_CAP)
-        .select("sh")
-    )
-    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
-    a = idx.alias("a")
-    b = idx.alias("b")
-    cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    left = docsets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"), F.size("shset").alias("na")
-    )
-    right = docsets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"), F.size("shset").alias("nb")
-    )
-    return (
-        left.join(F.broadcast(cand), "doc_a")
-        .join(right, "doc_b")
-        .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= NGRAM_THRESHOLD)
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=NGRAM_N,
+        threshold=NGRAM_THRESHOLD,
+        df_cap=NGRAM_DF_CAP,
     )
 
 
@@ -388,9 +351,10 @@ WHERE {cos} >= {EMBED_THRESHOLD}
     "dedup_embedding_cosine",
     oracle=_embedding_oracle(),
     doc="Embedding-cosine near-dup pairs blocked on the deterministic "
-    "sign-LSH bucket (the ANN machinery reused as the dedup blocker: "
-    "candidates = same 256-way bucket, then exact cosine verify in codegen "
-    "-- the candidate/verify shape that survives 100 TB, never all-pairs).",
+    f"sign-LSH bucket (the ANN machinery reused as the dedup blocker: "
+    f"candidates = same {1 << EMBED_PLANES}-way bucket from "
+    f"{EMBED_PLANES} hyperplanes, then exact cosine verify -- the "
+    "candidate/verify shape that survives 100 TB, never all-pairs).",
     tags=("dedup", "embedding", "lsh"),
     bench=True,
 )

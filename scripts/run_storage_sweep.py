@@ -42,10 +42,12 @@ OUT_DIR = "/tmp/jfipb_sweep_out"
 
 def generate_corpus(spark, ndv: float) -> str:
     """Write one NDJSON corpus file named like the reference's
-    (events_ndv_{ndv}_{rows}.json, so sweep_corpora parses the NDV)."""
+    (events_ndv_{ndv}_{rows}.json, so sweep_corpora parses the NDV).
+    Always regenerated: a cached file could silently carry output from an
+    older generator version into committed results."""
     path = os.path.join(GEN_DIR, f"events_ndv_{ndv}_{GEN_ROWS}.json")
     if os.path.exists(path):
-        return path
+        os.remove(path)
     tmp = os.path.join(GEN_DIR, f"_stage_{ndv}")
     df = generate_events_ndjson(spark, GEN_ROWS, ndv, seed="g1")
     df.coalesce(1).write.mode("overwrite").text(tmp)
