@@ -1,0 +1,120 @@
+"""Portable distinct-count sketch: a HyperLogLog both engines compute
+bit-identically.
+
+Spark's ``approx_count_distinct`` (HLL++) and DuckDB's
+``approx_count_distinct`` are different implementations with different
+hashes, so their estimates cannot be cross-checked.  This operator builds
+the classic Flajolet HLL from the repo's portable 60-bit md5 hash with
+ONLY exact integer/string operations, so the *estimate itself* is
+reproducible across engines, cluster sizes and runs -- the property that
+makes a sketch auditable in a 100 TB pipeline (re-run anywhere, same
+registers, same estimate).
+
+Construction (b register bits, m = 2^b registers):
+- h       = portable 60-bit hash of the value (functions.hashing)
+- bucket  = h % m                       (low b bits)
+- w       = h >> b                      (top 60-b bits)
+- rho     = (60 - b) - length(bin(w)) + 1, or 60-b+1 when w = 0
+  (leading-zero count + 1; ``length(bin(w))`` is the highest-bit position,
+  an exact string/integer op in both engines -- no float log2)
+- M_j     = max rho per register (0 for empty registers)
+- Z_scaled = sum over ALL m registers of 2^(61 - M_j)  -- the harmonic-mean
+  denominator scaled by 2^61 so it sums EXACTLY in DECIMAL(38,0): float
+  summation order would differ between engines, integers cannot.
+- estimate = alpha_m * m^2 * 2^61 / Z_scaled, one double division at the
+  end (identical operands -> identical IEEE result).
+
+The raw (uncorrected) estimator is used: the small-range correction needs
+``ln``, whose last-ulp behavior differs between JVM and C libm, which
+would break bit-exactness.  Callers should size m well below the expected
+distinct count (raw-estimator regime); the registered query reports the
+exact count and relative error alongside, so accuracy is measured, not
+assumed.
+
+Scale shape: one scan computing (bucket, rho), one m-bounded partial
+aggregate (map-side combine reduces every partition to <= m rows), one
+m-row final aggregate.  This is the textbook mergeable-sketch dataflow --
+registers combine with max(), so the same code distributes over any
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HASH_BITS, hash64_sql_duckdb, hash64_sql_spark
+
+
+def _alpha(m: int) -> float:
+    # Flajolet et al. 2007 bias constants; the float literal is embedded in
+    # BOTH engines' SQL so the arithmetic starts from the identical double.
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(df: DataFrame, value_expr: str, b: int = 8) -> DataFrame:
+    """One-row DataFrame with the portable-HLL distinct estimate of
+    ``value_expr`` (a Spark SQL expression) as ``est_distinct`` double."""
+    m = 1 << b
+    top = HASH_BITS - b
+    h = hash64_sql_spark(value_expr)
+    sel = df.selectExpr(
+        f"({h}) % {m} as bucket",
+        f"shiftright({h}, {b}) as w",
+    ).selectExpr(
+        "bucket",
+        f"case when w = 0 then {top + 1} else {top} - length(bin(w)) + 1 end as rho",
+    )
+    regs = sel.groupBy("bucket").agg(F.max("rho").alias("M"))
+    spark = df.sparkSession
+    all_regs = (
+        spark.range(m)
+        .select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select(F.coalesce("M", F.lit(0)).alias("M"))
+    )
+    alpha = _alpha(m)
+    return all_regs.agg(
+        F.expr(
+            f"cast({alpha!r}D * {m} * {m} * cast(shiftleft(1L, 61) as double)"
+            f" / cast(sum(cast(shiftleft(1L, 61 - M) as decimal(38,0))) as double)"
+            " as double)"
+        ).alias("est_distinct")
+    )
+
+
+def hll_estimate_duckdb(table_expr: str, value_expr: str, b: int = 8) -> str:
+    """DuckDB SQL computing the bit-identical estimate (scalar subquery
+    text; ``table_expr`` is a FROM-able relation)."""
+    m = 1 << b
+    top = HASH_BITS - b
+    h = hash64_sql_duckdb(value_expr)
+    alpha = _alpha(m)
+    return f"""(
+  WITH hll_sel AS (
+    SELECT ({h}) % {m} AS bucket, (({h}) >> {b}) AS w
+    FROM {table_expr}
+  ),
+  hll_rho AS (
+    SELECT bucket,
+           CASE WHEN w = 0 THEN {top + 1}
+                ELSE {top} - length(format('{{:b}}', w)) + 1 END AS rho
+    FROM hll_sel
+  ),
+  hll_regs AS (
+    SELECT r.bucket, COALESCE(MAX(h.rho), 0) AS M
+    FROM range({m}) r(bucket)
+    LEFT JOIN hll_rho h ON h.bucket = r.bucket
+    GROUP BY r.bucket
+  )
+  SELECT CAST(CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST((1::BIGINT << 61) AS DOUBLE)
+              / CAST(SUM(CAST((1::BIGINT << (61 - M)) AS DECIMAL(38,0))) AS DOUBLE)
+         AS DOUBLE)
+  FROM hll_regs
+)"""
