@@ -1,5 +1,9 @@
-"""Portable distinct-count sketch: a HyperLogLog both engines compute
-bit-identically.
+"""Portable sketches every engine computes bit-identically: HyperLogLog
+(distinct count), Count-Min (frequency / heavy hitters), and KMV bottom-k
+(distinct count + deterministic sample).  All three are mergeable -- the
+property that makes a sketch useful at 100 TB: each executor sketches its
+partition, a tiny reduce combines (max over HLL registers, sum over CMS
+counters, k-smallest over KMV sets).
 
 Spark's ``approx_count_distinct`` (HLL++) and DuckDB's
 ``approx_count_distinct`` are different implementations with different
@@ -87,6 +91,85 @@ def hll_estimate(df: DataFrame, value_expr: str, b: int = 8) -> DataFrame:
             " as double)"
         ).alias("est_distinct")
     )
+
+
+def cms_sketch(items: DataFrame, value_col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-Min sketch of an item stream: one row per (hash row r, bucket)
+    with the exact occurrence count landing there.
+
+    ``items`` has one row per occurrence; ``value_col`` is the item.  Each
+    of the ``d`` hash rows maps the item to one of ``w`` buckets via the
+    portable salted md5 hash, so the full sketch is d*w integer counters --
+    exact sums, hence bit-identical cross-engine, and mergeable by adding
+    counters (the property that lets every executor sketch its partition
+    and a reduce combine them; here that IS the groupBy's partial
+    aggregation).  Point estimate for an item = min over rows of its
+    bucket's counter; always >= the true count (collisions only inflate).
+
+    Scale shape: one explode by d (constant), one w*d-bounded groupBy --
+    the shuffled state is the sketch size, independent of N.
+    """
+    structs = [
+        F.struct(
+            F.lit(r).alias("r"),
+            F.expr(f"{hash64_sql_spark(value_col, salt=f'cm{r}:')} % {w}").alias(
+                "bucket"
+            ),
+        )
+        for r in range(d)
+    ]
+    return (
+        items.select(F.explode(F.array(*structs)).alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_duckdb_cte(items_sql: str, value_col: str, d: int = 4, w: int = 1024) -> str:
+    """DuckDB CTE body computing the identical (r, bucket, cnt) sketch from
+    ``items_sql`` (a SELECT producing one row per occurrence)."""
+    arms = " UNION ALL ".join(
+        f"SELECT {r} AS r, ({hash64_sql_duckdb(value_col, salt=f'cm{r}:')}) % {w}"
+        f" AS bucket FROM cms_items"
+        for r in range(d)
+    )
+    return f"""cms_items AS ({items_sql}),
+cms AS (
+  SELECT r, bucket, COUNT(*) AS cnt FROM ({arms}) GROUP BY r, bucket
+)"""
+
+
+def kmv_estimate(df: DataFrame, value_expr: str, k: int = 256) -> DataFrame:
+    """One-row DataFrame with the KMV (bottom-k) distinct estimate of
+    ``value_expr``: keep the k smallest distinct 60-bit hashes; the k-th
+    smallest h_k estimates ndv as (k-1) * 2^60 / h_k.
+
+    Everything up to the final division is exact integer work on the
+    portable hash, so the estimate is bit-identical cross-engine.  The
+    bottom-k set is also a deterministic uniform corpus sample and merges
+    by keeping the k smallest of a union -- the mergeability story of the
+    KMV/theta sketch family.  The plan is distinct -> TakeOrderedAndProject
+    (per-partition top-k then a k-row merge), never a full sort.
+    """
+    h = hash64_sql_spark(value_expr)
+    mins = df.selectExpr(f"{h} as h").distinct().orderBy("h").limit(k)
+    return mins.agg(
+        F.expr(
+            f"cast({float(k - 1)!r}D * cast(shiftleft(1L, {HASH_BITS}) as double)"
+            " / cast(max(h) as double) as double)"
+        ).alias("est_distinct")
+    )
+
+
+def kmv_estimate_duckdb(table_expr: str, value_expr: str, k: int = 256) -> str:
+    """DuckDB scalar subquery computing the bit-identical KMV estimate."""
+    h = hash64_sql_duckdb(value_expr)
+    return f"""(
+  SELECT CAST(CAST({float(k - 1)!r} AS DOUBLE) * CAST((1::BIGINT << {HASH_BITS}) AS DOUBLE)
+              / CAST(MAX(h) AS DOUBLE) AS DOUBLE)
+  FROM (SELECT DISTINCT {h} AS h FROM {table_expr} ORDER BY h LIMIT {k})
+)"""
 
 
 def hll_estimate_duckdb(table_expr: str, value_expr: str, b: int = 8) -> str:

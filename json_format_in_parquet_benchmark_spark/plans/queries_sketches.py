@@ -14,7 +14,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketches import hll_estimate, hll_estimate_duckdb
+from ..functions.text import tokens_duckdb, tokens_spark
+from ..operators.sketches import (
+    cms_duckdb_cte,
+    cms_sketch,
+    hll_estimate,
+    hll_estimate_duckdb,
+    kmv_estimate,
+    kmv_estimate_duckdb,
+)
 from ..tables import load_table
 from .registry import register
 
@@ -84,3 +92,131 @@ def sketch_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+KMV_K = 256
+
+
+def _kmv_oracle() -> str:
+    parts = []
+    for label, _spark_expr, duck_expr in _HLL_COLUMNS:
+        est = kmv_estimate_duckdb("lineitem", duck_expr, k=KMV_K)
+        parts.append(f"""
+SELECT '{label}' AS column_name,
+       e AS est_distinct,
+       x AS exact_distinct,
+       (e - CAST(x AS DOUBLE)) / CAST(x AS DOUBLE) AS rel_err
+FROM (SELECT {est} AS e,
+             (SELECT COUNT(DISTINCT {duck_expr}) FROM lineitem) AS x)
+""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "sketch_kmv_ndv",
+    oracle=_kmv_oracle(),
+    doc="KMV (bottom-k) distinct estimates over the same high-NDV lineitem "
+    "columns as the HLL query: keep the k=256 smallest distinct portable "
+    "hashes, estimate ndv = (k-1)*2^60/h_k.  Exact integer work up to one "
+    "final double division, so the estimate is bit-identical in the "
+    "oracle; the bottom-k set doubles as a deterministic uniform sample "
+    "and merges by k-smallest-of-union.  Plan shape: distinct -> "
+    "TakeOrderedAndProject (per-partition top-k + k-row merge), no full "
+    "sort.",
+    tags=("sketch", "distinct", "custom-operator"),
+)
+def sketch_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for label, spark_expr, _duck_expr in _HLL_COLUMNS:
+        est = kmv_estimate(li, spark_expr, k=KMV_K)
+        exact = li.agg(F.countDistinct(F.expr(spark_expr)).alias("exact_distinct"))
+        parts.append(
+            est.crossJoin(exact).select(
+                F.lit(label).alias("column_name"),
+                "est_distinct",
+                "exact_distinct",
+                (
+                    (F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+                    / F.col("exact_distinct").cast("double")
+                ).alias("rel_err"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+CMS_D, CMS_W, CMS_TOP = 4, 1024, 20
+
+_CMS_ITEMS_DUCK = (
+    f"SELECT unnest({tokens_duckdb('text')}) AS tok FROM documents"
+)
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+WITH {cms_duckdb_cte(_CMS_ITEMS_DUCK, "tok", d=CMS_D, w=CMS_W)},
+top_items AS (
+  SELECT tok, COUNT(*) AS exact_count
+  FROM ({_CMS_ITEMS_DUCK})
+  GROUP BY tok
+  ORDER BY exact_count DESC, tok
+  LIMIT {CMS_TOP}
+),
+probes AS (
+  SELECT t.tok, t.exact_count, r.r,
+         (('0x' || substr(md5('cm' || CAST(r.r AS VARCHAR) || ':' || t.tok), 1, 15))::BIGINT) % {CMS_W} AS bucket
+  FROM top_items t, range({CMS_D}) r(r)
+)
+SELECT p.tok AS token,
+       MIN(c.cnt) AS est_count,
+       p.exact_count
+FROM probes p JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+GROUP BY p.tok, p.exact_count
+""",
+    doc="Count-Min heavy hitters: sketch all document-token occurrences "
+    "into a d=4 x w=1024 counter grid (exact integer sums -> bit-identical "
+    "cross-engine; counters merge by addition, so executors sketch "
+    "partitions independently), then point-estimate the top-20 exact "
+    "heavy hitters.  est_count >= exact_count always; the gap measures "
+    "collision inflation.  Shuffled state is d*w counters, independent of "
+    "corpus size.",
+    tags=("sketch", "frequency", "custom-operator"),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(tokens_spark("text"))).alias("tok"))
+    sketch = cms_sketch(toks, "tok", d=CMS_D, w=CMS_W)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(CMS_TOP)
+    )
+    from ..functions.hashing import hash64_sql_spark
+
+    probe_structs = [
+        F.struct(
+            F.lit(r).alias("r"),
+            F.expr(f"{hash64_sql_spark('tok', salt=f'cm{r}:')} % {CMS_W}").alias(
+                "bucket"
+            ),
+        )
+        for r in range(CMS_D)
+    ]
+    probes = top.select(
+        "tok",
+        "exact_count",
+        F.explode(F.array(*probe_structs)).alias("rb"),
+    ).select(
+        "tok", "exact_count", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    )
+    return (
+        sketch.join(F.broadcast(probes), ["r", "bucket"])
+        .groupBy(F.col("tok").alias("token"), "exact_count")
+        .agg(F.min("cnt").alias("est_count"))
+        .select("token", "est_count", "exact_count")
+    )

@@ -1,0 +1,185 @@
+"""Scale probe for the dedup/similarity family: measure wall time at
+1x / 10x / 100x of the sf0.1 corpus size and show the blocked shapes
+(band-blocked SimHash, LSH-banded MinHash, DF-capped n-gram index,
+sign-LSH-bucketed embedding pairs) scale near-linearly, not quadratically.
+
+The corpus is synthesized Spark-natively and deterministically (md5-derived
+token/vector choice, no RNG) with planted duplicate structure: 5% exact
+duplicates (row copies its predecessor) and 5% near-duplicates (copy with
+one token / one coordinate perturbed), so every operator has real work to
+find at every scale.  Synthesized tables are written to Parquet first and
+the operators timed on the read-back, so timings measure the operator, not
+the generator.
+
+Usage:
+    python scripts/run_scale_probe.py [--sizes 5000,50000,500000]
+
+Prints one JSON line per (size, operator) with seconds + output rows, then
+a summary of time growth ratios per 10x of data (quadratic would be ~100x;
+the blocked shapes stay near ~10x or below).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from json_format_in_parquet_benchmark_spark.operators import dedup
+from json_format_in_parquet_benchmark_spark.operators.similarity import (
+    ivf_assign_fast,
+    topk_ivf,
+)
+from json_format_in_parquet_benchmark_spark.session import get_spark
+
+VOCAB = 50_000  # large vocab keeps shingle document-frequency low, like real text
+DIM = 64
+
+
+def synth_documents(spark: SparkSession, n: int, out: str) -> None:
+    """Deterministic documents table: 5% exact dups, 5% one-token near-dups."""
+    h = "cast(conv(substr(md5(concat(src_id, ':', i)), 1, 15), 16, 10) as bigint)"
+    (
+        spark.range(n)
+        .selectExpr(
+            "id as doc_id",
+            # 19s copy a PLAIN row (16: src=itself) so the copy is exact;
+            # 18s copy a plain row and mutate one token (near-dup).
+            "case when id % 20 = 19 then id - 3 "
+            "     when id % 20 = 18 then id - 2 else id end as src_id",
+            "cast(id % 20 = 18 as int) as mutate",
+        )
+        .selectExpr(
+            "doc_id",
+            # 20..50 tokens from a 50k vocab, chosen by the doc's SOURCE id so
+            # dup rows reproduce their source's text exactly; near-dup rows
+            # replace token 2 with a doc-unique token.
+            "concat_ws(' ', transform(sequence(1, 20 + cast(src_id % 31 as int)), "
+            f" i -> case when mutate = 1 and i = 2 then concat('u', doc_id) "
+            f"      else concat('w', {h} % {VOCAB}) end)) as text",
+            "concat('l', src_id % 5) as lang",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+def synth_embeddings(spark: SparkSession, n: int, out: str) -> None:
+    """Deterministic embeddings: 5% near-dups (predecessor's vector, one
+    coordinate nudged by 0.01 -- cosine stays ~1)."""
+    h = "cast(conv(substr(md5(concat(src_id, '#', j)), 1, 15), 16, 10) as bigint)"
+    (
+        spark.range(n)
+        .selectExpr(
+            "id as vec_id",
+            "case when id % 20 = 19 then id - 1 else id end as src_id",
+            "cast(id % 20 = 19 as int) as nudge",
+        )
+        .selectExpr(
+            "vec_id",
+            f"transform(sequence(0, {DIM - 1}), "
+            f" j -> cast(({h} % 2001 - 1000) as float) / 1000.0f "
+            f"      + cast(case when nudge = 1 and j = 0 then 0.01 else 0.0 end as float)"
+            ") as embedding",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+def timed(fn) -> tuple[float, int]:
+    """min-of-2 trials: long-lived local JVMs show multi-x timing noise
+    (GC, JIT warmup, lazy cache population racing); the min is the
+    reproducible cost of the plan."""
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        rows = fn()
+        secs = round(time.time() - t0, 2)
+        # Release the operator's persisted intermediates between trials and
+        # measurements: no run should inherit a predecessor's cache, and
+        # leaked blocks inflate later timings via memory/GC pressure.
+        dedup.release_caches()
+        best = secs if best is None else min(best, secs)
+    return best, rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="5000,50000,500000")
+    ap.add_argument("--workdir", default="/tmp/jfipb_scale_probe")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    spark = get_spark("scale-probe")
+    results: dict[int, dict[str, tuple[float, int]]] = {}
+    for n in sizes:
+        docs_path = os.path.join(args.workdir, f"docs_{n}")
+        embs_path = os.path.join(args.workdir, f"embs_{n}")
+        n_emb = max(n * 2 // 5, 100)  # embeddings table is 2/5 of docs, like sf0.1
+        synth_documents(spark, n, docs_path)
+        synth_embeddings(spark, n_emb, embs_path)
+        docs = spark.read.parquet(docs_path)
+        embs = spark.read.parquet(embs_path)
+        # sign-LSH bucket count must grow with N to hold per-bucket occupancy
+        # roughly constant (the knob a 100 TB deployment turns): ~2^13
+        # buckets at 2k vectors up to 2^19 at 200k.
+        n_planes = max(8, (n_emb - 1).bit_length() + 2)
+        r: dict[str, tuple[float, int]] = {}
+        r["exact_dedup"] = timed(
+            lambda: dedup.exact_dedup(docs, "text", "doc_id").count()
+        )
+        r["minhash_lsh"] = timed(
+            lambda: dedup.minhash_lsh_pairs(docs, "text", "doc_id").count()
+        )
+        r["simhash"] = timed(
+            lambda: dedup.simhash_pairs(docs, "text", "doc_id").count()
+        )
+        r["ngram_jaccard"] = timed(
+            lambda: dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
+        )
+        r["embedding_near_dup"] = timed(
+            lambda: dedup.embedding_near_dup_pairs(
+                embs, "embedding", "vec_id", n_planes=n_planes
+            ).count()
+        )
+        # IVF cell count grows with N to hold per-cell size constant --
+        # the same knob a real deployment turns when the corpus grows.
+        # The build uses the Arrow-vectorized numpy assignment (the
+        # at-scale kernel; the interpreted SQL form is the oracle path).
+        n_cells = max(16, n_emb // 500)
+        r["ivf_topk"] = timed(
+            lambda: topk_ivf(
+                embs, embs.limit(8), "embedding", "vec_id", k=5,
+                n_cells=n_cells, dim=DIM,
+                assigned=ivf_assign_fast(
+                    embs, "embedding", "vec_id", n_cells, DIM
+                ).withColumnRenamed("vec_id", "neighbor_id"),
+            ).count()
+        )
+        results[n] = r
+        for op, (secs, rows) in r.items():
+            print(json.dumps({"n_docs": n, "op": op, "sec": secs, "rows": rows}))
+
+    print("\n# time growth per 10x data (quadratic would be ~100x):")
+    for a, b in zip(sizes, sizes[1:]):
+        for op in results[a]:
+            ta, tb = results[a][op][0], results[b][op][0]
+            ratio = round(tb / ta, 1) if ta > 0 else float("inf")
+            print(f"  {op}: {a}->{b} rows = {ratio}x time")
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
