@@ -274,3 +274,180 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 5)
     )
+
+
+# --- Training-data pipeline staples: redact / split / shard ----------------
+
+# Email-shaped PII pattern, restricted to regex constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): literal classes,
+# quantifiers, no backrefs/lookaround.  DuckDB's regexp_replace is
+# first-match-only unless the 'g' option is passed; Spark's is global.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or u' || CAST(doc_id AS VARCHAR)
+                   || '@mail.test now'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+         AS n_redacted,
+       md5(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'))
+         AS redacted_md5
+FROM injected
+""",
+    doc="PII redaction over the documents corpus: the synthetic corpus is "
+    "clean, so email-shaped PII is first INJECTED deterministically into "
+    "every 10th doc, then counted (regexp_count) and stripped "
+    "(regexp_replace) -- the redacted text is md5'd so the oracle verifies "
+    "byte-exact redaction output, proving the Java-regex/RE2 pattern "
+    "subset behaves identically.  Single-pass map, no shuffle.",
+    tags=("text", "pipeline"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.expr(
+            "case when doc_id % 10 = 0 "
+            "then concat(text, ' contact user', cast(doc_id as string),"
+            " '@example.com or u', cast(doc_id as string), '@mail.test now')"
+            " else text end"
+        ).alias("text"),
+    )
+    # Python-API regexp functions, NOT F.expr: a Spark SQL string literal
+    # consumes backslash escapes, so '\.' inside an expr string silently
+    # becomes the any-char '.' and the pattern over-matches.
+    return injected.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE))
+        .cast("bigint")
+        .alias("n_redacted"),
+        F.md5(F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>")).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+@register(
+    "split_train_valid_test",
+    oracle="""
+WITH assigned AS (
+  SELECT *,
+         CASE WHEN b < 98 THEN 'train' WHEN b = 98 THEN 'valid' ELSE 'test'
+         END AS split
+  FROM (
+    SELECT doc_id, n_chars,
+           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 100 AS b
+    FROM documents
+  )
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       SUM(b) AS bucket_checksum
+FROM assigned
+GROUP BY split
+""",
+    doc="Deterministic train/valid/test split (98/1/1) by portable hash of "
+    "the document id: membership is a pure function of the id, so the "
+    "split is stable under re-runs, appends, and any partitioning -- the "
+    "property a training pipeline needs so the eval set never leaks into "
+    "training when the corpus is rebuilt.  The checksum over hash buckets "
+    "verifies the exact assignment cross-engine, not just the sizes.",
+    tags=("text", "pipeline", "sampling"),
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash64_sql_spark("cast(doc_id as string)", salt="split:")
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"{h} % 100").alias("b"),
+    ).withColumn(
+        "split",
+        F.expr(
+            "case when b < 98 then 'train' when b = 98 then 'valid'"
+            " else 'test' end"
+        ),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("b").alias("bucket_checksum"),
+    )
+
+
+SHARD_TOKEN_BUDGET = 2000
+
+
+@register(
+    "pack_token_shards",
+    oracle=f"""
+WITH sized AS (
+  SELECT lang, doc_id, CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens)
+              / {SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard
+  FROM sized
+)
+SELECT lang, shard,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, shard
+""",
+    doc="Token-budget shard packing: within each language, documents are "
+    "packed in doc_id order into ~2000-token shards by cumulative token "
+    "count (shard = floor(preceding-tokens / budget)) -- the standard "
+    "deterministic chunking of a corpus into training shards.  One window "
+    "(sort within lang) + one aggregate; at scale the window partitions "
+    "by lang so no global sort exists.",
+    tags=("text", "pipeline", "window"),
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang",
+        "doc_id",
+        F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "shard",
+        # floor, not cast: Spark's double->bigint cast truncates while
+        # DuckDB's ROUNDS, so both engines spell the floor explicitly.
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(SHARD_TOKEN_BUDGET)
+        ).cast("bigint"),
+    )
+    return packed.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
