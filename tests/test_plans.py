@@ -150,3 +150,36 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_kmv_uses_take_ordered_not_global_sort(spark):
+    """The KMV bottom-k must be TakeOrderedAndProject over the distinct
+    hashes (per-partition top-k + k-row merge), never a full Sort -- the
+    property that keeps the sketch one scan at any corpus size."""
+    plan = plan_of(spark, "sketch_kmv_ndv")
+    assert "TakeOrderedAndProject(limit=256" in plan, plan
+
+
+def test_cms_probes_are_broadcast(spark):
+    """Count-Min point lookups join the tiny probe set into the sketch via
+    broadcast; the sketch itself is a bounded d*w aggregate."""
+    plan = plan_of(spark, "sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shard_packing_single_shuffle(spark):
+    """pack_token_shards: the window's hash-partitioning on lang must be
+    reused by the (lang, shard) aggregate -- exactly one Exchange in the
+    whole plan (plus none for the partial aggregation)."""
+    plan = plan_of(spark, "pack_token_shards")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pipeline_staples_stay_jvm_side(spark):
+    """Redaction / split / shard-packing are single-pass built-in plans --
+    no Python evaluation stages anywhere."""
+    for name in ("text_pii_redact", "split_train_valid_test", "pack_token_shards"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name

@@ -102,6 +102,22 @@ def test_ivf_assign_matches_numpy_argmax(spark, sf_dir):
         assert got[r.vec_id] == want, r.vec_id
 
 
+def test_ivf_assign_fast_agrees_with_sql_path(spark, sf_dir):
+    """The Arrow-vectorized numpy assignment must agree with the exact SQL
+    argmax path on real vectors (both tie-break to the lowest cell; only
+    sub-ulp near-ties could ever differ, and none exist in this corpus)."""
+    from json_format_in_parquet_benchmark_spark.operators.similarity import (
+        ivf_assign_fast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(500)
+    sql_cells = {r.vec_id: r.cell for r in ivf_assign(emb, "embedding", "vec_id").collect()}
+    fast_cells = {
+        r.vec_id: r.cell for r in ivf_assign_fast(emb, "embedding", "vec_id").collect()
+    }
+    assert sql_cells == fast_cells
+
+
 def test_lsh_topk_is_subset_of_bruteforce_scores(spark, sf_dir):
     """Every LSH-reported neighbor must carry the same cosine the exact
     brute-force assigns to that pair (LSH affects recall, never scores)."""
