@@ -50,9 +50,9 @@ from pyspark.sql import functions as F
 from ..functions.hashing import HASH_BITS, hash64_sql_duckdb, hash64_sql_spark
 
 
-def _alpha(m: int) -> float:
-    # Flajolet et al. 2007 bias constants; the float literal is embedded in
-    # BOTH engines' SQL so the arithmetic starts from the identical double.
+def alpha_m(m: int) -> float:
+    """Flajolet et al. 2007 bias constants; the float literal is embedded in
+    BOTH engines' SQL so the arithmetic starts from the identical double."""
     if m == 16:
         return 0.673
     if m == 32:
@@ -60,6 +60,36 @@ def _alpha(m: int) -> float:
     if m == 64:
         return 0.709
     return 0.7213 / (1.0 + 1.079 / m)
+
+
+_alpha = alpha_m  # original name kept for callers
+
+
+def hll_bucket_rho_spark(value_expr: str, b: int) -> tuple[str, str, str]:
+    """Spark SQL fragments (bucket, w, rho-from-w) for one HLL row -- the
+    per-row part of the sketch, shared by the batch estimator and the
+    windowed streaming register query."""
+    m = 1 << b
+    top = HASH_BITS - b
+    h = hash64_sql_spark(value_expr)
+    return (
+        f"({h}) % {m}",
+        f"shiftright({h}, {b})",
+        f"case when w = 0 then {top + 1} else {top} - length(bin(w)) + 1 end",
+    )
+
+
+def hll_bucket_rho_duckdb(value_expr: str, b: int) -> tuple[str, str, str]:
+    """DuckDB fragments computing the identical (bucket, w, rho)."""
+    m = 1 << b
+    top = HASH_BITS - b
+    h = hash64_sql_duckdb(value_expr)
+    return (
+        f"({h}) % {m}",
+        f"(({h}) >> {b})",
+        f"CASE WHEN w = 0 THEN {top + 1}"
+        f" ELSE {top} - length(format('{{:b}}', w)) + 1 END",
+    )
 
 
 def hll_estimate(df: DataFrame, value_expr: str, b: int = 8) -> DataFrame:

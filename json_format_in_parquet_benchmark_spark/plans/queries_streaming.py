@@ -345,3 +345,114 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_stream(stream, gap_minutes=GAP_MINUTES)
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     return _run_to_memory(sessions, f"sessions_{tag}", "append")
+
+
+# --- Streaming sketch: windowed HLL distinct users -------------------------
+
+HLL_STREAM_B = 4  # m=16 registers/window: daily distinct users (~134 at
+# sf0.01) sit well above the raw-estimator threshold 2.5*m=40.
+
+_HLL_M = 1 << HLL_STREAM_B
+
+
+def _hll_user_oracle() -> str:
+    from ..operators.sketches import alpha_m, hll_bucket_rho_duckdb
+
+    bucket, w, rho = hll_bucket_rho_duckdb("CAST(user_id AS VARCHAR)", HLL_STREAM_B)
+    alpha = alpha_m(_HLL_M)
+    return f"""
+WITH wm AS (SELECT epoch_ms(MAX(ts)) - 86400000 AS wm_ms FROM events),
+hx AS (
+  SELECT date_trunc('day', ts) AS ws, {bucket} AS bucket, {w} AS w
+  FROM events
+),
+rho AS (SELECT ws, bucket, {rho} AS rho FROM hx),
+regs AS (SELECT ws, bucket, MAX(rho) AS M FROM rho GROUP BY 1, 2),
+est AS (
+  SELECT ws,
+         CAST(CAST({alpha!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+              * CAST((1::BIGINT << 61) AS DOUBLE)
+              / CAST(SUM(CAST((1::BIGINT << (61 - M)) AS DECIMAL(38,0)))
+                     + CAST(({_HLL_M} - COUNT(*)) AS DECIMAL(38,0))
+                       * CAST((1::BIGINT << 61) AS DECIMAL(38,0)) AS DOUBLE)
+         AS DOUBLE) AS est_distinct
+  FROM regs GROUP BY ws
+),
+exact AS (
+  SELECT date_trunc('day', ts) AS ws,
+         COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT strftime(e.ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       e.est_distinct,
+       x.exact_distinct,
+       (e.est_distinct - CAST(x.exact_distinct AS DOUBLE))
+         / CAST(x.exact_distinct AS DOUBLE) AS rel_err
+FROM est e JOIN exact x USING (ws), wm
+WHERE epoch_ms(e.ws + INTERVAL 1 DAY) <= wm.wm_ms
+"""
+
+
+@register(
+    "stream_hll_distinct_users",
+    oracle=_hll_user_oracle(),
+    doc="Streaming mergeable sketch: daily distinct-user HyperLogLog over "
+    "the watermarked event stream.  The STREAMING side maintains only the "
+    "(window, register)->max(rho) state -- m=16 integer registers per open "
+    "window, the textbook bounded-state distinct on an unbounded stream -- "
+    "and append-emits each window's registers when the 1-day watermark "
+    "closes it; the estimate is then computed from the emitted registers "
+    "batch-side (exactly how a production pipeline reads sketch state).  "
+    "Built on the portable md5 hash + exact integer register arithmetic "
+    "(operators/sketches.py), so the ESTIMATE is bit-identical in the "
+    "oracle; the exact per-window count and relative error are reported "
+    "alongside (raw-estimator accuracy ~1/sqrt(16) ~ 26%).",
+    tags=("streaming", "sketch", "distinct", "watermark", "custom-operator"),
+)
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import alpha_m, hll_bucket_rho_spark
+
+    bucket, w, rho = hll_bucket_rho_spark("cast(user_id as string)", HLL_STREAM_B)
+    events_dir = _staged_events(spark, sf_dir)
+    stream = read_events_stream(spark, events_dir)
+    rows = (
+        stream.withWatermark("ts", "1 day")
+        .selectExpr("ts", f"{bucket} as bucket", f"{w} as w")
+        .selectExpr("ts", "bucket", f"{rho} as rho")
+    )
+    regs = rows.groupBy(F.window("ts", "1 day").alias("win"), F.col("bucket")).agg(
+        F.max("rho").alias("M")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sink = _run_to_memory(
+        regs.select(F.col("win.start").alias("win_ts"), "bucket", "M"),
+        f"hll_users_{tag}",
+        "append",
+    )
+    alpha = alpha_m(_HLL_M)
+    est = sink.groupBy("win_ts").agg(
+        F.expr(
+            f"cast(cast({alpha!r} as double) * {_HLL_M * _HLL_M}"
+            " * cast(shiftleft(1L, 61) as double)"
+            " / cast(sum(cast(shiftleft(1L, 61 - M) as decimal(38,0)))"
+            f"        + cast(({_HLL_M} - count(1)) as decimal(38,0))"
+            "          * cast(shiftleft(1L, 61) as decimal(38,0)) as double)"
+            " as double)"
+        ).alias("est_distinct")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("win_ts"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "win_ts").select(
+        F.date_format("win_ts", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "est_distinct",
+        "exact_distinct",
+        (
+            (F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_err"),
+    )
