@@ -202,6 +202,181 @@ def kmv_estimate_duckdb(table_expr: str, value_expr: str, k: int = 256) -> str:
 )"""
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    value_expr: str,
+    width: int,
+    quantiles: tuple[tuple[int, int], ...],
+) -> DataFrame:
+    """Mergeable fixed-width histogram + quantile estimates.
+
+    The sketch is the (bin, count) table with ``bin = floor(value/width)``:
+    integer counters that merge by addition, so every executor histograms
+    its partition and one bounded groupBy combines them -- state is
+    ``value_range/width`` counters, independent of N (the same contract as
+    the CMS/HLL sketches).  Quantile q = qn/qd is estimated by linear
+    interpolation inside the first bin whose cumulative count reaches the
+    integer rank ``t = ceil(qn*N/qd)`` (computed with integer arithmetic,
+    no float rank).  The EXACT quantile is computed alongside from the
+    per-value count table (groupBy value + cumulative sum -- still no
+    global row sort), so the estimate is audited in-query.
+
+    ``quantiles`` are (numerator, denominator) pairs; everything up to the
+    final interpolation/relative-error divisions is exact integer work, so
+    the output doubles are bit-identical cross-engine.
+
+    Plan shape: the corpus is scanned EXACTLY ONCE, into the per-value
+    count table (a map-side-combined groupBy).  That table is
+    sketch-sized, persisted (released via :func:`release_caches`), and
+    every other relation -- bins, total, cumulative sums, rank targets --
+    derives from it, so the half-dozen plan branches below re-read a few
+    hundred cached rows, not the corpus.
+    """
+    from .dedup import _track_persist
+
+    v = f"cast({value_expr} as bigint)"
+    vals = _track_persist(
+        df.selectExpr(f"{v} as v")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("vcnt"))
+    )
+    bins = (
+        vals.selectExpr(
+            f"cast(floor(v / {width}) as bigint) as bin", "vcnt"
+        )
+        .groupBy("bin")
+        .agg(F.sum("vcnt").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    # Cumulative sums run over the BOUNDED bin/value tables (sketch-sized,
+    # not corpus-sized); the single-partition window is over <= range/width
+    # rows.
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "cnt", F.sum("cnt").over(wb).alias("cum")
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vals.select("v", F.sum("vcnt").over(wv).alias("vcum"))
+
+    total = vals.agg(F.sum("vcnt").alias("n_rows"))
+    targets = (
+        total.select(
+            "n_rows",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(qn).alias("qn"), F.lit(qd).alias("qd")
+                        )
+                        for qn, qd in quantiles
+                    ]
+                )
+            ).alias("q"),
+        )
+        .select("n_rows", "q.qn", "q.qd")
+        # integer ceil(qn*N/qd): no float rank arithmetic anywhere
+        .withColumn(
+            "t",
+            F.expr("cast((qn * n_rows + qd - 1) div qd as bigint)"),
+        )
+    )
+    qbin = (
+        targets.crossJoin(cum)
+        .where(F.col("cum") >= F.col("t"))
+        .groupBy("qn", "qd", "t")
+        .agg(F.min("bin").alias("bin"))
+        .join(cum, "bin")
+    )
+    qexact = (
+        targets.select("qn", "qd", "t")
+        .crossJoin(vcum)
+        .where(F.col("vcum") >= F.col("t"))
+        .groupBy("qn", "qd")
+        .agg(F.min("v").alias("exact_value"))
+    )
+    return (
+        qbin.join(qexact, ["qn", "qd"])
+        .select(
+            F.expr("cast(qn as double) / cast(qd as double)").alias("quantile"),
+            F.expr(
+                f"cast(bin * {width} as double)"
+                f" + cast({width} * (t - cum_before) as double)"
+                " / cast(cnt as double)"
+            ).alias("est_value"),
+            F.col("exact_value").cast("bigint").alias("exact_value"),
+        )
+        .withColumn(
+            "rel_err",
+            (F.col("est_value") - F.col("exact_value").cast("double"))
+            / F.col("exact_value").cast("double"),
+        )
+    )
+
+
+def histogram_quantiles_duckdb(
+    table_expr: str,
+    value_expr: str,
+    width: int,
+    quantiles: tuple[tuple[int, int], ...],
+) -> str:
+    """DuckDB SQL computing the identical histogram quantile table."""
+    v = f"CAST({value_expr} AS BIGINT)"
+    qrows = " UNION ALL ".join(
+        f"SELECT {qn} AS qn, {qd} AS qd" for qn, qd in quantiles
+    )
+    return f"""
+WITH hq_bins AS (
+  SELECT CAST(FLOOR(({v}) / {width}) AS BIGINT) AS bin, COUNT(*) AS cnt
+  FROM {table_expr} GROUP BY 1
+),
+hq_cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - cnt
+           AS cum_before
+  FROM hq_bins
+),
+hq_vals AS (
+  SELECT {v} AS val, COUNT(*) AS vcnt FROM {table_expr} GROUP BY 1
+),
+hq_vcum AS (
+  SELECT val,
+         SUM(vcnt) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS vcum
+  FROM hq_vals
+),
+hq_targets AS (
+  SELECT qn, qd,
+         CAST((qn * n_rows + qd - 1) // qd AS BIGINT) AS t
+  FROM ({qrows}), (SELECT SUM(cnt) AS n_rows FROM hq_bins)
+),
+hq_qbin AS (
+  SELECT g.qn, g.qd, g.t, c.bin, c.cnt, c.cum_before
+  FROM (
+    SELECT tg.qn, tg.qd, tg.t, MIN(cm.bin) AS bin
+    FROM hq_targets tg JOIN hq_cum cm ON cm.cum >= tg.t
+    GROUP BY 1, 2, 3
+  ) g JOIN hq_cum c ON c.bin = g.bin
+),
+hq_exact AS (
+  SELECT tg.qn, tg.qd, MIN(vc.val) AS exact_value
+  FROM hq_targets tg JOIN hq_vcum vc ON vc.vcum >= tg.t
+  GROUP BY 1, 2
+)
+SELECT CAST(b.qn AS DOUBLE) / CAST(b.qd AS DOUBLE) AS quantile,
+       CAST(b.bin * {width} AS DOUBLE)
+         + CAST({width} * (b.t - b.cum_before) AS DOUBLE)
+           / CAST(b.cnt AS DOUBLE) AS est_value,
+       CAST(e.exact_value AS BIGINT) AS exact_value,
+       (CAST(b.bin * {width} AS DOUBLE)
+          + CAST({width} * (b.t - b.cum_before) AS DOUBLE)
+            / CAST(b.cnt AS DOUBLE)
+        - CAST(e.exact_value AS DOUBLE)) / CAST(e.exact_value AS DOUBLE)
+         AS rel_err
+FROM hq_qbin b JOIN hq_exact e ON e.qn = b.qn AND e.qd = b.qd
+"""
+
+
 def hll_estimate_duckdb(table_expr: str, value_expr: str, b: int = 8) -> str:
     """DuckDB SQL computing the bit-identical estimate (scalar subquery
     text; ``table_expr`` is a FROM-able relation)."""

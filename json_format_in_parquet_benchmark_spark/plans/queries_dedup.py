@@ -9,8 +9,9 @@ operator's dataflow: shingle -> signature -> band -> candidate -> verify).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..functions.text import shingles_duckdb, tokens_duckdb
+from ..functions.text import shingles_duckdb, tokens_duckdb, tokens_spark
 from ..operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -366,4 +367,122 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=EMBED_THRESHOLD,
         n_planes=EMBED_PLANES,
         dim=EMBED_DIM,
+    )
+
+
+INC_BATCH_MOD = 10  # hash slice: ~10% of documents arrive as the "new batch"
+
+
+def _inc_batch_duckdb(idexpr: str) -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+
+    h = hash64_sql_duckdb(f"CAST({idexpr} AS VARCHAR)", salt="inc:")
+    return f"({h}) % {INC_BATCH_MOD} = {INC_BATCH_MOD - 1}"
+
+
+def _incremental_oracle() -> str:
+    return (
+        "WITH "
+        + _minhash_pairs_cte()
+        + f""",
+inc_sides AS (
+  SELECT doc_id, {_inc_batch_duckdb('doc_id')} AS is_batch,
+         md5(array_to_string(list_sort(list_distinct({_TOKS_D})), ' ')) AS th
+  FROM documents
+),
+inc_corpus_hashes AS (
+  SELECT DISTINCT th FROM inc_sides WHERE NOT is_batch
+),
+inc_near_ids AS (
+  SELECT doc_a AS doc_id FROM pairs
+  WHERE ({_inc_batch_duckdb('doc_a')}) AND NOT ({_inc_batch_duckdb('doc_b')})
+  UNION
+  SELECT doc_b FROM pairs
+  WHERE ({_inc_batch_duckdb('doc_b')}) AND NOT ({_inc_batch_duckdb('doc_a')})
+)
+SELECT outcome, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT s.doc_id,
+         CASE WHEN s.th IN (SELECT th FROM inc_corpus_hashes)
+                THEN 'dropped_exact'
+              WHEN s.doc_id IN (SELECT doc_id FROM inc_near_ids)
+                THEN 'dropped_near'
+              ELSE 'kept' END AS outcome
+  FROM inc_sides s WHERE s.is_batch
+)
+GROUP BY outcome
+"""
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle=_incremental_oracle(),
+    doc="Incremental dedup of a new batch against the existing corpus -- the "
+    "production shape for a continuously growing training set (the corpus "
+    "is NOT re-deduped; only the arriving slice is checked).  A hash-"
+    "deterministic 10% of documents plays the new batch.  Stage 1 drops "
+    "batch docs whose normalized tokenset hash already exists in the "
+    "corpus (one shuffle on the hash); stage 2 drops survivors that "
+    "MinHash-LSH-pair with a corpus doc (band-bucket candidates + exact "
+    "Jaccard verify; the cross-side pair endpoints are a tiny broadcast). "
+    "Emits per-outcome counts + id checksums pinning the exact decision "
+    "for every batch doc.",
+    tags=("dedup", "incremental", "minhash", "pipeline"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (
+        f"({hash64_sql_spark('cast(doc_id as string)', salt='inc:')})"
+        f" % {INC_BATCH_MOD} = {INC_BATCH_MOD - 1}"
+    )
+    sides = docs.select(
+        "doc_id",
+        F.expr(is_batch).alias("is_batch"),
+        F.expr(
+            f"md5(concat_ws(' ', array_sort(array_distinct({tokens_spark('text')}))))"
+        ).alias("th"),
+    )
+    corpus_hashes = (
+        sides.where(~F.col("is_batch"))
+        .select("th")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    batch = sides.where(F.col("is_batch"))
+
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        n=MINHASH_SHINGLE, k=MINHASH_K, bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD, max_bucket=MINHASH_MAX_BUCKET,
+    )
+    batch_a = f"({hash64_sql_spark('cast(doc_a as string)', salt='inc:')}) % {INC_BATCH_MOD} = {INC_BATCH_MOD - 1}"
+    batch_b = f"({hash64_sql_spark('cast(doc_b as string)', salt='inc:')}) % {INC_BATCH_MOD} = {INC_BATCH_MOD - 1}"
+    near_ids = (
+        pairs.where(F.expr(f"({batch_a}) and not ({batch_b})")).select("doc_a")
+        .unionByName(
+            pairs.where(F.expr(f"({batch_b}) and not ({batch_a})")).select(
+                F.col("doc_b").alias("doc_a")
+            )
+        )
+        .distinct()
+        .select(F.col("doc_a").alias("doc_id"))
+        .withColumn("near_dup", F.lit(True))
+    )
+    flagged = (
+        batch.join(corpus_hashes, "th", "left")
+        .join(F.broadcast(near_ids), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), F.lit("dropped_exact"))
+            .when(F.col("near_dup"), F.lit("dropped_near"))
+            .otherwise(F.lit("kept"))
+            .alias("outcome"),
+        )
+    )
+    return flagged.groupBy("outcome").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )

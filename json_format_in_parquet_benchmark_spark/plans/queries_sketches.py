@@ -18,6 +18,8 @@ from ..functions.text import tokens_duckdb, tokens_spark
 from ..operators.sketches import (
     cms_duckdb_cte,
     cms_sketch,
+    histogram_quantiles,
+    histogram_quantiles_duckdb,
     hll_estimate,
     hll_estimate_duckdb,
     kmv_estimate,
@@ -146,6 +148,31 @@ def sketch_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+HIST_WIDTH = 50
+HIST_QUANTILES = ((1, 2), (9, 10), (99, 100))
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=histogram_quantiles_duckdb(
+        "documents", "n_chars", HIST_WIDTH, HIST_QUANTILES
+    ),
+    doc="Mergeable fixed-width histogram over document lengths with p50/p90/"
+    "p99 estimates by in-bin linear interpolation, audited against the "
+    "exact quantiles computed from the per-value count table.  The sketch "
+    "state is range/width integer counters that merge by addition (each "
+    "executor histograms its partition; one bounded groupBy combines), and "
+    "the quantile rank is integer arithmetic (ceil(qn*N/qd)), so the "
+    "estimates are bit-identical cross-engine.  No global row sort "
+    "anywhere -- the cumulative windows run over the sketch-sized bin/"
+    "value tables.",
+    tags=("sketch", "quantile", "custom-operator"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram_quantiles(docs, "n_chars", HIST_WIDTH, HIST_QUANTILES)
 
 
 CMS_D, CMS_W, CMS_TOP = 4, 1024, 20

@@ -451,3 +451,181 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# Per-language sampling rates in basis points (of 10000): downsample the
+# overrepresented language, keep more of the rest -- the standard corpus
+# rebalancing step before training.
+SAMPLE_RATES_BPS = (("en", 500), ("es", 2000), ("fr", 2000), ("de", 2000), ("zh", 2000))
+
+_RATE_CASE_S = "case " + " ".join(
+    f"when lang = '{lang}' then {bps}" for lang, bps in SAMPLE_RATES_BPS
+) + " else 0 end"
+_RATE_CASE_D = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {bps}" for lang, bps in SAMPLE_RATES_BPS
+) + " ELSE 0 END"
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+WITH tagged AS (
+  SELECT lang, doc_id, n_chars,
+         ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10000 < ({_RATE_CASE_D}) AS sampled
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (sampled) AS n_sampled,
+       CAST(COALESCE(SUM(doc_id) FILTER (sampled), 0) AS BIGINT)
+         AS sampled_id_checksum,
+       CAST(COALESCE(SUM(n_chars) FILTER (sampled), 0) AS BIGINT)
+         AS sampled_chars,
+       CAST(COUNT(*) FILTER (sampled) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS realized_rate
+FROM tagged
+GROUP BY lang
+""",
+    doc="Deterministic stratified sampling for language rebalancing: each "
+    "document is kept iff its portable hash lands under the per-language "
+    "rate (en 5%, others 20%), so membership is a pure function of the id "
+    "-- stable under re-runs, appends and any partitioning, and exactly "
+    "reproducible on any cluster (no RNG, no sample() nondeterminism).  "
+    "The id/char checksums pin the exact sampled SET cross-engine, not "
+    "just the sizes.  Single pass, no shuffle before the per-language "
+    "rollup.",
+    tags=("text", "pipeline", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash64_sql_spark("cast(doc_id as string)", salt="sample:")
+    tagged = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.expr(f"{h} % 10000 < ({_RATE_CASE_S})").alias("sampled"),
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if("sampled").alias("n_sampled"),
+        F.coalesce(
+            F.sum(F.when(F.col("sampled"), F.col("doc_id"))), F.lit(0)
+        ).alias("sampled_id_checksum"),
+        F.coalesce(
+            F.sum(F.when(F.col("sampled"), F.col("n_chars"))), F.lit(0)
+        ).alias("sampled_chars"),
+        (
+            F.count_if("sampled").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("realized_rate"),
+    )
+
+
+DECON_N = 4  # n-gram size for contamination matching
+DECON_BENCH_PCT = 10  # hash-held-out "benchmark" slice of the corpus
+DECON_MIN_SHARED = 2  # flag a (train, bench) pair sharing >= this many grams
+DECON_DF_CAP = 20  # bench grams present in more bench docs are stop-grams
+
+def _decon_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+    from ..functions.text import shingles_duckdb
+
+    grams = shingles_duckdb(_TOKS_D, DECON_N)
+    is_bench = (
+        f"({hash64_sql_duckdb('CAST(doc_id AS VARCHAR)', salt='bench:')})"
+        f" % 100 < {DECON_BENCH_PCT}"
+    )
+    return f"""
+WITH sides AS (
+  SELECT doc_id, {is_bench} AS is_bench, {grams} AS grams
+  FROM documents
+),
+bench_grams AS (
+  SELECT doc_id AS bench_doc, unnest(grams) AS g FROM sides WHERE is_bench
+),
+capped AS (
+  SELECT bench_doc, g FROM bench_grams
+  WHERE g NOT IN (
+    SELECT g FROM bench_grams GROUP BY g HAVING COUNT(*) > {DECON_DF_CAP}
+  )
+),
+train AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+  FROM sides WHERE NOT is_bench
+)
+SELECT t.doc_id,
+       c.bench_doc,
+       COUNT(*) AS n_shared,
+       MAX(t.n_grams) AS n_grams,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MAX(t.n_grams) AS DOUBLE)
+         AS overlap_ratio
+FROM train t JOIN capped c ON c.g = t.g
+GROUP BY t.doc_id, c.bench_doc
+HAVING COUNT(*) >= {DECON_MIN_SHARED}
+"""
+
+
+@register(
+    "text_decontaminate",
+    oracle=_decon_oracle(),
+    doc="Benchmark decontamination: flag (training doc, benchmark doc) pairs "
+    "sharing >= 2 distinct 4-gram shingles, the standard n-gram-overlap "
+    "check that keeps eval data out of a training corpus.  The benchmark "
+    "slice is a hash-held-out 10% (stable under rebuilds, like the "
+    "train/valid/test split); its gram index is document-frequency-capped "
+    "(stop-grams carry no contamination signal) and BROADCAST -- eval "
+    "suites are small and fixed, so at 100 TB the corpus is scanned once "
+    "and never shuffled: explode grams, hash-join the broadcast index, "
+    "one partial-aggregated groupBy on the (rare) matching pairs.",
+    tags=("text", "pipeline", "dedup", "decontamination"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+    from ..functions.text import shingles_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingles_spark(_TOKS_S, DECON_N)
+    is_bench = (
+        f"({hash64_sql_spark('cast(doc_id as string)', salt='bench:')})"
+        f" % 100 < {DECON_BENCH_PCT}"
+    )
+    sides = docs.select(
+        "doc_id", F.expr(is_bench).alias("is_bench"), F.expr(grams).alias("grams")
+    )
+    bench_grams = (
+        sides.where("is_bench")
+        .select(F.col("doc_id").alias("bench_doc"), F.explode("grams").alias("g"))
+    )
+    hot = (
+        bench_grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > DECON_DF_CAP)
+        .select("g")
+    )
+    capped = bench_grams.join(hot, "g", "left_anti")
+    train = sides.where(~F.col("is_bench")).select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("g"),
+    )
+    return (
+        train.join(F.broadcast(capped), "g")
+        .groupBy("doc_id", "bench_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.max("n_grams").alias("n_grams"),
+        )
+        .where(F.col("n_shared") >= DECON_MIN_SHARED)
+        .select(
+            "doc_id",
+            "bench_doc",
+            "n_shared",
+            "n_grams",
+            (
+                F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
+            ).alias("overlap_ratio"),
+        )
+    )
