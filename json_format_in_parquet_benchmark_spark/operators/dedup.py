@@ -333,7 +333,13 @@ def connected_components(
     both = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-    both = both.persist()
+    # Persist PRE-PARTITIONED on the join key: InMemoryRelation preserves the
+    # repartition's hash partitioning, so every propagation round's
+    # both-with-labels join consumes the cache with no re-exchange of the
+    # edge table (labels is likewise node-partitioned by its producing
+    # aggregation/join).  One shuffle per round remains: the groupBy on the
+    # destination node.
+    both = both.repartition("s").persist()
     labels = (
         both.select(F.col("s").alias("node"))
         .distinct()
@@ -346,17 +352,18 @@ def connected_components(
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(max_iter):
-        neigh = (
-            both.join(labels, both.s == labels.node)
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
+        # One round = one aggregation: min over (own label ∪ labels arriving
+        # over edges).  Union + groupBy-min replaces the former
+        # groupBy + left-join pair -- same fixpoint, one fewer stage per
+        # round, and map-side partial aggregation collapses the per-edge
+        # rows before the single shuffle.
+        propagated = both.join(labels, both.s == labels.node).select(
+            F.col("d").alias("node"), "label"
         )
         new_labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
+            labels.unionByName(propagated)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .persist()
         )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
