@@ -486,3 +486,95 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+SEM_K = 8  # k-means cluster count (the SemDeDup scale knob)
+SEM_ITERS = 2  # Lloyd iterations (fixed so the oracle can unroll them)
+
+
+def _semantic_oracle(k: int = SEM_K, iters: int = SEM_ITERS,
+                     dim: int = 64, tau: float = EMBED_THRESHOLD) -> str:
+    """Unrolled k-means + within-cluster cosine dedup, bit-exact vs the
+    Spark plan: quantized BIGINT centroid sums (order-free), one double
+    de-quantization with identical operands, sequential-fold dot products."""
+    cent_terms = ", ".join(
+        f"CAST(SUM(CAST(FLOOR(vd[{j}] * 1e8) AS BIGINT)) AS DOUBLE)"
+        f" / (CAST(COUNT(*) AS DOUBLE) * 1e8)"
+        for j in range(1, dim + 1)
+    )
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS vd"
+        " FROM embeddings)",
+        f"""c0 AS (
+  SELECT cluster, cent, list_dot_product(cent, cent) AS cnorm2 FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS cluster,
+           vd AS cent
+    FROM e) WHERE cluster < {k})""",
+    ]
+    prev_c = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, vd, cluster FROM (
+    SELECT e.vec_id, e.vd, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY c.cnorm2 - 2 * list_dot_product(e.vd, c.cent),
+                      c.cluster) AS rn
+    FROM e CROSS JOIN {prev_c} c) WHERE rn = 1)""")
+        parts.append(f"""c{i} AS (
+  SELECT cluster, cent, list_dot_product(cent, cent) AS cnorm2 FROM (
+    SELECT cluster, [{cent_terms}] AS cent
+    FROM a{i} GROUP BY cluster))""")
+        prev_c = f"c{i}"
+    parts.append(f"""fin AS MATERIALIZED (
+  SELECT vec_id, vd, cluster FROM (
+    SELECT e.vec_id, e.vd, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY c.cnorm2 - 2 * list_dot_product(e.vd, c.cent),
+                      c.cluster) AS rn
+    FROM e CROSS JOIN {prev_c} c) WHERE rn = 1)""")
+    parts.append("""nrmed AS MATERIALIZED (
+  SELECT vec_id, vd, cluster, sqrt(list_dot_product(vd, vd)) AS nrm
+  FROM fin)""")
+    parts.append("sizes AS (SELECT cluster, COUNT(*) AS n_cluster FROM fin"
+                 " GROUP BY 1)")
+    parts.append(f"""dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM nrmed a JOIN nrmed b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) >= {tau})""")
+    return ",\n".join(parts) + """
+SELECT f.vec_id, f.cluster, s.n_cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         AS semantic_dup
+FROM fin f
+JOIN sizes s USING (cluster)
+LEFT JOIN dup d ON d.vec_id = f.vec_id
+"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=_semantic_oracle(),
+    doc=f"SemDeDup semantic deduplication: deterministic {SEM_ITERS}-round "
+    f"Lloyd k-means over the embedding column ({SEM_K} broadcast centroids, "
+    "assignment is a map-side argmin pass, the centroid update one exact "
+    "integer shuffle), then cosine near-dup flags computed ONLY within each "
+    "final cluster.  Cluster count is the published scale knob (SemDeDup "
+    "uses 50k clusters at 5B embeddings, bounding within-cluster pair work "
+    "to N^2/k); at production k the argmin pass swaps in the BLAS-batched "
+    "ivf_assign_fast kernel.  Emits one row per vector with its cluster, "
+    "cluster size, and dup verdict.",
+    tags=("dedup", "embedding", "kmeans", "semantic"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semantic import semantic_dup_flags
+
+    return semantic_dup_flags(
+        load_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        threshold=EMBED_THRESHOLD,
+        k=SEM_K,
+        iters=SEM_ITERS,
+        dim=EMBED_DIM,
+    )

@@ -629,3 +629,116 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_ratio"),
         )
     )
+
+
+# Gopher-style repetition/quality gate thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", table A1 -- adapted to this single-line
+# corpus: line/paragraph repetition collapses to token/bigram repetition).
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 50_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_DUP_TOKEN_FRAC = 0.6
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.08
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_D} AS toks FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS mean_word_len
+  FROM t WHERE len(toks) > 0
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY 1)
+SELECT s.doc_id, s.n_tokens, s.dup_token_frac, s.mean_word_len,
+       CASE WHEN s.n_tokens >= 2
+            THEN CAST(top_c AS DOUBLE) / CAST(s.n_tokens - 1 AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+       CAST(s.n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+            AND s.mean_word_len BETWEEN {GOPHER_MIN_WORD_LEN} AND {GOPHER_MAX_WORD_LEN}
+            AND s.dup_token_frac <= {GOPHER_MAX_DUP_TOKEN_FRAC}
+            AND (CASE WHEN s.n_tokens >= 2
+                      THEN CAST(top_c AS DOUBLE) / CAST(s.n_tokens - 1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END) <= {GOPHER_MAX_TOP_BIGRAM_FRAC}
+            AS INT) AS gopher_pass
+FROM stats s LEFT JOIN top USING (doc_id)
+""",
+    doc="Gopher-style repetition quality signals per document: duplicate-"
+    "token fraction, mean word length, most-frequent-bigram fraction, and "
+    "the composite pass flag.  Doc-level stats are a single-pass map; the "
+    "top-bigram count is explode -> (doc, bigram) count -> per-doc max, "
+    "both aggregations map-side-combined before their one shuffle, then a "
+    "doc_id-partitioned join back to the stats -- no all-pairs work "
+    "anywhere, so the shape is linear in corpus size at 100 TB.",
+    tags=("text", "quality", "gopher"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("n_tokens"),
+        F.expr(
+            f"cast(size({_TOKS_S}) - size(array_distinct({_TOKS_S})) as double)"
+            f" / cast(size({_TOKS_S}) as double)"
+        ).alias("dup_token_frac"),
+        F.expr(
+            f"cast(aggregate(transform({_TOKS_S}, x -> length(x)), 0,"
+            f" (acc, x) -> acc + x) as double)"
+            f" / cast(size({_TOKS_S}) as double)"
+        ).alias("mean_word_len"),
+    ).where(F.expr(f"size({_TOKS_S}) > 0"))
+    bigrams = (
+        docs.where(F.expr(f"size({_TOKS_S}) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({_TOKS_S}) - 1),"
+                    f" i -> concat_ws(' ', slice({_TOKS_S}, i, 2)))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    joined = stats.join(top, "doc_id", "left")
+    top_frac = F.when(
+        F.col("n_tokens") >= 2,
+        F.col("top_c").cast("double") / (F.col("n_tokens") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "mean_word_len",
+        top_frac.alias("top_bigram_frac"),
+        (
+            F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+            & F.col("mean_word_len").between(
+                GOPHER_MIN_WORD_LEN, GOPHER_MAX_WORD_LEN
+            )
+            & (F.col("dup_token_frac") <= GOPHER_MAX_DUP_TOKEN_FRAC)
+            & (top_frac <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+        )
+        .cast("int")
+        .alias("gopher_pass"),
+    )

