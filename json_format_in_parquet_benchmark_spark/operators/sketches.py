@@ -406,3 +406,69 @@ def hll_estimate_duckdb(table_expr: str, value_expr: str, b: int = 8) -> str:
          AS DOUBLE)
   FROM hll_regs
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: compact broadcastable set membership, bit-identical across
+# engines.  60-bit words sidestep sign-bit semantics differences entirely
+# (1 << bit stays positive), and bit_or is an exact integer aggregate in
+# both engines, so the filter -- like the other sketches -- is itself under
+# the correctness gate.  Mergeable: word-wise bit_or combines partition
+# filters, the 100 TB property.
+# ---------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 60
+
+
+def bloom_positions_spark(value_expr: str, m_bits: int, k: int) -> list[str]:
+    return [
+        f"(({hash64_sql_spark(value_expr, salt=f'bloom{i}:')}) % {m_bits})"
+        for i in range(k)
+    ]
+
+
+def bloom_positions_duckdb(value_expr: str, m_bits: int, k: int) -> list[str]:
+    return [
+        f"(({hash64_sql_duckdb(value_expr, salt=f'bloom{i}:')}) % {m_bits})"
+        for i in range(k)
+    ]
+
+
+def bloom_build(values: DataFrame, value_col: str, m_bits: int, k: int) -> DataFrame:
+    """(word, bits) rows of the filter over the distinct values: explode the
+    k probe positions, one map-side-combined bit_or shuffle bounded by
+    m_bits/60 rows."""
+    pos = values.select(
+        F.explode(
+            F.array(
+                *[F.expr(p) for p in bloom_positions_spark(value_col, m_bits, k)]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(f"pos % {BLOOM_WORD_BITS}").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))"
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_build_duckdb_cte(values_sql: str, value_col: str, m_bits: int, k: int) -> str:
+    """CTE text producing the identical (word, bits) filter in DuckDB;
+    ``values_sql`` must select the value column as ``{value_col}``."""
+    pos_list = ", ".join(bloom_positions_duckdb(value_col, m_bits, k))
+    return f"""
+bloom_pos AS (
+  SELECT unnest([{pos_list}]) AS pos FROM ({values_sql})
+),
+bloom_filt AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word,
+         bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits
+  FROM bloom_pos GROUP BY 1
+)"""

@@ -247,3 +247,170 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est_count"))
         .select("token", "est_count", "exact_count")
     )
+
+
+# --- Bloom-filter decontamination -----------------------------------------
+# The scale companion to text_decontaminate (queries_text.py): instead of
+# broadcasting the benchmark's full gram INDEX, broadcast a fixed-size
+# Bloom BITSET (~8 KB here; sized m ~ 1.44 * n * k bits in production) and
+# pre-screen the training corpus map-side.  Same hash-held-out bench slice
+# and DF-capped gram set, so the two queries are directly comparable.
+
+BLOOM_M_BITS = 61_440  # 1024 words x 60 bits
+BLOOM_K = 3
+
+
+def _bloom_decon_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+    from ..functions.text import shingles_duckdb, tokens_duckdb
+    from ..operators.sketches import (
+        BLOOM_WORD_BITS,
+        bloom_build_duckdb_cte,
+        bloom_positions_duckdb,
+    )
+    from .queries_text import DECON_BENCH_PCT, DECON_DF_CAP, DECON_MIN_SHARED, DECON_N
+
+    toks = tokens_duckdb("text")
+    grams = shingles_duckdb(toks, DECON_N)
+    is_bench = (
+        f"({hash64_sql_duckdb('CAST(doc_id AS VARCHAR)', salt='bench:')})"
+        f" % 100 < {DECON_BENCH_PCT}"
+    )
+    bloom = bloom_build_duckdb_cte(
+        "SELECT g FROM capped", "g", BLOOM_M_BITS, BLOOM_K
+    )
+    pos_list = ", ".join(bloom_positions_duckdb("g", BLOOM_M_BITS, BLOOM_K))
+    return f"""
+WITH sides AS MATERIALIZED (
+  SELECT doc_id, {is_bench} AS is_bench, {grams} AS grams FROM documents
+),
+bench_grams AS (
+  SELECT doc_id AS bench_doc, unnest(grams) AS g FROM sides WHERE is_bench
+),
+capped AS (
+  SELECT g FROM bench_grams GROUP BY g HAVING COUNT(*) <= {DECON_DF_CAP}
+),{bloom},
+train AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS g
+  FROM sides WHERE NOT is_bench
+),
+probe AS (
+  SELECT doc_id, n_grams, g, unnest([{pos_list}]) AS pos FROM train
+),
+khit AS (
+  SELECT doc_id, n_grams, g,
+         SUM(CASE WHEN f.bits
+                       & (1::BIGINT << CAST(p.pos % {BLOOM_WORD_BITS} AS INT))
+                       <> 0
+                  THEN 1 ELSE 0 END) AS k_hit
+  FROM probe p LEFT JOIN bloom_filt f ON f.word = p.pos // {BLOOM_WORD_BITS}
+  GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, MAX(n_grams) AS n_grams,
+         CAST(SUM(CASE WHEN k_hit = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_maybe_contaminated
+  FROM khit GROUP BY 1
+)
+SELECT doc_id, n_grams, n_maybe_contaminated,
+       CAST(n_maybe_contaminated >= {DECON_MIN_SHARED} AS INT) AS flagged
+FROM per_doc
+"""
+
+
+@register(
+    "sketch_bloom_decontaminate",
+    oracle=_bloom_decon_oracle(),
+    doc="Bloom-filter pre-screen for benchmark decontamination: the "
+    "DF-capped benchmark gram set is folded into a fixed-size bit_or "
+    "bitset (60-bit words, k=3 portable-md5 probes) that is BROADCAST "
+    "instead of the gram index; every training doc is then screened "
+    "map-side, counting grams whose k probe bits are all set.  The "
+    "filter is mergeable (word-wise bit_or) and bit-identical across "
+    "engines, so even this approximate pre-screen is value-checked.  "
+    "At 100 TB the bitset stays O(bench) ~ KBs-MBs while the corpus is "
+    "scanned exactly once with no shuffle of gram rows.",
+    tags=("sketch", "bloom", "decontamination", "pipeline"),
+)
+def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+    from ..functions.text import shingles_spark
+    from ..operators.sketches import (
+        BLOOM_WORD_BITS,
+        bloom_build,
+        bloom_positions_spark,
+    )
+    from .queries_text import DECON_BENCH_PCT, DECON_DF_CAP, DECON_MIN_SHARED, DECON_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingles_spark(tokens_spark("text"), DECON_N)
+    is_bench = (
+        f"({hash64_sql_spark('cast(doc_id as string)', salt='bench:')})"
+        f" % 100 < {DECON_BENCH_PCT}"
+    )
+    sides = docs.select(
+        "doc_id",
+        F.expr(is_bench).alias("is_bench"),
+        F.expr(grams).alias("grams"),
+    )
+    capped = (
+        sides.where("is_bench")
+        .select(F.explode("grams").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= DECON_DF_CAP)
+        .select("g")
+    )
+    filt = bloom_build(capped, "g", BLOOM_M_BITS, BLOOM_K)
+    train = sides.where(~F.col("is_bench")).select(
+        "doc_id",
+        F.expr("cast(size(grams) as bigint)").alias("n_grams"),
+        F.explode("grams").alias("g"),
+    )
+    probe = train.select(
+        "doc_id",
+        "n_grams",
+        "g",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(p)
+                    for p in bloom_positions_spark("g", BLOOM_M_BITS, BLOOM_K)
+                ]
+            )
+        ).alias("pos"),
+    ).withColumn("word", F.expr(f"pos div {BLOOM_WORD_BITS}"))
+    khit = (
+        probe.join(F.broadcast(filt), "word", "left")
+        .groupBy("doc_id", "n_grams", "g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        f"bits & shiftleft(cast(1 as bigint),"
+                        f" cast(pos % {BLOOM_WORD_BITS} as int)) != 0"
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("k_hit")
+        )
+    )
+    return (
+        khit.groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.sum(
+                F.when(F.col("k_hit") == BLOOM_K, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_maybe_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_maybe_contaminated",
+            (F.col("n_maybe_contaminated") >= DECON_MIN_SHARED)
+            .cast("int")
+            .alias("flagged"),
+        )
+    )

@@ -270,3 +270,18 @@ def test_gopher_quality_splits_corpus(spark, sf_dir):
     for r in rows[:20]:
         assert 0.0 <= r["dup_token_frac"] <= 1.0
         assert 0.0 <= r["top_bigram_frac"] <= 1.0
+
+
+def test_bloom_decon_has_no_false_negatives(spark, sf_dir):
+    """Bloom membership never misses: every training doc the EXACT
+    decontamination query pairs with a benchmark doc must be flagged by
+    the Bloom pre-screen too (false positives allowed, negatives not)."""
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+
+    exact = REGISTRY["text_decontaminate"].fn(spark, sf_dir).collect()
+    bloom = REGISTRY["sketch_bloom_decontaminate"].fn(spark, sf_dir).collect()
+    exact_docs = {r["doc_id"] for r in exact}
+    bloom_flagged = {r["doc_id"] for r in bloom if r["flagged"] == 1}
+    assert exact_docs <= bloom_flagged, (
+        f"bloom missed {sorted(exact_docs - bloom_flagged)}"
+    )
