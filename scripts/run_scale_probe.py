@@ -34,6 +34,9 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from json_format_in_parquet_benchmark_spark.operators import dedup
+from json_format_in_parquet_benchmark_spark.operators.semantic import (
+    semantic_dup_flags_fast,
+)
 from json_format_in_parquet_benchmark_spark.operators.similarity import (
     ivf_assign_fast,
     topk_ivf,
@@ -165,6 +168,16 @@ def main() -> None:
                 assigned=ivf_assign_fast(
                     embs, "embedding", "vec_id", n_cells, DIM
                 ).withColumnRenamed("vec_id", "neighbor_id"),
+            ).count()
+        )
+        # SemDeDup: the cluster count is the published scale knob -- grow k
+        # with N to hold within-cluster (quadratic) pair work ~ N^2/k linear.
+        # The numpy kernels are the at-scale path (the SQL-literal argmin is
+        # the oracle form; its expression grows with k*dim).
+        r["semantic_dedup"] = timed(
+            lambda: semantic_dup_flags_fast(
+                embs, "embedding", "vec_id", threshold=0.95,
+                k=max(8, n_emb // 500), iters=2, dim=DIM,
             ).count()
         )
         results[n] = r

@@ -285,3 +285,27 @@ def test_bloom_decon_has_no_false_negatives(spark, sf_dir):
     assert exact_docs <= bloom_flagged, (
         f"bloom missed {sorted(exact_docs - bloom_flagged)}"
     )
+
+
+def test_semantic_fast_path_agrees_with_sql_path(spark, sf_dir):
+    """The numpy SemDeDup kernels must produce the identical verdict table
+    as the oracle-checked SQL path (same seeds, same quantized centroid
+    updates; only sub-ulp argmin near-ties could differ, none exist here)."""
+    from json_format_in_parquet_benchmark_spark.operators.semantic import (
+        semantic_dup_flags,
+        semantic_dup_flags_fast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(threshold=0.4, k=4, iters=2)
+    sql_rows = {
+        r["vec_id"]: (r["cluster"], r["n_cluster"], r["semantic_dup"])
+        for r in semantic_dup_flags(emb, "embedding", "vec_id", **kw).collect()
+    }
+    fast_rows = {
+        r["vec_id"]: (r["cluster"], r["n_cluster"], r["semantic_dup"])
+        for r in semantic_dup_flags_fast(
+            emb, "embedding", "vec_id", **kw
+        ).collect()
+    }
+    assert sql_rows == fast_rows
