@@ -50,11 +50,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong; floor-div to micros matches
         # DuckDB's own nanos->micros truncation, so both engines see the
         # identical microsecond timeline.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ.
+        # With the session timezone pinned to UTC above, the NTZ->LTZ cast
+        # preserves the wall-clock (== epoch) micros, and downstream code
+        # (unix_micros, watermarks, window()) uniformly sees TIMESTAMP.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
