@@ -15,6 +15,7 @@ from . import queries_json  # noqa: E402,F401
 from . import queries_generator  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
+from . import queries_search  # noqa: E402,F401
 from . import queries_sketches  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401

@@ -787,3 +787,88 @@ def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), v AS (
+  SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.us) AS t2, MIN(v.t1) AS t1
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.us > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.us) AS t3, MIN(c.t2) AS t2
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.us > c.t2
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(NULL AS DOUBLE) AS avg_advance_us
+FROM v
+UNION ALL
+SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(t2 - t1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+FROM c
+UNION ALL
+SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(t3 - t2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+FROM p
+""",
+    doc="Sequential funnel analytics (view -> click -> purchase): per user, "
+    "the first view, the first click strictly after it, and the first "
+    "purchase strictly after that; emits per-stage user counts and mean "
+    "stage-advance time.  Each stage is one aggregation plus one join ON "
+    "user_id -- the stage output is already hash-partitioned on the join "
+    "key, so at scale the next stage's join is co-located (no extra "
+    "exchange of the small side; the big events scan is filtered to one "
+    "event type before it ever shuffles).  Time math stays in exact "
+    "integer microseconds (micros-domain comparisons match DuckDB's "
+    "nanos->micros truncation); the mean is one final double division "
+    "with identical operands.",
+    tags=("relational", "events", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def stage(df: DataFrame, name: str, end: str, start: str | None) -> DataFrame:
+        if start is None:
+            avg = F.lit(None).cast("double")
+        else:
+            avg = F.sum(F.col(end) - F.col(start)).cast("double") / F.count(
+                F.lit(1)
+            ).cast("double")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_users"), avg.alias("avg_advance_us")
+        ).select(F.lit(name).alias("stage"), "n_users", "avg_advance_us")
+
+    return (
+        stage(v, "1_view", "t1", None)
+        .unionByName(stage(c, "2_click_after_view", "t2", "t1"))
+        .unionByName(stage(p, "3_purchase_after_click", "t3", "t2"))
+    )

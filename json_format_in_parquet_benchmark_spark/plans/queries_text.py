@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64_sql_duckdb
 from ..functions.text import (
     BPE_TOKEN_RE,
     stopword_count_duckdb,
@@ -741,4 +742,66 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("gopher_pass"),
+    )
+
+
+# Per-source mixing weights in basis points of an epoch (10000 = exactly one
+# pass over the source).  >1 epoch = upsampling (docs emitted multiple
+# times), <1 epoch = downsampling -- the standard "epochs per source" data
+# mixing knob of LLM training recipes (LLaMA-style source weighting).
+_MIX_BP_CASE = (
+    "case (cast(substr(source, 4) as int) % 4)"
+    " when 0 then 5000 when 1 then 10000 when 2 then 17500"
+    " else 25000 end"
+)
+
+
+@register(
+    "sample_mixture_epochs",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         ({_MIX_BP_CASE}) AS bp,
+         {hash64_sql_duckdb("CAST(doc_id AS VARCHAR)", salt="mix:")} % 10000 AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         (bp // 10000) + CASE WHEN h < (bp % 10000) THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id, source, CAST(g.u AS BIGINT) AS copy_idx
+FROM c, unnest(generate_series(1, n_copies)) AS g(u)
+""",
+    doc="Weighted source mixing with fractional epochs (upsample AND "
+    "downsample): each source gets a target epoch weight (0.5x/1x/1.75x/"
+    "2.5x by source group); every document is emitted floor(epochs) times "
+    "plus one more iff its portable hash lands under the fractional part "
+    "-- so the emitted multiset is a pure function of (doc_id, source), "
+    "stable under re-runs, appends and partitioning.  Single pass, "
+    "map-side explode, no shuffle; the expected emitted volume is "
+    "sum(epochs_s * |s|) exactly.",
+    tags=("text", "pipeline", "sampling"),
+)
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash64_sql_spark("cast(doc_id as string)", salt="mix:")
+    c = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"(({_MIX_BP_CASE}) div 10000)"
+        f" + (case when {h} % 10000 < (({_MIX_BP_CASE}) % 10000)"
+        f" then 1 else 0 end) as n_copies",
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "case when n_copies >= 1"
+                " then sequence(cast(1 as bigint), cast(n_copies as bigint))"
+                " else cast(array() as array<bigint>) end"
+            )
+        ).alias("copy_idx"),
     )
