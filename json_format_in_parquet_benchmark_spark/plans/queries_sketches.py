@@ -414,3 +414,177 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("flagged"),
         )
     )
+
+
+# --- Hypertable-style sketch rollup -----------------------------------------
+# Register bits for the per-(event_type, day) sketches: small on purpose --
+# per-group distinct users (~50 at sf0.01) must sit above the raw
+# estimator's small-range threshold (~2.5 * m), so m = 16.
+ROLLUP_B = 4
+_R_M = 1 << ROLLUP_B
+_R_TOP = 60 - ROLLUP_B  # HASH_BITS - b
+
+
+def _rollup_hll_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+    from ..operators.sketches import alpha_m
+
+    h = hash64_sql_duckdb("CAST(user_id AS VARCHAR)")
+    alpha = alpha_m(_R_M)
+    est = (
+        f"CAST(CAST({alpha!r} AS DOUBLE) * {_R_M} * {_R_M}"
+        f" * CAST((1::BIGINT << 61) AS DOUBLE)"
+        f" / CAST(SUM(CAST((1::BIGINT << (61 - M)) AS DECIMAL(38,0)))"
+        f" AS DOUBLE) AS DOUBLE)"
+    )
+    return f"""
+WITH sel AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         ({h}) % {_R_M} AS bucket, (({h}) >> {ROLLUP_B}) AS w
+  FROM events
+), rho AS (
+  SELECT event_type, day, bucket,
+         CASE WHEN w = 0 THEN {_R_TOP + 1}
+              ELSE {_R_TOP} - length(format('{{:b}}', w)) + 1 END AS rho
+  FROM sel
+), regs_day AS (
+  SELECT event_type, day, bucket, MAX(rho) AS M FROM rho GROUP BY 1, 2, 3
+), groups_day AS (
+  SELECT DISTINCT event_type, day FROM regs_day
+), full_day AS (
+  SELECT g.event_type, g.day, r.bucket, COALESCE(d.M, 0) AS M
+  FROM groups_day g CROSS JOIN range({_R_M}) r(bucket)
+  LEFT JOIN regs_day d
+    ON d.event_type = g.event_type AND d.day = g.day AND d.bucket = r.bucket
+), est_day AS (
+  SELECT event_type, day, {est} AS est FROM full_day GROUP BY 1, 2
+), regs_type AS (
+  SELECT event_type, bucket, MAX(M) AS M FROM regs_day GROUP BY 1, 2
+), groups_type AS (
+  SELECT DISTINCT event_type FROM regs_type
+), full_type AS (
+  SELECT g.event_type, r.bucket, COALESCE(t.M, 0) AS M
+  FROM groups_type g CROSS JOIN range({_R_M}) r(bucket)
+  LEFT JOIN regs_type t
+    ON t.event_type = g.event_type AND t.bucket = r.bucket
+), est_type AS (
+  SELECT event_type, {est} AS est FROM full_type GROUP BY 1
+), exact_day AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1, 2
+), exact_type AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, e.day,
+       e.est AS est_distinct_users,
+       x.exact_distinct AS exact_distinct_users,
+       (e.est - CAST(x.exact_distinct AS DOUBLE))
+         / CAST(x.exact_distinct AS DOUBLE) AS rel_err
+FROM est_day e
+JOIN exact_day x ON x.event_type = e.event_type AND x.day = e.day
+UNION ALL
+SELECT e.event_type, 'ALL',
+       e.est, x.exact_distinct,
+       (e.est - CAST(x.exact_distinct AS DOUBLE))
+         / CAST(x.exact_distinct AS DOUBLE)
+FROM est_type e
+JOIN exact_type x ON x.event_type = e.event_type
+"""
+
+
+@register(
+    "events_rollup_hll",
+    oracle=_rollup_hll_oracle(),
+    doc="Hypertable-style sketch rollup (continuous-aggregate pattern): "
+    "per-(event_type, day) HLL registers over user_id are the stored "
+    "finest-grain sketch; the per-type totals are computed by merging "
+    "THE DAY REGISTERS (max per bucket) -- the raw events are never "
+    "rescanned for the coarser grain, which is what makes sketch-backed "
+    "rollup cubes incremental at 100 TB (new day = new register rows; "
+    "totals re-merge m rows per group).  Exact distinct counts and "
+    "relative error are reported alongside, and the portable hash makes "
+    "every estimate bit-identical in the DuckDB oracle.",
+    tags=("sketch", "rollup", "events", "custom-operator"),
+)
+def events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+    from ..operators.dedup import _track_persist
+    from ..operators.sketches import alpha_m
+
+    h = hash64_sql_spark("cast(user_id as string)")
+    alpha = alpha_m(_R_M)
+    est_expr = (
+        f"cast({alpha!r}D * {_R_M} * {_R_M}"
+        f" * cast(shiftleft(1L, 61) as double)"
+        f" / cast(sum(cast(shiftleft(1L, 61 - M) as decimal(38,0)))"
+        f" as double) as double)"
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    rho = ev.selectExpr(
+        "event_type",
+        "day",
+        f"({h}) % {_R_M} as bucket",
+        f"shiftright({h}, {ROLLUP_B}) as w",
+    ).selectExpr(
+        "event_type",
+        "day",
+        "bucket",
+        f"case when w = 0 then {_R_TOP + 1}"
+        f" else {_R_TOP} - length(bin(w)) + 1 end as rho",
+    )
+    # The finest-grain register table is the ONLY thing derived from the raw
+    # scan; both the day estimates and the merged per-type estimates (and
+    # nothing else) read it -- persist it once, like a stored rollup level.
+    regs_day = _track_persist(
+        rho.groupBy("event_type", "day", "bucket").agg(F.max("rho").alias("M"))
+    )
+
+    def densify_and_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
+        groups = regs.select(*keys).distinct()
+        full = (
+            groups.crossJoin(
+                spark.range(_R_M).select(F.col("id").alias("bucket"))
+            )
+            .join(regs, [*keys, "bucket"], "left")
+            .select(*keys, F.coalesce("M", F.lit(0)).alias("M"))
+        )
+        return full.groupBy(*keys).agg(F.expr(est_expr).alias("est"))
+
+    est_day = densify_and_estimate(regs_day, ["event_type", "day"])
+    # Rollup merge: max over the DAY registers, never the raw events.
+    regs_type = regs_day.groupBy("event_type", "bucket").agg(
+        F.max("M").alias("M")
+    )
+    est_type = densify_and_estimate(regs_type, ["event_type"])
+
+    exact_day = ev.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    exact_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+
+    def shape(est: DataFrame, exact: DataFrame, keys: list[str], day_lit) -> DataFrame:
+        joined = est.join(exact, keys)
+        day_col = F.col("day") if day_lit is None else F.lit(day_lit)
+        return joined.select(
+            "event_type",
+            day_col.alias("day"),
+            F.col("est").alias("est_distinct_users"),
+            F.col("exact_distinct").alias("exact_distinct_users"),
+            (
+                (F.col("est") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+
+    return shape(est_day, exact_day, ["event_type", "day"], None).unionByName(
+        shape(est_type, exact_type, ["event_type"], "ALL")
+    )
