@@ -197,6 +197,15 @@ def test_connected_components_on_known_graph(spark):
     got = {r.doc_id: r.cluster_rep for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8, 9: 8, 10: 8}
 
+    # Force the distributed min-label-propagation path (driver_max_edges=0)
+    # and require the identical fixpoint -- the two physical strategies must
+    # be indistinguishable to callers and to the oracle.
+    distributed = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert distributed == got
+
 
 def test_kmeans_assignment_is_true_argmin(spark, sf_dir):
     """Every vector's assigned centroid is at least as close as every other
