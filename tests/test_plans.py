@@ -183,3 +183,28 @@ def test_pipeline_staples_stay_jvm_side(spark):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
+
+
+def test_bm25_topk_plan_shape(spark):
+    """text_bm25_topk: the (N, avgdl, df) stats row joins back by BROADCAST
+    (a 1-row dimension), the final top-k is TakeOrderedAndProject (never a
+    global sort), and all scoring stays JVM-side."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_funnel_stages_have_no_cartesian(spark):
+    """events_funnel_conversion: every stage join is an equi-join on
+    user_id; no nested-loop/cartesian anywhere."""
+    plan = plan_of(spark, "events_funnel_conversion")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mixture_epochs_is_single_pass(spark):
+    """sample_mixture_epochs: pure map-side explode -- zero Exchange (no
+    shuffle, no join) in the whole plan."""
+    plan = plan_of(spark, "sample_mixture_epochs")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
