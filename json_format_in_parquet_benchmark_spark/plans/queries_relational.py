@@ -872,3 +872,99 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "2_click_after_view", "t2", "t1"))
         .unionByName(stage(p, "3_purchase_after_click", "t3", "t2"))
     )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS su, MIN(epoch_us(ts)) AS su_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT user_id, su_us,
+         strftime(date_trunc('week', su), '%Y-%m-%d') AS cohort_week,
+         epoch_us(date_trunc('week', su)) AS cw_us
+  FROM s
+), act AS (
+  SELECT s2.cohort_week,
+         (epoch_us(date_trunc('week', e.ts)) - s2.cw_us) // {_WEEK_US}
+           AS week_offset,
+         e.user_id
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE epoch_us(e.ts) >= s2.su_us
+), ret AS (
+  SELECT cohort_week, week_offset,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM act GROUP BY 1, 2
+), size_ AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+  FROM s2 GROUP BY 1
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, z.n_cohort,
+       CAST(r.n_active AS DOUBLE) / CAST(z.n_cohort AS DOUBLE)
+         AS retention_rate
+FROM ret r JOIN size_ z ON z.cohort_week = r.cohort_week
+""",
+    doc="Cohort retention matrix: users are grouped into signup-week "
+    "cohorts (first 'signup' event); for every later week the distinct "
+    "active users are counted and divided by the cohort size.  One "
+    "aggregation builds the cohort dimension (tiny -- weeks, not users), "
+    "which re-joins the event stream on user_id (co-partitioned with the "
+    "signup aggregation's output) and broadcasts into the final "
+    "per-(cohort, offset) rollup.  All time math is exact integer "
+    "microseconds (matching DuckDB's nanos->micros truncation); the "
+    "retention rate is one final double division with identical "
+    "operands.",
+    tags=("relational", "events", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("su"),
+            F.min(F.unix_micros("ts")).alias("su_us"),
+        )
+    )
+    s2 = s.select(
+        "user_id",
+        "su_us",
+        F.date_format(F.date_trunc("week", "su"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        F.unix_micros(F.date_trunc("week", "su")).alias("cw_us"),
+    )
+    act = (
+        ev.join(s2, "user_id")
+        .where(F.unix_micros("ts") >= F.col("su_us"))
+        .select(
+            "cohort_week",
+            F.expr(
+                f"(unix_micros(date_trunc('week', ts)) - cw_us)"
+                f" div {_WEEK_US}"
+            ).alias("week_offset"),
+            "user_id",
+        )
+    )
+    ret = act.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    size = s2.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return ret.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (
+            F.col("n_active").cast("double")
+            / F.col("n_cohort").cast("double")
+        ).alias("retention_rate"),
+    )
