@@ -968,3 +968,52 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_cohort").cast("double")
         ).alias("retention_rate"),
     )
+
+
+@register(
+    "unpivot_daily_event_types",
+    oracle="""
+WITH wide AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+  FROM events
+  GROUP BY 1
+)
+SELECT day, 'click' AS event_type, click AS n_events FROM wide
+UNION ALL
+SELECT day, 'purchase', purchase FROM wide
+UNION ALL
+SELECT day, 'view', view FROM wide
+""",
+    doc="Unpivot (melt): the wide per-day event-type count table rotated "
+    "back to long form with DataFrame.unpivot -- the inverse reshape of "
+    "pivot_daily_event_types.  Unpivot is a zero-shuffle map-side "
+    "Expand (each input row emits one row per value column); only the "
+    "upstream wide aggregate exchanges data.",
+    tags=("relational", "unpivot", "reshape"),
+)
+def unpivot_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        .groupBy("day")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .count()
+    )
+    wide = wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("click", "purchase", "view")
+        ],
+    )
+    return wide.unpivot(
+        ids=["day"],
+        values=["click", "purchase", "view"],
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )
