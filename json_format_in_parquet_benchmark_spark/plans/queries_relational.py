@@ -831,6 +831,7 @@ FROM p
     "nanos->micros truncation); the mean is one final double division "
     "with identical operands.",
     tags=("relational", "events", "funnel"),
+    bench=True,
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(

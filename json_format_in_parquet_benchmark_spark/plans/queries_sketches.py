@@ -507,6 +507,7 @@ JOIN exact_type x ON x.event_type = e.event_type
     "relative error are reported alongside, and the portable hash makes "
     "every estimate bit-identical in the DuckDB oracle.",
     tags=("sketch", "rollup", "events", "custom-operator"),
+    bench=True,
 )
 def events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hash64_sql_spark
