@@ -589,3 +589,149 @@ def events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(est_day, exact_day, ["event_type", "day"], None).unionByName(
         shape(est_type, exact_type, ["event_type"], "ALL")
     )
+
+
+# --- Theta/KMV set-operation sketch -----------------------------------------
+THETA_K = 256
+_YEAR_A, _YEAR_B = 1995, 1996
+
+
+def _theta_oracle() -> str:
+    from ..functions.hashing import HASH_BITS, hash64_sql_duckdb
+
+    hd = hash64_sql_duckdb("CAST(o_custkey AS VARCHAR)", salt="theta:")
+    est = (
+        f"CAST(ni.n AS DOUBLE) * CAST((1::BIGINT << {HASH_BITS}) AS DOUBLE)"
+        f" / CAST(th.th AS DOUBLE)"
+    )
+    return f"""
+WITH a AS (
+  SELECT DISTINCT {hd} AS h FROM orders
+  WHERE year(o_orderdate) = {_YEAR_A} ORDER BY h LIMIT {THETA_K}
+), b AS (
+  SELECT DISTINCT {hd} AS h FROM orders
+  WHERE year(o_orderdate) = {_YEAR_B} ORDER BY h LIMIT {THETA_K}
+), th AS (
+  SELECT least((SELECT MAX(h) FROM a), (SELECT MAX(h) FROM b)) AS th
+), ni AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM a JOIN b ON a.h = b.h CROSS JOIN th WHERE a.h < th.th
+), nu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT h FROM a UNION SELECT h FROM b) u CROSS JOIN th
+  WHERE u.h < th.th
+), xa AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {_YEAR_A}
+), xb AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {_YEAR_B}
+), xi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT * FROM xa INTERSECT SELECT * FROM xb)
+), xu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT * FROM xa UNION SELECT * FROM xb)
+)
+SELECT th.th AS theta,
+       ni.n AS n_inter_sample,
+       {est} AS est_intersection,
+       xi.n AS exact_intersection,
+       ({est} - CAST(xi.n AS DOUBLE)) / CAST(xi.n AS DOUBLE) AS rel_err,
+       CAST(ni.n AS DOUBLE) / CAST(nu.n AS DOUBLE) AS est_jaccard,
+       CAST(xi.n AS DOUBLE) / CAST(xu.n AS DOUBLE) AS exact_jaccard
+FROM th, ni, nu, xi, xu
+"""
+
+
+@register(
+    "sketch_theta_intersection",
+    oracle=_theta_oracle(),
+    doc="Theta/KMV set-operation sketch: |customers ordering in "
+    f"{_YEAR_A}| intersect |{_YEAR_B}| estimated from two bottom-k "
+    "hash samples (k=256).  theta = min of the two k-th smallest "
+    "hashes; sample hashes below theta present in BOTH samples "
+    "estimate the intersection as n/theta_normalized, and the "
+    "sample Jaccard estimates the true Jaccard -- set EXPRESSIONS "
+    "over sketches, the capability the theta-sketch family adds over "
+    "plain distinct-count HLL.  Each bottom-k is "
+    "TakeOrderedAndProject over the distinct hashes (per-partition "
+    "top-k, k-row merge -- one scan per side at any scale) and "
+    "merges by keeping the k smallest of a union.  Exact "
+    "intersection/union and relative error are computed alongside; "
+    "the portable hash + integer counts + final identical-operand "
+    "divisions make every output bit-identical in the DuckDB oracle.",
+    tags=("sketch", "set-ops", "custom-operator"),
+)
+def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import HASH_BITS, hash64_sql_spark
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = hash64_sql_spark("cast(o_custkey as string)", salt="theta:")
+
+    def bottom_k(year: int) -> DataFrame:
+        return (
+            orders.where(F.expr(f"year(o_orderdate) = {year}"))
+            .selectExpr(f"{h} as h")
+            .distinct()
+            .orderBy("h")
+            .limit(THETA_K)
+        )
+
+    sa, sb = bottom_k(_YEAR_A), bottom_k(_YEAR_B)
+    theta = (
+        sa.agg(F.max("h").alias("tha"))
+        .crossJoin(sb.agg(F.max("h").alias("thb")))
+        .select(F.least("tha", "thb").alias("th"))
+    )
+    ni = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    nu = (
+        sa.unionByName(sb)
+        .distinct()
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_union"))
+    )
+
+    def exact_keys(year: int) -> DataFrame:
+        return (
+            orders.where(F.expr(f"year(o_orderdate) = {year}"))
+            .select("o_custkey")
+            .distinct()
+        )
+
+    xi = (
+        exact_keys(_YEAR_A)
+        .intersect(exact_keys(_YEAR_B))
+        .agg(F.count(F.lit(1)).alias("x_inter"))
+    )
+    xu = (
+        exact_keys(_YEAR_A)
+        .union(exact_keys(_YEAR_B))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("x_union"))
+    )
+    est = (
+        f"cast(n_inter as double)"
+        f" * cast(shiftleft(1L, {HASH_BITS}) as double)"
+        f" / cast(th as double)"
+    )
+    return (
+        theta.crossJoin(ni)
+        .crossJoin(nu)
+        .crossJoin(xi)
+        .crossJoin(xu)
+        .selectExpr(
+            "th as theta",
+            "n_inter as n_inter_sample",
+            f"{est} as est_intersection",
+            "x_inter as exact_intersection",
+            f"({est} - cast(x_inter as double)) / cast(x_inter as double)"
+            " as rel_err",
+            "cast(n_inter as double) / cast(n_union as double) as est_jaccard",
+            "cast(x_inter as double) / cast(x_union as double) as exact_jaccard",
+        )
+    )
