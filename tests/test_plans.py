@@ -208,3 +208,28 @@ def test_mixture_epochs_is_single_pass(spark):
     plan = plan_of(spark, "sample_mixture_epochs")
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_theta_sketch_bottom_k_is_take_ordered(spark):
+    """Both bottom-k sides of the theta intersection must be
+    TakeOrderedAndProject (per-partition top-k + k-row merge), never a
+    global sort of the distinct hashes."""
+    plan = plan_of(spark, "sketch_theta_intersection")
+    assert plan.count("TakeOrderedAndProject(limit=256") >= 2, plan
+    assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
+
+
+def test_rollup_hll_reuses_day_registers(spark):
+    """events_rollup_hll: the per-type estimates must merge the CACHED day
+    register table (InMemoryTableScan), not rescan raw events -- the
+    incremental-rollup contract."""
+    plan = plan_of(spark, "events_rollup_hll")
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_cohort_retention_broadcasts_dimension(spark):
+    """events_retention_cohorts: the cohort-size dimension (weeks, not
+    users) joins by broadcast; no cartesian anywhere."""
+    plan = plan_of(spark, "events_retention_cohorts")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
