@@ -318,3 +318,18 @@ def test_semantic_fast_path_agrees_with_sql_path(spark, sf_dir):
         ).collect()
     }
     assert sql_rows == fast_rows
+
+
+def test_load_table_repins_utc_on_hostile_session(spark):
+    """The driver builds its own SparkSession with arbitrary timezone; every
+    timestamp-bucketing query depends on load_table re-pinning UTC at call
+    time (verify skill: the non-UTC probe caught real day-bucket shifts)."""
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
