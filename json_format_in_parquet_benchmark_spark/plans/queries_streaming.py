@@ -456,3 +456,89 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct").cast("double")
         ).alias("rel_err"),
     )
+
+
+# Sliding windows: duration 2h, slide 30min => every event belongs to
+# EXACTLY dur/slide = 4 windows (epoch-aligned starts every 30 min; an
+# event at t with 30-min floor f is inside [f - k*slide, ...+2h) for
+# k = 0..3 and no other).  The oracle expands each event into its 4
+# window starts with integer microsecond arithmetic.
+_SLIDE_US = 30 * 60 * 1_000_000
+_SLIDE_K = 4  # duration / slide
+
+_SLIDING_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type, value FROM events
+), expanded AS (
+  SELECT (us - us % {_SLIDE_US}) - k.k * {_SLIDE_US} AS ws_us,
+         event_type, value
+  FROM e, (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k) k
+)
+SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_sliding_window_batch",
+    oracle=_SLIDING_SQL,
+    doc="Batch twin of the sliding-window aggregation: 2h windows hopping "
+    "every 30 min (4 overlapping windows per event) x event_type, count + "
+    "exact-decimal value sum.  The oracle expands each event into its 4 "
+    "epoch-aligned window starts with integer microsecond arithmetic.",
+    tags=("streaming", "window", "aggregation"),
+)
+def stream_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import sliding_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return _fmt_win_start(sliding_event_counts(events, "2 hours", "30 minutes"))
+
+
+_SLIDING_WATERMARKED_SQL = f"""
+WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events),
+e AS (
+  SELECT epoch_us(ts) AS us, event_type, value FROM events
+), expanded AS (
+  SELECT (us - us % {_SLIDE_US}) - k.k * {_SLIDE_US} AS ws_us,
+         event_type, value
+  FROM e, (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k) k
+), w AS (
+  SELECT ws_us, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM expanded
+  GROUP BY 1, 2
+)
+SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, n_events, total_value
+FROM w, wm
+WHERE (ws_us + {_SLIDE_K * _SLIDE_US}) // 1000 <= wm.wm_ms
+"""
+
+
+@register(
+    "stream_sliding_window",
+    oracle=_SLIDING_WATERMARKED_SQL,
+    doc="TRUE streaming sliding-window aggregation WITH WATERMARK: "
+    "readStream -> withWatermark(ts, 1h) -> window(2h, 30min) agg -> "
+    "availableNow -> memory sink in APPEND mode.  State holds dur/slide "
+    "overlapping open windows per key (constant factor over tumbling, "
+    "still bounded); finalized windows emit exactly once.  Oracle = the "
+    "expanded-window aggregate minus the still-open tail above the final "
+    "watermark.",
+    tags=("streaming", "window", "aggregation", "stateful", "watermark"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import sliding_event_counts
+
+    events_dir = _staged_events(spark, sf_dir)
+    stream = read_events_stream(spark, events_dir)
+    agg = sliding_event_counts(stream, "2 hours", "30 minutes", watermark="1 hour")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sink = _run_to_memory(agg, f"sliding_wm_{tag}", "append")
+    return _fmt_win_start(sink)

@@ -117,6 +117,42 @@ def tumbling_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window_dur: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window counts + exact-decimal value sum per
+    event_type: every event lands in duration/slide overlapping windows
+    (epoch-aligned starts every ``slide``).
+
+    Works identically on a batch or streaming DataFrame; pass ``watermark``
+    on the streaming side to bound state.  State is dur/slide concurrent
+    windows per (window, event_type) group -- a constant factor over
+    tumbling, still O(open windows), not O(stream).
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.window("ts", window_dur, slide).alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionize_batch(
     events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
 ) -> DataFrame:
