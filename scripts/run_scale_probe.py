@@ -148,6 +148,16 @@ def main() -> None:
         r["simhash"] = timed(
             lambda: dedup.simhash_pairs(docs, "text", "doc_id").count()
         )
+        # End-to-end near-dup clustering: minhash pair generation plus
+        # connected components.  The pair graph stays tiny relative to the
+        # corpus, so CC takes the driver union-find fast path at every one
+        # of these sizes; the distributed min-label loop is the >2M-edge
+        # fallback.
+        r["minhash_clusters"] = timed(
+            lambda: dedup.connected_components(
+                dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+            ).count()
+        )
         r["ngram_jaccard"] = timed(
             lambda: dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
         )

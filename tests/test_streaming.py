@@ -34,6 +34,8 @@ def _oracle(duck, name):
     [
         "stream_tumbling_window_batch",
         "stream_tumbling_window",
+        "stream_sliding_window_batch",
+        "stream_sliding_window",
         "stream_sessionize_batch",
         "stream_sessionize_stateful",
     ],
@@ -240,3 +242,33 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     got = sink.count()
     assert got == n_unique, f"expected {n_unique} deduped rows, got {got}"
     assert sink.distinct().count() == n_unique
+
+
+def test_stream_sliding_matches_batch_minus_open(spark, sf_dir):
+    """The watermarked sliding-window stream must emit exactly the batch
+    sliding windows whose END is at or below the final watermark
+    (max event time - 1h, at ms precision)."""
+    from json_format_in_parquet_benchmark_spark.streaming.events_stream import (
+        sliding_event_counts,
+    )
+
+    stream_out = REGISTRY["stream_sliding_window"].fn(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    wm_ms = (
+        events.agg(
+            (F.expr("unix_micros(max(ts)) div 1000") - 3_600_000).alias("wm")
+        ).first()[0]
+    )
+    batch = sliding_event_counts(events, "2 hours", "30 minutes")
+    expected = batch.where(
+        F.expr("unix_micros(win_start + interval 2 hours) div 1000")
+        <= F.lit(wm_ms)
+    ).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
