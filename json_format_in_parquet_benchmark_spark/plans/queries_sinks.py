@@ -92,3 +92,59 @@ def sink_ndjson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.select(F.col("props").alias("value")).write.mode("overwrite").text(out)
     back = read_ndjson_raw(spark, out)
     return back.select(F.md5("doc").alias("line_hash"))
+
+
+TARGET_FILE_BYTES = 4 * 1024 * 1024  # compaction target (4 MiB at test scale)
+
+
+def write_compacted_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Small-file compaction: rewrite events into ceil(input_bytes/target)
+    equally-sized parquet files.
+
+    The small-file problem is the operational scale killer of long-running
+    ingestion (every micro-batch leaves a file; a year of 1-minute batches
+    is 500k files whose METADATA dominates planning).  Compaction sizes the
+    output from the INPUT's actual bytes -- the same arithmetic a real
+    compactor (Delta OPTIMIZE, Iceberg rewrite_data_files) runs -- and a
+    round-robin repartition(n) spreads rows evenly across exactly n files.
+    """
+    out = os.path.join(
+        _SINK_ROOT,
+        f"events_compacted_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
+    )
+    events = load_table(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        in_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(src)
+            for f in fs
+        )
+    else:
+        in_bytes = os.path.getsize(src)
+    n_files = max(1, -(-in_bytes // TARGET_FILE_BYTES))
+    events.repartition(n_files).write.mode("overwrite").parquet(out)
+    return out, n_files
+
+
+@register(
+    "sink_compacted_events",
+    oracle="""
+SELECT event_id, md5(props) AS props_hash, user_id
+FROM events
+""",
+    doc="Compaction sink: events rewritten into ceil(bytes/target) "
+    "equally-sized parquet files (the anti-small-file maintenance "
+    "rewrite every long-running ingestion needs; the reference's "
+    "single-row-group flush is the opposite failure mode, one giant "
+    "unsplittable batch).  The read-back is value-checked row-by-row "
+    "against the ORIGINAL table, so the rewrite must be lossless; the "
+    "file-count arithmetic is asserted in tests.",
+    tags=("sink", "compaction"),
+)
+def sink_compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _ = write_compacted_events(spark, sf_dir)
+    back = spark.read.parquet(out)
+    return back.select(
+        "event_id", F.md5("props").alias("props_hash"), "user_id"
+    )

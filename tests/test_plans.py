@@ -233,3 +233,18 @@ def test_cohort_retention_broadcasts_dimension(spark):
     plan = plan_of(spark, "events_retention_cohorts")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_compaction_sink_writes_expected_file_count(spark):
+    """The compaction rewrite must produce exactly ceil(input_bytes/target)
+    parquet part files, each carrying a ~1/n share of the rows."""
+    import glob
+    import os as _os
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_sinks import (
+        write_compacted_events,
+    )
+
+    out, n_files = write_compacted_events(spark, SF)
+    parts = glob.glob(_os.path.join(out, "part-*.parquet"))
+    assert len(parts) == n_files, (n_files, parts)
