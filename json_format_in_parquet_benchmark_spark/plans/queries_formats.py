@@ -146,3 +146,62 @@ def format_storage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format string, num_of_lines bigint, original bigint,"
         " parquet_file_size bigint, compressed_rate double",
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+WITH v1 AS (
+  SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+  FROM events WHERE event_id % 2 = 0
+), v2 AS (
+  SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+  FROM events WHERE event_id % 2 = 1
+), merged AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       COUNT(*) AS n_rows,
+       COUNT(value) AS n_with_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM merged
+GROUP BY 1
+""",
+    doc="Schema-evolution scan: two parquet snapshots of the same table -- "
+    "an old one WITHOUT the `value` column and a new one with it -- read "
+    "as one dataset via mergeSchema; rows from the old snapshot surface "
+    "NULL for the added column (additive evolution, the only kind a "
+    "100 TB lake does in place -- no rewrite of old files).  The oracle "
+    "reconstructs the same union from the original table, so a wrong "
+    "merge (dropped column, misaligned rows) fails the value check.",
+    tags=("source", "schema-evolution"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = _os.path.join(
+        _tempfile.gettempdir(), "jfipb_schema_evo", tag
+    )
+    # Snapshot v1: written before the `value` column existed.
+    events.where(F.expr("event_id % 2 = 0")).select(
+        "event_id", "user_id"
+    ).write.mode("overwrite").parquet(_os.path.join(root, "v1"))
+    # Snapshot v2: the evolved schema adds `value`.
+    events.where(F.expr("event_id % 2 = 1")).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    ).write.mode("overwrite").parquet(_os.path.join(root, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(root, "v1"), _os.path.join(root, "v2")
+    )
+    return merged.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+            "total_value"
+        ),
+    )
