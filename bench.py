@@ -28,7 +28,33 @@ from json_format_in_parquet_benchmark_spark.plans import REGISTRY
 from json_format_in_parquet_benchmark_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-STORAGE_CORPUS = "/root/reference/json/events_ndv_0.1_8192.json"
+REFERENCE_JSON_DIR = "/root/reference/json"
+STORAGE_CORPUS = f"{REFERENCE_JSON_DIR}/events_ndv_0.1_8192.json"
+# The reference's encode/flush benches loop every standard-doc corpus
+# (benches/encode.rs:8-24 over consts.rs AVAILABLE_JSONS, plus the repo's
+# logs/tags/trace corpora); time the same loop here.  These corpora have
+# heterogeneous schemas, so only the 3 schema-agnostic formats run --
+# exactly the reference's AVAILABLE_FORMATS (consts.rs:3).
+CORPUS_LOOP = ("logs.json", "tags.json", "tags_with_time.json", "trace.json")
+CORPUS_FORMATS = ("plain_json", "jsonb", "jsonc")
+
+
+def _plan_fingerprint(df) -> str:
+    """Stable hash of the executed physical plan: expression ids, plan ids,
+    codegen ids and tmp paths are volatile across sessions, so strip them
+    before hashing -- what's left is the plan SHAPE (operators, join
+    strategies, pushed filters), which is what round-over-round comparisons
+    need to detect regressions mechanically."""
+    import hashlib
+    import re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+[A-Za-z]*", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\[codegen id : \d+\]", "", s)
+    s = re.sub(r"/tmp/\S+", "<tmp>", s)
+    s = re.sub(r"0x[0-9a-f]+", "<addr>", s)
+    return hashlib.md5(s.encode()).hexdigest()[:16]
 
 
 def infer_sf(sf_dir: str) -> float:
@@ -39,8 +65,16 @@ def infer_sf(sf_dir: str) -> float:
         return -1.0
 
 
+def _phase(label: str, t0: float) -> float:
+    """Stderr phase timer (stdout stays the one driver-parsed JSON line)."""
+    now = time.perf_counter()
+    print(f"[bench] {label}: {now - t0:.1f}s", file=sys.stderr)
+    return now
+
+
 def main() -> None:
     spark = get_spark(app_name="jfipb-bench")
+    t_phase = time.perf_counter()
 
     bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
 
@@ -54,19 +88,30 @@ def main() -> None:
         except Exception:
             pass  # a warmup failure will resurface, timed, in the real run
 
-    # Two measured runs per query, report the min -- squeezes out GC /
+    t_phase = _phase("warmup", t_phase)
+
+    # Three measured runs per query, report the min -- squeezes out GC /
     # machine-load noise so round-over-round numbers track plan changes,
     # not scheduler luck (criterion reports a statistical min the same way).
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    plan_hashes: dict[str, str] = {}
     for name, q in sorted(bench_queries.items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
-            out = q.fn(spark, SF_DIR).collect()
+            df = q.fn(spark, SF_DIR)
+            out = df.collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         rows[name] = len(out)
+        try:
+            # post-collect, so AQE's final (re-optimized) plan is hashed
+            plan_hashes[name] = _plan_fingerprint(df)
+        except Exception:
+            plan_hashes[name] = "err"
+
+    t_phase = _phase("headline_queries", t_phase)
 
     # Storage benchmark on the reference's own corpus (comparable to
     # BASELINE.md ndv=0.1 / 8192 rows).
@@ -91,6 +136,39 @@ def main() -> None:
             }
     except Exception as exc:  # storage bench must never sink the query bench
         storage = {"error": str(exc)[:200]}
+
+    t_phase = _phase("storage_events", t_phase)
+
+    # O24 breadth: the reference's per-corpus encode/decode/flush/load loop
+    # (benches/encode.rs, benches/flush.rs) over the real-world corpora,
+    # with the reference's own 3-format allowlist (consts.rs:3-4).
+    storage_by_corpus: dict[str, dict] = {}
+    try:
+        from json_format_in_parquet_benchmark_spark.metrics import measure_format
+        from json_format_in_parquet_benchmark_spark.sources.ndjson import (
+            read_ndjson_raw,
+        )
+
+        for corpus in CORPUS_LOOP:
+            raw = read_ndjson_raw(spark, os.path.join(REFERENCE_JSON_DIR, corpus))
+            cdir = os.path.join("/tmp/jfipb_bench_corpora", corpus.split(".")[0])
+            per_fmt: dict[str, dict] = {}
+            for fmt in CORPUS_FORMATS:
+                m = measure_format(spark, raw, fmt, cdir)
+                per_fmt[fmt] = {
+                    "num_of_lines": m.num_of_lines,
+                    "parquet_file_size": m.parquet_file_size,
+                    "compressed_rate": round(m.compressed_rate, 4),
+                    "encode_s": round(m.encode_s, 3),
+                    "flush_s": round(m.flush_s, 3),
+                    "load_s": round(m.load_s, 3),
+                    "decode_s": round(m.decode_s, 3),
+                }
+            storage_by_corpus[corpus.split(".")[0]] = per_fmt
+    except Exception as exc:
+        storage_by_corpus = {"error": str(exc)[:200]}
+
+    t_phase = _phase("storage_by_corpus", t_phase)
 
     # Three-way path-query timing (the reference's query bench, E3 in
     # SURVEY.md §3): per-row re-parse (get_json_object, the serde arm) vs
@@ -131,6 +209,63 @@ def main() -> None:
     except Exception as exc:
         path_query = {"error": str(exc)[:200]}
 
+    t_phase = _phase("path_query_events", t_phase)
+
+    # The reference's published query bench runs the same three arms on the
+    # STANDARD documents (canada / citm_catalog / twitter -- the worst-case
+    # deep/nested docs, benches/query.rs:46-67).  criterion amortizes one
+    # get over thousands of iterations; the Spark analogue replicates the
+    # document into a column of N copies and times path access over it, so
+    # per-get cost dominates scheduling overhead the same way.
+    path_query_golden: dict[str, dict[str, float]] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from json_format_in_parquet_benchmark_spark.plans.queries_json import (
+            GOLDEN_PROBES,
+        )
+
+        # Enough replicated bytes that per-get cost dominates scheduling,
+        # few enough that canada.json (a 2.2 MB single doc) stays cheap:
+        # ~32 MB of JSON per probe, clamped to [32, 2048] copies.
+        TARGET_BYTES = 32 << 20
+        for name, fname, spath, _dpath, _expected in GOLDEN_PROBES:
+            fpath = os.path.join(REFERENCE_JSON_DIR, fname)
+            doc_bytes = max(1, os.path.getsize(fpath))
+            n_copies = max(32, min(2048, TARGET_BYTES // doc_bytes))
+            doc = (
+                spark.read.text(fpath)
+                .distinct()
+                .crossJoin(spark.range(n_copies))
+                .select("value")
+                .persist()
+            )
+            variant = doc.select(F.parse_json("value").alias("v")).persist()
+            doc.count(), variant.count()
+            arms = {
+                "reparse": lambda d=doc, p=spath: d.select(
+                    F.get_json_object("value", p).alias("x")
+                ).agg(F.count("x")).collect(),
+                "variant_preparsed": lambda v=variant, p=spath: v.select(
+                    F.variant_get("v", p, "string").alias("x")
+                ).agg(F.count("x")).collect(),
+            }
+            per_arm: dict[str, float] = {}
+            for arm, run in arms.items():
+                run()  # warm
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    run()
+                    best = min(best, time.perf_counter() - t0)
+                per_arm[arm] = round(best, 4)
+            doc.unpersist(), variant.unpersist()
+            path_query_golden[name] = per_arm
+    except Exception as exc:
+        path_query_golden = {"error": str(exc)[:200]}
+
+    t_phase = _phase("path_query_golden", t_phase)
+
     from json_format_in_parquet_benchmark_spark.operators.dedup import release_caches
 
     release_caches()  # drop persisted dedup intermediates before exit
@@ -141,8 +276,11 @@ def main() -> None:
         "queries": timings,
         "sf": infer_sf(SF_DIR),
         "rows": rows,
+        "plan_hash": plan_hashes,
         "storage": storage,
+        "storage_by_corpus": storage_by_corpus,
         "path_query": path_query,
+        "path_query_golden": path_query_golden,
     }
     print(json.dumps(result))
     spark.stop()

@@ -329,13 +329,16 @@ def connected_components(
     component-min fixpoint, so the recursive-CTE oracle covers either):
 
     - **Driver union-find** when the pair graph has at most
-      ``driver_max_edges`` edges (2M edges ~ 32 MB on the driver -- the
-      same class of size-based plan choice as a broadcast-join
-      threshold).  Near-dup pair graphs are tiny relative to the corpus
-      (pairs are the OUTPUT of candidate verification, not the corpus),
-      so this is the common case, and it replaces ~4 Spark jobs per
-      propagation round with one collect: measured 5.2s -> ~0.3s on a
-      256-edge graph at sf0.1.
+      ``driver_max_edges`` undirected pairs -- the same class of
+      size-based plan choice as a broadcast-join threshold.  The collect
+      materializes 2x that many Row objects (both directions), and a
+      Python Row costs ~100-200 bytes, so the 2M default budgets roughly
+      0.5-1 GB of driver heap -- sized for a 128 GiB driver; lower it on
+      small drivers.  Near-dup pair graphs are tiny relative to the
+      corpus (pairs are the OUTPUT of candidate verification, not the
+      corpus), so this is the common case, and it replaces ~4 Spark jobs
+      per propagation round with one collect: measured 5.2s -> ~0.3s on
+      a 256-edge graph at sf0.1.
     - **Iterative min-label propagation** (Pregel-lite on DataFrames)
       otherwise: each round every node takes the min of its own label and
       its neighbors' labels; convergence needs at most diameter rounds
@@ -358,7 +361,9 @@ def connected_components(
     # destination node.
     both = both.repartition("s").persist()
 
-    n_edges = both.count()
+    # both holds 2x directed copies; compare UNDIRECTED pairs to the knob
+    # so driver_max_edges means what the docstring says.
+    n_edges = both.count() // 2
     if n_edges <= driver_max_edges:
         rows = both.collect()
         both.unpersist()

@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, table_path
 from .registry import register
 
 _SINK_ROOT = os.path.join(tempfile.gettempdir(), "jfipb_sinks")
@@ -113,7 +113,7 @@ def write_compacted_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         f"events_compacted_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
     )
     events = load_table(spark, sf_dir, "events")
-    src = os.path.join(sf_dir, "events.parquet")
+    src = table_path(sf_dir, "events")
     if os.path.isdir(src):
         in_bytes = sum(
             os.path.getsize(os.path.join(r, f))

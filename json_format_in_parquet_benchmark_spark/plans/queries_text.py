@@ -354,8 +354,8 @@ WITH assigned AS (
 )
 SELECT split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
-       SUM(b) AS bucket_checksum
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(b) AS BIGINT) AS bucket_checksum
 FROM assigned
 GROUP BY split
 """,
@@ -409,7 +409,7 @@ packed AS (
 )
 SELECT lang, shard,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS n_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM packed

@@ -158,6 +158,17 @@ def main() -> None:
                 dedup.minhash_lsh_pairs(docs, "text", "doc_id")
             ).count()
         )
+        if n == max(sizes):
+            # The 100 TB path: force the distributed min-label propagation
+            # (driver_max_edges=0 disables the union-find fast path) on the
+            # largest probe so the Pregel fallback has a measured number at
+            # scale, not just a unit test.
+            r["minhash_clusters_distributed"] = timed(
+                lambda: dedup.connected_components(
+                    dedup.minhash_lsh_pairs(docs, "text", "doc_id"),
+                    driver_max_edges=0,
+                ).count()
+            )
         r["ngram_jaccard"] = timed(
             lambda: dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
         )

@@ -326,10 +326,12 @@ def test_load_table_repins_utc_on_hostile_session(spark):
     time (verify skill: the non-UTC probe caught real day-bucket shifts)."""
     from json_format_in_parquet_benchmark_spark.tables import load_table
 
+    from conftest import TEST_SF_DIR
+
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        load_table(spark, "/root/testdata/sf0.001", "events")
+        load_table(spark, TEST_SF_DIR, "events")
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
