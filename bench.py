@@ -269,7 +269,13 @@ def main() -> None:
     from json_format_in_parquet_benchmark_spark.operators.dedup import release_caches
 
     release_caches()  # drop persisted dedup intermediates before exit
-    result = {
+
+    # The driver keeps only the LAST ~2000 chars of stdout and json-parses
+    # the JSON line found there (round 2's full line outgrew the window and
+    # the driver recorded parsed=null).  So: full detail goes to a file in
+    # the repo, and stdout gets one COMPACT line that must stay well under
+    # the window -- queries + headline storage rates + the 3-way path bench.
+    full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -282,8 +288,40 @@ def main() -> None:
         "path_query": path_query,
         "path_query_golden": path_query_golden,
     }
-    print(json.dumps(result))
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results", "bench_full.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # a read-only checkout must not sink the bench
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": full["sf"],
+        "storage": {
+            k: v.get("compressed_rate", v) if isinstance(v, dict) else v
+            for k, v in storage.items()
+        },
+        "path_query": path_query,
+        "full": "results/bench_full.json",
+    }
+    # Belt-and-braces: if the compact line ever creeps toward the driver's
+    # window, shed the least-critical sections rather than losing the parse.
+    for drop in ("path_query", "storage", "full"):
+        if len(json.dumps(compact)) <= 1600:
+            break
+        compact.pop(drop, None)
+
     spark.stop()
+    # Printed LAST, after Spark shutdown, so nothing can land on stdout
+    # after this line.
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
