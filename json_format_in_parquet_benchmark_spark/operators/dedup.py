@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64_sql_spark
@@ -293,6 +293,14 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return _jaccard_verify(docsets, cand, threshold)
+
+
+def _jaccard_verify(
+    docsets: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the FULL
+    shingle sets (shared by the DF-capped and prefix-filtered variants)."""
     left = docsets.select(
         F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"), F.size("shset").alias("na")
     )
@@ -313,6 +321,70 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT threshold-Jaccard self-join via prefix filtering (the
+    PPJoin-family candidate bound: Bayardo et al. WWW'07, Chaudhuri et al.
+    ICDE'06) -- no DF cap, no out-of-scope pairs.
+
+    Order every document's shingles by ascending global document frequency
+    (rarest first, shingle string as tie-break) and index only the first
+    ``|S| - ceil(t*|S|) + 1`` of them.  If J(A,B) >= t, the smallest-order
+    element of the intersection provably falls inside BOTH prefixes, so
+    candidate generation over prefixes alone loses nothing; exact
+    verification over the full sets then makes the output exactly
+    {pairs with Jaccard >= t}.  Two wins over the DF-capped index: each
+    surviving pair is generated once per shared PREFIX shingle (rare by
+    construction, so posting lists are short), and hot shingles fall out
+    of prefixes naturally instead of via a semantic-visible cap.
+
+    The threshold is a rational ``threshold_num/threshold_den`` so the
+    prefix length is computed in exact integer arithmetic
+    (``ceil(t*|S|)`` via integer div) -- a float ``0.4*|S|`` can round the
+    bound the wrong way and silently drop a true pair.
+    """
+    t = threshold_num / threshold_den
+    docsets = _track_persist(
+        _spread(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
+        )
+    )
+    sh = docsets.select(
+        "doc_id", F.size("shset").alias("n_sh"), F.explode("shset").alias("sh")
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "sh")
+    prefix = (
+        sh.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("n_sh")
+            - F.expr(
+                f"({threshold_num} * n_sh + {threshold_den} - 1)"
+                f" div {threshold_den}"
+            )
+            + F.lit(1)
+        )
+        .select("doc_id", "sh")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_verify(docsets, cand, t)
 
 
 def connected_components(

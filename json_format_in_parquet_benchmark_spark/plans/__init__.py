@@ -72,6 +72,7 @@ _EVIDENCE_PRIORITY = (
     "scan_schema_evolution",
     "dedup_incremental",
     "dedup_semantic",
+    "dedup_ngram_prefix",
     "pipeline_clean_corpus",
 )
 

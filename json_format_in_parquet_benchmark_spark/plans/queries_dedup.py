@@ -329,6 +329,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_prefix_oracle() -> str:
+    # The DIRECT definition: every pair with full-set Jaccard >= t (J > 0
+    # implies sharing a shingle, so the shingle join loses nothing).  No
+    # DF cap, no prefix machinery -- the oracle states the semantics, the
+    # Spark side earns them at scale via prefix filtering.
+    n = NGRAM_N
+    return f"""
+WITH docsets AS MATERIALIZED (
+  SELECT doc_id, {shingles_duckdb(_TOKS_D, n)} AS shset FROM documents
+),
+sh AS MATERIALIZED (SELECT doc_id, unnest(shset) AS sh FROM docsets),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= {NGRAM_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_prefix",
+    oracle=_ngram_prefix_oracle(),
+    doc="EXACT threshold-Jaccard near-dup pairs via prefix filtering "
+    "(PPJoin-family bound: index only each doc's |S|-ceil(t|S|)+1 "
+    "rarest-first shingles; any pair at Jaccard >= t provably collides "
+    "inside both prefixes, then full-set verification makes the output "
+    "exactly the threshold join -- no DF cap, no out-of-scope pairs, "
+    "unlike dedup_ngram_jaccard).  Candidates are generated once per "
+    "shared PREFIX shingle, and prefix shingles are rare by construction, "
+    "so posting lists stay short at 100 TB "
+    "(operators/dedup.py:ngram_jaccard_pairs_prefix).",
+    tags=("dedup", "jaccard", "prefix"),
+    bench=True,
+)
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=NGRAM_N,
+        threshold_num=2,
+        threshold_den=5,
+    )
+
+
 def _embedding_oracle() -> str:
     from ..operators.similarity import bucket_expr_duckdb
 

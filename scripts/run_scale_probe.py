@@ -172,6 +172,11 @@ def main() -> None:
         r["ngram_jaccard"] = timed(
             lambda: dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
         )
+        r["ngram_prefix"] = timed(
+            lambda: dedup.ngram_jaccard_pairs_prefix(
+                docs, "text", "doc_id"
+            ).count()
+        )
         r["embedding_near_dup"] = timed(
             lambda: dedup.embedding_near_dup_pairs(
                 embs, "embedding", "vec_id", n_planes=n_planes

@@ -320,6 +320,73 @@ def test_semantic_fast_path_agrees_with_sql_path(spark, sf_dir):
     assert sql_rows == fast_rows
 
 
+def test_ngram_prefix_exactness_and_df_cap_subset(spark, sf_dir):
+    """The prefix-filtered Jaccard join must equal the brute-force
+    threshold join (the prefix bound is lossless -- the PPJoin theorem),
+    and the DF-capped variant's output must be a subset of it (the cap
+    only ever drops pairs)."""
+    from json_format_in_parquet_benchmark_spark.functions.text import (
+        shingles_spark,
+        tokens_spark,
+    )
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+        release_caches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n, t = 4, 0.4
+
+    prefix_rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(
+            docs, "text", "doc_id", n=n, threshold_num=2, threshold_den=5
+        ).collect()
+    }
+
+    # Brute force: all pairs via full crossJoin, exact Jaccard, threshold.
+    sets = docs.select(
+        F.col("doc_id"),
+        F.expr(shingles_spark(tokens_spark("text"), n)).alias("shset"),
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shset").alias("sha"),
+        F.size("shset").alias("na"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shset").alias("shb"),
+        F.size("shset").alias("nb"),
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in (
+            a.crossJoin(b)
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= t)
+        ).collect()
+    }
+    assert prefix_rows == brute
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=n).collect()
+    }
+    assert capped <= set(prefix_rows)
+    release_caches()
+
+
 def test_load_table_repins_utc_on_hostile_session(spark):
     """The driver builds its own SparkSession with arbitrary timezone; every
     timestamp-bucketing query depends on load_table re-pinning UTC at call
