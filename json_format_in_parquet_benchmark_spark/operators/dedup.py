@@ -358,13 +358,26 @@ def ngram_jaccard_pairs_prefix(
             F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
         )
     )
+    # Candidate stages run on the xxhash64 of each shingle, not the string:
+    # the shingle table is the biggest thing shuffled here (twice for the
+    # windows, twice for the self-join), and an int64 shuffles ~3x fewer
+    # bytes than a ~25-char string.  A hash collision can only ADD a
+    # candidate pair (the full-set verification discards it), never lose
+    # one, so exactness is untouched; (dfreq, hash) is still one global
+    # canonical order, which is all the prefix theorem needs.
     sh = docsets.select(
-        "doc_id", F.size("shset").alias("n_sh"), F.explode("shset").alias("sh")
-    )
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
+        "doc_id", F.size("shset").alias("n_sh"), F.explode("shset").alias("s")
+    ).select("doc_id", "n_sh", F.xxhash64("s").alias("sh"))
+    # Attach each shingle's document frequency with a window over sh, NOT a
+    # groupBy+join: the join form invites AQE to broadcast the many-million-
+    # row dfreq side (its COMPRESSED shuffle size can sit under the
+    # broadcast threshold while the in-memory hash relation is gigabytes --
+    # observed OOM at 500k docs).  The window is one shuffle on sh and
+    # cannot be broadcast-converted.
+    wsh = Window.partitionBy("sh")
     w = Window.partitionBy("doc_id").orderBy("dfreq", "sh")
     prefix = (
-        sh.join(dfreq, "sh")
+        sh.withColumn("dfreq", F.count(F.lit(1)).over(wsh))
         .withColumn("rn", F.row_number().over(w))
         .where(
             F.col("rn")

@@ -267,6 +267,46 @@ def topk_ivf(
     return scored.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= k)
 
 
+def knn_graph_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 64,
+    dim: int = 64,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Full k-NN graph: EVERY vector's top-k cosine neighbors among the
+    vectors sharing its IVF cell (n_probe=1) -- the all-to-all ANN shape
+    behind SemDeDup-style curation and graph-based near-dup clustering.
+
+    Unlike :func:`topk_ivf` (few queries, query side broadcast), here the
+    query side IS the corpus, so NEITHER side is broadcast: both sides
+    shuffle once on ``cell`` and the candidate join is cell-co-partitioned.
+    Per-cell work is occupancy^2, so ``n_cells`` is the scale knob grown
+    with N to hold cell occupancy (N/n_cells) constant -- total work
+    O(N^2/n_cells) stays linear when n_cells grows linearly, and no
+    single-point bottleneck exists anywhere in the plan.
+    """
+    cells = (
+        assigned
+        if assigned is not None
+        else ivf_assign(df, vec_col, id_col, n_cells, dim)
+    )
+    q = _with_norm(df, vec_col, id_col, "q").join(
+        cells.withColumnRenamed("vec_id", "query_id"), "query_id"
+    )
+    c = _with_norm(df, vec_col, id_col, "c").join(
+        cells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    pairs = q.join(c, "cell").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.expr(_PAIR_COS).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

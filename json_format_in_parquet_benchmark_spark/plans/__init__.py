@@ -50,6 +50,7 @@ _EVIDENCE_PRIORITY = (
     "similarity_topk_ivf",
     "similarity_ivf_partitioned",
     "similarity_topk_lsh",
+    "similarity_knn_graph",
     "similarity_lsh_recall",
     "multimodal_catalog",
     "multimodal_decode_features",
@@ -60,6 +61,7 @@ _EVIDENCE_PRIORITY = (
     "sink_partitioned_events",
     "sink_ndjson_export",
     "sink_compacted_events",
+    "sink_bucketed_join",
     "stream_tumbling_window_batch",
     "stream_tumbling_window",
     "stream_stream_join",

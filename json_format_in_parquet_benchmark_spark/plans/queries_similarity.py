@@ -198,6 +198,66 @@ def similarity_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_CELLS = 64
+KNN_K = 5
+
+
+def _knn_centroids_duckdb_literal() -> str:
+    cells = centroids(KNN_CELLS, DIM)
+    return "[" + ", ".join("[" + ", ".join(repr(x) for x in w) + "]" for w in cells) + "]"
+
+
+@register(
+    "similarity_knn_graph",
+    oracle=f"""
+WITH cellranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+  FROM (
+    SELECT e.vec_id, t.i AS cell,
+           {dot_duckdb("e.embedding", f"({_knn_centroids_duckdb_literal()})[t.i + 1]")} AS d
+    FROM embeddings e CROSS JOIN range({KNN_CELLS}) t(i)
+  )
+),
+assigned AS (SELECT vec_id, cell FROM cellranked WHERE rn = 1),
+scored AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         {cosine_duckdb("a.embedding", "b.embedding")} AS cos_sim
+  FROM assigned qa
+  JOIN assigned ca USING (cell)
+  JOIN embeddings a ON a.vec_id = qa.vec_id
+  JOIN embeddings b ON b.vec_id = ca.vec_id
+  WHERE qa.vec_id <> ca.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {KNN_K}
+""",
+    doc="Full k-NN graph: EVERY vector's top-5 cosine neighbors within its "
+    f"IVF cell ({KNN_CELLS} cells, n_probe=1) -- the all-to-all ANN shape "
+    "behind SemDeDup-style curation and graph near-dup clustering.  Unlike "
+    "similarity_topk_ivf (broadcast query side), both sides shuffle once on "
+    "cell and the join is cell-co-partitioned; per-cell work is occupancy^2 "
+    "so growing n_cells with N holds total work linear "
+    "(operators/similarity.py:knn_graph_ivf).",
+    tags=("similarity", "ivf", "knn-graph", "custom-operator"),
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_graph_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_graph_ivf(
+        emb, "embedding", "vec_id", k=KNN_K, n_cells=KNN_CELLS, dim=DIM
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
 @register(
     "similarity_topk_lsh",
     oracle=f"""

@@ -94,6 +94,102 @@ def sink_ndjson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(F.md5("doc").alias("line_hash"))
 
 
+N_BUCKETS = 8
+
+
+def write_bucketed_order_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Write orders + lineitem as BUCKETED tables on the join key
+    (bucketBy(8, orderkey) + sortBy within buckets) -- the layout that
+    turns the repeated fact-fact join into a ZERO-SHUFFLE SortMergeJoin:
+    both scans arrive hash-distributed by bucket, so Catalyst plans the
+    join with no Exchange on either side.  At 100 TB this is THE standard
+    amortization: pay the shuffle once at write time, join for free every
+    read after.
+
+    External tables (explicit /tmp paths) so any session's in-memory
+    catalog can own them, including the driver's vanilla one; memoized per
+    session+sf via the catalog itself.
+    """
+    import re
+
+    # catalog identifiers can't contain '.', so "sf0.001" -> "sf0_001"
+    tag = re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    t_orders = f"jfipb_orders_bucketed_{tag}"
+    t_li = f"jfipb_lineitem_bucketed_{tag}"
+    if spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(t_li):
+        return t_orders, t_li
+    spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .option("path", os.path.join(_SINK_ROOT, f"bucketed_orders_{tag}"))
+        .bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .format("parquet")
+        .saveAsTable(t_orders)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .option("path", os.path.join(_SINK_ROOT, f"bucketed_lineitem_{tag}"))
+        .bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .format("parquet")
+        .saveAsTable(t_li)
+    )
+    return t_orders, t_li
+
+
+@register(
+    "sink_bucketed_join",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+    doc="Bucketed-table sink + ZERO-SHUFFLE join read-back: orders and "
+    "lineitem written bucketBy(8, orderkey)+sortBy, then joined from the "
+    "bucketed scans -- Catalyst plans the SortMergeJoin with NO Exchange "
+    "on either side (pinned by tests/test_plans.py).  The co-location "
+    "answer to join_sortmerge_order_fulfilment's docstring: pay the "
+    "shuffle once at write time, join shuffle-free every read after.  "
+    "The oracle runs on the ORIGINAL tables, so a lossy or misbucketed "
+    "write fails the value check.",
+    tags=("sink", "bucketing", "join", "zero-shuffle"),
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_orders, t_li = write_bucketed_order_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    li = spark.table(t_li)
+    # merge-hinted (as join_sortmerge_order_fulfilment) so the plan is the
+    # zero-shuffle SortMergeJoin the bucketed layout exists for, even at
+    # test scale where the optimizer would otherwise broadcast.
+    return (
+        o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,2))"
+                " * (1 - cast(l_discount as decimal(18,2))))"
+                " as double)"
+            ).alias("revenue"),
+        )
+    )
+
+
 TARGET_FILE_BYTES = 4 * 1024 * 1024  # compaction target (4 MiB at test scale)
 
 

@@ -100,10 +100,12 @@ def synth_embeddings(spark: SparkSession, n: int, out: str) -> None:
     )
 
 
-def timed(fn) -> tuple[float, int]:
+def timed(fn, label: str = "") -> tuple[float, int]:
     """min-of-2 trials: long-lived local JVMs show multi-x timing noise
     (GC, JIT warmup, lazy cache population racing); the min is the
     reproducible cost of the plan."""
+    if label:
+        print(f"[probe] start {label}", file=sys.stderr, flush=True)
     best = None
     for _ in range(2):
         t0 = time.time()
@@ -208,7 +210,10 @@ def main() -> None:
         )
         results[n] = r
         for op, (secs, rows) in r.items():
-            print(json.dumps({"n_docs": n, "op": op, "sec": secs, "rows": rows}))
+            print(
+                json.dumps({"n_docs": n, "op": op, "sec": secs, "rows": rows}),
+                flush=True,
+            )
 
     print("\n# time growth per 10x data (quadratic would be ~100x):")
     for a, b in zip(sizes, sizes[1:]):

@@ -152,6 +152,17 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_bucketed_sink_join_plans_zero_join_shuffle(spark):
+    """sink_bucketed_join (the registered query): the SortMergeJoin consumes
+    the bucketed scans directly -- no Exchange anywhere on the join keys.
+    The only shuffle in the whole plan is the final per-priority aggregate
+    (the preceding distinct-aggregate reuses the bucket distribution)."""
+    plan = plan_of(spark, "sink_bucketed_join")
+    assert "SortMergeJoin" in plan, plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "orderkey" not in m.group(1), plan
+
+
 def test_kmv_uses_take_ordered_not_global_sort(spark):
     """The KMV bottom-k must be TakeOrderedAndProject over the distinct
     hashes (per-partition top-k + k-row merge), never a full Sort -- the
