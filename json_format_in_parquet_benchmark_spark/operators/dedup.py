@@ -400,6 +400,89 @@ def ngram_jaccard_pairs_prefix(
     return _jaccard_verify(docsets, cand, t)
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 24, w: int = 16
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 -- the MOSS local fingerprinting algorithm): hash every
+    k-char gram of the document, slide a w-gram window, keep each window's
+    MINIMUM hash, distinct per document.
+
+    The guarantee that makes this the copy-detection primitive: any shared
+    substring of length >= k + w - 1 between two documents produces at
+    least one IDENTICAL fingerprint in both -- position-independent, so
+    passages copied at different offsets still collide (what fixed-stride
+    chunk hashing fundamentally cannot do).  Fingerprint density is
+    ~2/(w+1) of grams, so the index is a small fraction of the text.
+
+    This is the min-winnowing variant (window min, not rightmost-min):
+    same guarantee, and order-free, so the identical set is expressible as
+    one window function in both engines.
+    """
+    grams = (
+        _spread(df)
+        .where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).alias("n_chars"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k} + 1),"
+                    f" i -> substring({text_col}, i, {k}))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("p0") + 1).alias("pos"),
+            F.expr(hash64_sql_spark("gram")).alias("gh"),
+        )
+    )
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("gh").over(wf))
+        .where(F.col("pos") <= F.col("n_chars") - k - w + 2)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnow_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 24,
+    w: int = 16,
+    df_cap: int = 20,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Shared-passage pairs via winnowing fingerprints: documents sharing
+    >= ``min_shared`` rare fingerprints (each witnessing a >= k+w-1-char
+    common substring).  Fingerprints in more than ``df_cap`` docs are
+    boilerplate dropped from pair generation (the same DF cut as the
+    n-gram index, bounding the posting-list self-join to df_cap^2 per
+    fingerprint) -- the contamination / copied-passage detector a training
+    pipeline runs between corpus snapshots."""
+    fps = _track_persist(winnow_fingerprints(df, text_col, id_col, k, w))
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("fp")
+    )
+    idx = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",

@@ -75,6 +75,7 @@ _EVIDENCE_PRIORITY = (
     "dedup_incremental",
     "dedup_semantic",
     "dedup_ngram_prefix",
+    "dedup_winnow_spans",
     "pipeline_clean_corpus",
 )
 

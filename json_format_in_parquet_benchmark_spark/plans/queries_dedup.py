@@ -329,6 +329,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 24
+WINNOW_W = 16
+WINNOW_DF_CAP = 20
+WINNOW_MIN_SHARED = 3
+
+
+def _winnow_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+
+    k, w = WINNOW_K, WINNOW_W
+    gh = hash64_sql_duckdb(f"substr(text, CAST(pos AS INT), {k})")
+    return f"""
+WITH pos_ AS (
+  SELECT doc_id, text, n_chars,
+         CAST(unnest(range(1, n_chars - {k} + 2)) AS BIGINT) AS pos
+  FROM documents WHERE n_chars >= {k}
+),
+grams AS (
+  SELECT doc_id, pos, n_chars, {gh} AS gh FROM pos_
+),
+wmin AS (
+  SELECT doc_id, pos, n_chars,
+         MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wmin
+  WHERE pos <= n_chars - {k} - {w} + 2
+),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > {WINNOW_DF_CAP}),
+idx AS (SELECT f.doc_id, f.fp FROM fps f ANTI JOIN hot h USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+@register(
+    "dedup_winnow_spans",
+    oracle=_winnow_oracle(),
+    doc="Copied-passage pairs via winnowing fingerprints (Schleimer et al. "
+    "SIGMOD'03, the MOSS algorithm): every k-char gram hashed, each "
+    "w-gram window contributes its MIN hash, so any shared substring of "
+    f">= {WINNOW_K + WINNOW_W - 1} chars yields an identical fingerprint "
+    "in both documents at ANY offset -- position-independent passage "
+    "detection that fixed-stride chunk hashing cannot do.  Boilerplate "
+    f"fingerprints (> {WINNOW_DF_CAP} docs) are dropped from pair "
+    "generation; pairs need >= "
+    f"{WINNOW_MIN_SHARED} shared rare fingerprints "
+    "(operators/dedup.py:winnow_span_pairs).",
+    tags=("dedup", "winnowing", "contamination"),
+)
+def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_span_pairs
+
+    return winnow_span_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=WINNOW_K,
+        w=WINNOW_W,
+        df_cap=WINNOW_DF_CAP,
+        min_shared=WINNOW_MIN_SHARED,
+    )
+
+
 def _ngram_prefix_oracle() -> str:
     # The DIRECT definition: every pair with full-set Jaccard >= t (J > 0
     # implies sharing a shingle, so the shingle join loses nothing).  No

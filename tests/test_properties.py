@@ -387,6 +387,35 @@ def test_ngram_prefix_exactness_and_df_cap_subset(spark, sf_dir):
     release_caches()
 
 
+def test_winnowing_guarantee_offset_independent(spark):
+    """Schleimer et al.'s winnowing guarantee: two documents sharing a
+    substring of length >= k + w - 1 produce at least one IDENTICAL
+    fingerprint, regardless of where the passage sits in each document.
+    Disjoint alphabets for the surrounding junk ensure the only shared
+    grams come from the planted passage."""
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    k, w = 8, 4
+    passage = "zyxwvutsrqp"  # k + w - 1 = 11 chars
+    docs = spark.createDataFrame(
+        [
+            (0, "0123456789012345" + passage + "543210"),
+            (1, "ABCDEFGH" + passage + "IJKLMNOPQRSTUV"),
+            (2, "aabbccddeeffgghhii"),  # shares nothing
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=k, w=w).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "copied passage must share a fingerprint"
+    assert not (by_doc[0] & by_doc.get(2, set()))
+    assert not (by_doc[1] & by_doc.get(2, set()))
+
+
 def test_load_table_repins_utc_on_hostile_session(spark):
     """The driver builds its own SparkSession with arbitrary timezone; every
     timestamp-bucketing query depends on load_table re-pinning UTC at call
