@@ -64,6 +64,7 @@ _EVIDENCE_PRIORITY = (
     "sink_bucketed_join",
     "stream_tumbling_window_batch",
     "stream_tumbling_window",
+    "stream_static_enrich",
     "stream_stream_join",
     "stream_dedup_watermarked",
     "stream_sessionize_batch",

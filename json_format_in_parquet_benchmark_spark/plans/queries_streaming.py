@@ -273,6 +273,47 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, f"ssjoin_{tag}", "append")
 
 
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY 1
+""",
+    doc="TRUE stream-static join: the event stream enriched against the "
+    "customer dimension by broadcast INSIDE the streaming plan -- the "
+    "dimension needs no watermark (static side is re-broadcast per "
+    "micro-batch, how every production enrichment keeps slowly-changing "
+    "dims fresh), the stream buffers no join state at all, and append "
+    "mode emits enriched rows as they arrive.  The per-segment rollup "
+    "happens on the sink output; the oracle is the plain batch "
+    "join+aggregate.",
+    tags=("streaming", "join", "dimension", "broadcast"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events_dir = _staged_events(spark, sf_dir)
+    stream = read_events_stream(spark, events_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey")
+    ).select("c_mktsegment", "value")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sink = _run_to_memory(enriched, f"senrich_{tag}", "append")
+    return sink.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+            "total_value"
+        ),
+    )
+
+
 def _staged_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table UNIONED WITH ITSELF as one parquet file -- the
     duplicated input the streaming-dedup query must collapse."""
