@@ -62,6 +62,7 @@ _EVIDENCE_PRIORITY = (
     "sink_ndjson_export",
     "sink_compacted_events",
     "sink_bucketed_join",
+    "sink_merge_upsert",
     "stream_tumbling_window_batch",
     "stream_tumbling_window",
     "stream_static_enrich",

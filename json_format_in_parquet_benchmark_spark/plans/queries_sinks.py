@@ -224,6 +224,90 @@ def write_compacted_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
 
 
 @register(
+    "sink_merge_upsert",
+    oracle="""
+WITH changes AS (
+  -- updates: every 7th event re-arrives with a doubled value
+  SELECT event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 2 AS DOUBLE) AS value,
+         user_id
+  FROM events WHERE event_id % 7 = 0
+  UNION ALL
+  -- inserts: late events with fresh ids above the current max
+  SELECT event_id + (SELECT MAX(event_id) + 1 FROM events) AS event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) + 1 AS DOUBLE) AS value,
+         user_id
+  FROM events WHERE event_id % 97 = 0
+),
+merged AS (
+  SELECT e.event_id, CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+         e.user_id
+  FROM events e ANTI JOIN changes c ON e.event_id = c.event_id
+  UNION ALL
+  SELECT event_id, value, user_id FROM changes
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
+         AS id_checksum
+FROM merged
+""",
+    doc="MERGE INTO (upsert) sink without a table format: a deterministic "
+    "changes batch (updates = every 7th event with doubled value, inserts "
+    "= fresh ids above max) merged into the base table as "
+    "base ANTI-JOIN changes UNION changes -- the WHEN MATCHED UPDATE / "
+    "WHEN NOT MATCHED INSERT semantics of Delta/Iceberg MERGE expressed "
+    "as one Catalyst plan, written to parquet and value-checked from the "
+    "read-back.  At 100 TB both sides hash-join on the merge key and the "
+    "rewrite is partition-local; the checksum pins the exact post-merge "
+    "id set, not just the counts.",
+    tags=("sink", "merge", "upsert"),
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "user_id"
+    )
+    max_id = F.lit(
+        events.agg(F.max("event_id")).collect()[0][0] + 1
+    )  # one scalar job, the same MAX the oracle's subquery computes
+    updates = events.where(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        F.expr("cast(cast(value as decimal(18,2)) * 2 as double)").alias("value"),
+        "user_id",
+    )
+    inserts = events.where(F.col("event_id") % 97 == 0).select(
+        (F.col("event_id") + max_id).alias("event_id"),
+        F.expr("cast(cast(value as decimal(18,2)) + 1 as double)").alias("value"),
+        "user_id",
+    )
+    changes = updates.unionByName(inserts)
+    merged = (
+        events.select(
+            "event_id",
+            F.expr("cast(cast(value as decimal(18,2)) as double)").alias("value"),
+            "user_id",
+        )
+        .join(changes.select("event_id"), "event_id", "left_anti")
+        .unionByName(changes)
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = os.path.join(_SINK_ROOT, f"events_merged_{tag}")
+    merged.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+            "total_value"
+        ),
+        F.expr(
+            f"bit_xor({hash64_sql_spark('cast(event_id as string)')})"
+        ).alias("id_checksum"),
+    )
+
+
+@register(
     "sink_compacted_events",
     oracle="""
 SELECT event_id, md5(props) AS props_hash, user_id
