@@ -52,6 +52,7 @@ _EVIDENCE_PRIORITY = (
     "similarity_topk_lsh",
     "similarity_knn_graph",
     "similarity_lsh_recall",
+    "similarity_ivf_recall",
     "multimodal_catalog",
     "multimodal_decode_features",
     "multimodal_image_resize",

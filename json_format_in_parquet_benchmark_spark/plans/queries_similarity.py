@@ -350,6 +350,12 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = topk_lsh(
         emb, queries, "embedding", "vec_id", k=TOP_K, n_planes=N_PLANES, dim=DIM
     ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    return _recall_by_query(truth, approx)
+
+
+def _recall_by_query(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of an approximate neighbor set against the exact
+    one (left join on (query, neighbor); hit-count / truth-count)."""
     joined = truth.join(
         approx,
         (truth.query_id == approx.query_id)
@@ -361,3 +367,69 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("a_neighbor").alias("k_hit"),
         (F.count("a_neighbor").cast("double") / F.count(F.lit(1))).alias("recall"),
     )
+
+
+@register(
+    "similarity_ivf_recall",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings),
+exact_ranked AS (
+  SELECT a.query_id, b.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+                            ORDER BY {cosine_duckdb("a.embedding", "b.embedding")} DESC,
+                                     b.neighbor_id) AS rank
+  FROM q a CROSS JOIN c b
+  WHERE a.query_id <> b.neighbor_id
+),
+truth AS (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {TOP_K}),
+cellranked AS (
+  SELECT vec_id, cell, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+  FROM (
+    SELECT e.vec_id, t.i AS cell,
+           {dot_duckdb("e.embedding", f"({{cents}})[t.i + 1]")} AS d
+    FROM embeddings e CROSS JOIN range({N_CELLS}) t(i)
+  )
+),
+corpus_cells AS (SELECT vec_id AS neighbor_id, cell FROM cellranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM cellranked
+           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+approx_scored AS (
+  SELECT p.query_id, cc.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY {cosine_duckdb("a.embedding", "b.embedding")} DESC,
+                                     cc.neighbor_id) AS rank
+  FROM probes p
+  JOIN corpus_cells cc USING (cell)
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = cc.neighbor_id
+  WHERE p.query_id <> cc.neighbor_id
+),
+approx AS (SELECT query_id, neighbor_id FROM approx_scored WHERE rank <= {TOP_K})
+SELECT t.query_id,
+       COUNT(*) AS k_true,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS k_hit,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY 1
+""".replace("{cents}", _centroids_duckdb_literal()),
+    doc="ANN evaluation for the IVF path: per-query recall@k of the "
+    "probed-cell search against exact brute force -- with the LSH recall "
+    "harness this closes the tuning loop for BOTH ANN layouts "
+    "(n_cells/n_probe here, n_planes there) before a 100 TB rollout.",
+    tags=("similarity", "ivf", "evaluation"),
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    truth = topk_bruteforce(emb, queries, "embedding", "vec_id", k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = topk_ivf(
+        emb, queries, "embedding", "vec_id",
+        k=TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, dim=DIM,
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    return _recall_by_query(truth, approx)
