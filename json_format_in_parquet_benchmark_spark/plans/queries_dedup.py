@@ -382,6 +382,7 @@ HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
     f"{WINNOW_MIN_SHARED} shared rare fingerprints "
     "(operators/dedup.py:winnow_span_pairs).",
     tags=("dedup", "winnowing", "contamination"),
+    bench=True,
 )
 def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import winnow_span_pairs

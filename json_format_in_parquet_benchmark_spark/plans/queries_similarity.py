@@ -245,6 +245,7 @@ SELECT * FROM ranked WHERE rank <= {KNN_K}
     "so growing n_cells with N holds total work linear "
     "(operators/similarity.py:knn_graph_ivf).",
     tags=("similarity", "ivf", "knn-graph", "custom-operator"),
+    bench=True,
 )
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_graph_ivf

@@ -168,6 +168,7 @@ GROUP BY 1
     "The oracle runs on the ORIGINAL tables, so a lossy or misbucketed "
     "write fails the value check.",
     tags=("sink", "bucketing", "join", "zero-shuffle"),
+    bench=True,
 )
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_orders, t_li = write_bucketed_order_tables(spark, sf_dir)
@@ -262,6 +263,7 @@ FROM merged
     "rewrite is partition-local; the checksum pins the exact post-merge "
     "id set, not just the counts.",
     tags=("sink", "merge", "upsert"),
+    bench=True,
 )
 def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hash64_sql_spark
