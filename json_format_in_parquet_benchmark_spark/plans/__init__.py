@@ -64,6 +64,7 @@ _EVIDENCE_PRIORITY = (
     "sink_compacted_events",
     "sink_bucketed_join",
     "sink_merge_upsert",
+    "join_salted_skew_events",
     "stream_tumbling_window_batch",
     "stream_tumbling_window",
     "stream_static_enrich",

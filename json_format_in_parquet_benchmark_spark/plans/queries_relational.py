@@ -696,6 +696,49 @@ def agg_salted_skew_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew_events",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY 1
+""",
+    doc="Salted REPLICATION join for skewed join keys: the big (skewed) "
+    "side gets a deterministic salt in [0,16) from event_id, the small "
+    "side is replicated 16x (explode) so the join key becomes "
+    "(custkey, salt) and each hot user's rows spread over 16 reducers "
+    "instead of one straggler task.  Result provably identical to the "
+    "plain join (the oracle IS the plain join+aggregate).  This is the "
+    "manual form of what AQE skew-join does for sort-merge joins -- "
+    "needed when the engine's skew handling cannot see the skew (e.g. "
+    "post-shuffle state, or non-SMJ plans).",
+    tags=("relational", "join", "skew", "salting"),
+)
+def join_salted_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 16
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.pmod(F.col("event_id"), F.lit(n_salt)).alias("salt")
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})")))
+    )
+    joined = events.join(
+        dim,
+        (events.user_id == dim.c_custkey) & (events.salt == dim.salt),
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+            "total_value"
+        ),
+    )
+
+
+@register(
     "pivot_daily_event_types",
     oracle="""
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
