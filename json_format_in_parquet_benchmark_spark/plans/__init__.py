@@ -81,6 +81,12 @@ _EVIDENCE_PRIORITY = (
     "dedup_ngram_prefix",
     "dedup_winnow_spans",
     "pipeline_clean_corpus",
+    # Round-3 late additions (never driver-checked; overflow past the
+    # driver's 50-query window rolls to the next round's sample).
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -1061,3 +1061,198 @@ def unpivot_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n_events",
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6-style forecast-revenue change: a pure scan->filter->global "
+    "aggregate with NO join and NO groupBy shuffle -- the canonical "
+    "predicate-pushdown showcase.  All three predicates (shipdate range, "
+    "discount band, quantity cap) reach the Parquet reader as PushedFilters "
+    "and ReadSchema keeps only the four referenced columns; at 100 TB this "
+    "plan is a single map stage plus a scalar partial-aggregate merge.",
+    tags=("relational", "aggregation", "filter", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,2))"
+                " * cast(l_discount as decimal(18,2))) as double)"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_name,
+       n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM customer c
+JOIN orders o    ON o.o_custkey = c.c_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN nation n    ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10-style returned-item report: which customers returned the "
+    "most revenue.  Plan shape at scale: the returnflag filter pushes into "
+    "the lineitem scan BEFORE the fact-fact shuffle join with orders; "
+    "customer and nation are broadcast so the big side shuffles exactly "
+    "once (on l_orderkey); the final top-20 runs as TakeOrderedAndProject "
+    "-- per-partition heaps, no global sort.",
+    tags=("relational", "join", "aggregation", "topk"),
+    bench=True,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    returned = li.where(F.col("l_returnflag") == "R")
+    joined = (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2))"
+            " * (1 - cast(l_discount as decimal(18,2)))) as double)"
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(100.0 AS DOUBLE)
+       * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-06-01 00:00:00'
+""",
+    doc="TPC-H Q14-style promotion effect: percentage of revenue from "
+    "promo-typed parts in a shipdate window.  part is a dimension -- "
+    "broadcast-joined so lineitem never shuffles; the conditional "
+    "numerator and the denominator aggregate in ONE pass (two partial "
+    "aggregates in the same map stage).  Both sums are exact DECIMAL; the "
+    "single final double division has identical operands cross-engine.",
+    tags=("relational", "join", "aggregation"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    flt = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-06-01 00:00:00").cast("timestamp"))
+    )
+    joined = flt.join(F.broadcast(part), flt.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.expr(
+            "cast(100.0 as double)"
+            " * cast(sum(case when p_type like 'PROMO%'"
+            "   then cast(l_extendedprice as decimal(18,2))"
+            "        * (1 - cast(l_discount as decimal(18,2)))"
+            "   else cast(0 as decimal(18,2)) end) as double)"
+            " / cast(sum(cast(l_extendedprice as decimal(18,2))"
+            "        * (1 - cast(l_discount as decimal(18,2)))) as double)"
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+WITH big_orders AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c.c_custkey,
+       c.c_name,
+       o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       b.total_qty
+FROM big_orders b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o.o_orderkey
+LIMIT 50
+""",
+    doc="TPC-H Q18-style large-volume customers: orders whose total line "
+    "quantity exceeds a threshold, with their customers, by price.  The "
+    "HAVING aggregate runs on lineitem grouped by its natural shuffle key "
+    "(l_orderkey) with map-side partial aggregation; the surviving key set "
+    "is small, so its join to orders broadcast-converts under AQE, and "
+    "customer is broadcast outright.  Top-50 via per-partition heaps.",
+    tags=("relational", "join", "aggregation", "having", "topk"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_quantity as decimal(18,2))) as double)"
+            ).alias("total_qty"),
+            F.expr("sum(cast(l_quantity as decimal(18,2)))").alias("_q"),
+        )
+        .where(F.col("_q") > 150)
+        .drop("_q")
+    )
+    joined = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    out = joined.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "total_qty",
+    )
+    return out.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(50)
