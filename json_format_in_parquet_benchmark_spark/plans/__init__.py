@@ -87,6 +87,9 @@ _EVIDENCE_PRIORITY = (
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_volume_customers",
+    "sample_domain_cap",
+    "profile_length_histogram",
+    "text_char_bigram_lm",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

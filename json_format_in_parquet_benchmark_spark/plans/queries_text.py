@@ -805,3 +805,208 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("copy_idx"),
     )
+
+
+DOMAIN_CAP = 15  # max documents kept per source domain
+
+
+@register(
+    "sample_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ({hash64_sql_duckdb("CAST(doc_id AS VARCHAR)", salt="cap:")}),
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN doc_id ELSE 0 END) AS BIGINT)
+         AS kept_checksum
+FROM ranked
+GROUP BY source
+""",
+    doc="Per-domain document cap (web-crawl pipelines cap pages per domain "
+    "so mega-domains don't dominate the training mix).  Selection is the "
+    f"{DOMAIN_CAP} lowest portable-hash ranks within each source, so the "
+    "kept set is a pure function of ids -- stable under re-runs and "
+    "appends.  One shuffle (the per-domain window); the hash ordering "
+    "makes the kept subset uniform, and because rank-by-uniform-hash "
+    "equals 'K smallest hashes per domain', a skew-hardened variant can "
+    "pre-prune with a per-domain approximate hash threshold before the "
+    "exact window.  The checksum pins the exact per-doc decision.",
+    tags=("text", "sampling", "pipeline"),
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash64_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash64_sql_spark("cast(doc_id as string)", salt="cap:")
+    ranked = docs.select(
+        "doc_id", "source", F.expr(h).alias("h")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("h", "doc_id")
+        ),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("rk") <= DOMAIN_CAP, 1).otherwise(0)
+        ).cast("bigint").alias("n_kept"),
+        F.sum(
+            F.when(F.col("rk") <= DOMAIN_CAP, F.col("doc_id")).otherwise(0)
+        ).cast("bigint").alias("kept_checksum"),
+    )
+
+
+LEN_BUCKET = 256  # histogram bucket width in characters
+
+
+@register(
+    "profile_length_histogram",
+    oracle=f"""
+SELECT lang,
+       CAST(FLOOR(n_chars / {LEN_BUCKET}) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, bucket
+""",
+    doc="Dataset-card length profile: per-language histogram of document "
+    f"sizes in {LEN_BUCKET}-char buckets with per-bucket totals and "
+    "extremes -- the distribution table every corpus datasheet ships.  "
+    "Map-side bucketing plus one partial-aggregated shuffle on "
+    "(lang, bucket); cardinality is languages x buckets regardless of "
+    "corpus size, so the result stays tiny at 100 TB.",
+    tags=("text", "profile", "aggregation"),
+)
+def profile_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "bucket",
+            F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)).cast("bigint"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+LM_QUANT = "CAST(1e12 AS DOUBLE)"  # probability quantization grid
+LM_VOCAB_K = 4096  # vocabulary cap (top bigrams by count; safety at scale)
+
+
+def _bigram_lm_oracle() -> str:
+    return f"""
+WITH bg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(text)::BIGINT),
+                               i -> substr(text, i::INT, 2))) AS b
+  FROM documents WHERE len(text) >= 2
+),
+cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+vocab AS (
+  SELECT b,
+         CAST(FLOOR({LM_QUANT} * (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))
+              AS BIGINT) AS pq
+  FROM cnt, tot ORDER BY c DESC, b LIMIT {LM_VOCAB_K}
+),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(SUM(COALESCE(v.pq, 0)) AS BIGINT) AS score_q,
+         COUNT(*) AS n_bigrams
+  FROM bg LEFT JOIN vocab v USING (b)
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, score_q,
+       CAST(score_q AS DOUBLE) / ({LM_QUANT} * CAST(n_bigrams AS DOUBLE))
+         AS lm_score
+FROM scored
+"""
+
+
+def _spark_str_lit(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+@register(
+    "text_char_bigram_lm",
+    oracle=_bigram_lm_oracle(),
+    doc="CCNet-style corpus-trained language-model quality score: a "
+    "character-bigram model is trained on the corpus itself, then every "
+    "document is scored by its mean bigram probability (quantized to an "
+    f"integer grid so the per-doc sum is order-free and exact).  Training "
+    "is explode->groupBy with map-side combine (the shuffle carries at "
+    "most one row per distinct bigram per task); the fitted distribution "
+    f"is a k-bounded driver collect (top {LM_VOCAB_K} bigrams, the "
+    "standard vocabulary truncation) embedded as ONE map literal, so "
+    "scoring is a pure zero-shuffle map stage -- no join of the corpus "
+    "back to the model, which is what makes this shape hold at 100 TB.  "
+    "Low lm_score = improbable character sequences = likely boilerplate/"
+    "garbage, the filter signal CCNet/RedPajama use (theirs is a "
+    "Kneser-Ney 5-gram; the estimator is pluggable, the plan is not).",
+    tags=("text", "quality", "lm", "pipeline"),
+    bench=True,
+)
+def text_char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 2
+    )
+    bgs = "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+    counts = (
+        docs.select(F.explode(F.expr(bgs)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c")).collect()[0][0]
+    vocab_rows = (
+        counts.orderBy(F.col("c").desc(), "b").limit(LM_VOCAB_K).collect()
+    )
+    # floor(1e12 * (c / t)) in Python IEEE doubles -- bit-identical to the
+    # same expression evaluated by DuckDB (and Spark, had we evaluated it
+    # there): division and multiplication of identical operands.
+    entries = []
+    for r in vocab_rows:
+        pq = math.floor(1e12 * (r["c"] / total))
+        entries.append(f"{_spark_str_lit(r['b'])}, {pq}L")
+    map_expr = f"map({', '.join(entries)})"
+    score = (
+        f"aggregate({bgs}, cast(0 as bigint),"
+        f" (acc, x) -> acc + coalesce(element_at({map_expr}, x),"
+        " cast(0 as bigint)))"
+    )
+    scored = docs.select(
+        "doc_id",
+        F.expr(f"cast(size({bgs}) as bigint)").alias("n_bigrams"),
+        F.expr(score).alias("score_q"),
+    )
+    # Two-level select: the fold runs once per row (CollapseProject keeps
+    # non-cheap producer expressions used more than once un-inlined, but
+    # there is no reason to lean on that).
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "score_q",
+        F.expr(
+            f"cast(score_q as double) / ({LM_QUANT} * cast(n_bigrams as double))"
+        ).alias("lm_score"),
+    )
