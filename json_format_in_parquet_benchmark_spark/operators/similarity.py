@@ -355,3 +355,204 @@ def topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) -- the FAISS-style ANN compression path.
+#
+# Vectors are split into PQ_M subspaces; each subspace gets a tiny k-means
+# codebook (PQ_K centroids) and every vector is stored as PQ_M one-byte
+# codes.  Query scoring is ADC (asymmetric distance computation): per query,
+# a PQ_M x PQ_K distance table is precomputed once, and each candidate's
+# distance is PQ_M table lookups + adds -- no float math per candidate.  At
+# 100 TB this compresses a 64-dim float vector (256 B) to 8 B and turns the
+# scan into a codes-only columnar read; it composes with IVF (prune cells,
+# then ADC-score the survivors).
+#
+# Exactness design: embeddings are quantized ONCE to an integer grid
+# (floor(x * 1e6) as BIGINT) and ALL distances -- training assignment, final
+# codes, distance tables -- are exact int64 arithmetic, so every decision
+# (argmin ties included) is bit-identical across Spark / DuckDB / Python.
+# Centroid updates de-quantize via one double division with identical
+# operands (floor(sum / count)), the same recipe operators/semantic.py uses.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (PQ_M * PQ_DSUB = 64 = embedding dim)
+PQ_K = 16  # centroids per subspace codebook
+PQ_GRID = "1e6"  # integer quantization grid for exact distances
+
+
+def pq_quantize(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(vec_id, eq) with eq = the vector on the exact integer grid."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform(cast({vec_col} as array<double>),"
+            f" x -> cast(floor(x * {PQ_GRID}) as bigint))"
+        ).alias("eq"),
+    )
+
+
+def _pq_dist_sql(sub: int, cent: list[int]) -> str:
+    terms = " + ".join(
+        f"(element_at(eq, {sub * PQ_DSUB + j + 1}) - ({cent[j]}L))"
+        f" * (element_at(eq, {sub * PQ_DSUB + j + 1}) - ({cent[j]}L))"
+        for j in range(PQ_DSUB)
+    )
+    return f"({terms})"
+
+
+def _pq_code_expr(sub: int, codebook: list[list[int]]) -> str:
+    """Argmin over the subspace codebook; ties -> lowest code (exact int
+    distances, so the min struct comparison is deterministic)."""
+    entries = ", ".join(
+        f"named_struct('d', {_pq_dist_sql(sub, cent)}, 'c', {c})"
+        for c, cent in enumerate(codebook)
+    )
+    return f"array_min(array({entries})).c"
+
+
+def pq_train_codebooks(e: DataFrame) -> list[list[list[int]]]:
+    """One deterministic Lloyd iteration per subspace, entirely in the
+    integer domain.  Seeds = the PQ_K lowest-id vectors' subvectors (same
+    simplification as operators/semantic.py); empty codes keep their seed.
+    Returns codebooks[sub][code] = centroid (list of PQ_DSUB ints)."""
+    import math
+
+    seed_rows = e.orderBy("vec_id").limit(PQ_K).collect()
+    cbs = [
+        [
+            [int(v) for v in r["eq"][s * PQ_DSUB : (s + 1) * PQ_DSUB]]
+            for r in seed_rows
+        ]
+        for s in range(PQ_M)
+    ]
+    assigned = pq_assign_fast(e, cbs, with_eq=True)
+    # Reshape to (sub, code, pos) grain and take exact integer sums: ONE
+    # map-side-combined shuffle of at most PQ_M * PQ_K * PQ_DSUB rows per
+    # task, then a k-bounded collect (1024 rows) -- the MLlib KMeans
+    # aggregation contract.
+    structs = ", ".join(
+        f"named_struct('sub', {s}, 'code', code{s},"
+        f" 'sq', slice(eq, {s * PQ_DSUB + 1}, {PQ_DSUB}))"
+        for s in range(PQ_M)
+    )
+    longf = (
+        assigned.select(F.expr(f"explode(array({structs}))").alias("z"))
+        .select("z.sub", "z.code", F.posexplode("z.sq").alias("pos", "x"))
+    )
+    sums = (
+        longf.groupBy("sub", "code", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out = [[list(cent) for cent in cbs[s]] for s in range(PQ_M)]
+    for r in sums:
+        # floor(sum / count): double division of identical operands --
+        # bit-identical to the oracle's FLOOR(CAST(s AS DOUBLE)/CAST(n AS
+        # DOUBLE)).
+        out[r["sub"]][r["code"]][r["pos"]] = math.floor(r["s"] / r["n"])
+    return out
+
+
+def pq_topk(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_queries: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k: queries are the vec_ids < n_queries; candidates are every
+    other vector, scored by PQ_M integer table lookups.  The distance
+    tables are driver-built (n_queries * PQ_M * PQ_K ints) and folded into
+    the scoring expression as literals, so scoring is a zero-shuffle map
+    stage over the codes; only the final per-query top-k windows shuffle
+    (n_queries partitions of candidate rows)."""
+    e = pq_quantize(emb, vec_col, id_col)
+    cbs = pq_train_codebooks(e)
+    codes = pq_assign_fast(e, cbs)
+    qrows = sorted(
+        e.where(F.col("vec_id") < n_queries).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    per_query = []
+    for r in qrows:
+        qeq = [int(v) for v in r["eq"]]
+        lookups = []
+        for s in range(PQ_M):
+            dts = [
+                str(
+                    sum(
+                        (qeq[s * PQ_DSUB + j] - cent[j]) ** 2
+                        for j in range(PQ_DSUB)
+                    )
+                )
+                + "L"
+                for cent in cbs[s]
+            ]
+            lookups.append(
+                f"element_at(array({', '.join(dts)}), code{s} + 1)"
+            )
+        dist = " + ".join(lookups)
+        per_query.append(
+            f"named_struct('query_id', {int(r['vec_id'])}L,"
+            f" 'adc_dist', cast({dist} as bigint))"
+        )
+    scored = (
+        codes.select(
+            "vec_id",
+            F.expr(f"explode(array({', '.join(per_query)}))").alias("z"),
+        )
+        .select(
+            F.col("z.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("z.adc_dist").alias("adc_dist"),
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def pq_assign_fast(
+    e: DataFrame, cbs: list[list[list[int]]], with_eq: bool = False
+) -> DataFrame:
+    """(vec_id, code0..code{PQ_M-1}) via an Arrow-batched numpy kernel --
+    identical values to the ``_pq_code_expr`` SQL-literal argmin (exact
+    int64 distances; ``argmin`` returns the FIRST minimum = lowest code,
+    matching the struct-min tiebreak).  The 1024-term literal expression
+    exceeds Spark's whole-stage-codegen method limit and falls back to
+    interpreted eval, so the vectorized kernel is the at-scale path; the
+    expression form remains the oracle-shaped reference, pinned equal by
+    tests/test_properties.py."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(cbs, dtype=np.int64)  # (PQ_M, PQ_K, PQ_DSUB)
+    schema = (
+        "vec_id long, "
+        + ", ".join(f"code{s} int" for s in range(PQ_M))
+        + (", eq array<bigint>" if with_eq else "")
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["eq"].tolist(), dtype=np.int64).reshape(
+                len(pdf), PQ_M, PQ_DSUB
+            )
+            out = {"vec_id": pdf["vec_id"]}
+            for s in range(PQ_M):
+                d = ((X[:, s, None, :] - cent[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                out[f"code{s}"] = d.argmin(axis=1).astype("int32")
+            if with_eq:
+                out["eq"] = pdf["eq"]
+            yield pd.DataFrame(out)
+
+    return e.select("vec_id", "eq").mapInPandas(assign, schema=schema)

@@ -90,6 +90,7 @@ _EVIDENCE_PRIORITY = (
     "sample_domain_cap",
     "profile_length_histogram",
     "text_char_bigram_lm",
+    "similarity_pq_topk",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

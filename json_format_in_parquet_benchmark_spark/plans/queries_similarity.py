@@ -434,3 +434,120 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, dim=DIM,
     ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
     return _recall_by_query(truth, approx)
+
+
+def _pq_oracle(n_queries: int = 3, k: int = 10) -> str:
+    """Unrolled PQ training + ADC scoring, bit-exact vs the Spark plan: all
+    distances are int64 arithmetic on the 1e6 quantization grid, centroid
+    updates are FLOOR(sum/count) with identical double operands, argmin
+    ties break to the lowest code."""
+    from ..operators.similarity import PQ_DSUB, PQ_K, PQ_M
+
+    def sqd(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])"
+            for j in range(1, PQ_DSUB + 1)
+        )
+
+    cent_list = ", ".join(
+        f"CAST(FLOOR(CAST(SUM(sq[{j}]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))"
+        " AS BIGINT)"
+        for j in range(1, PQ_DSUB + 1)
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS eq
+  FROM embeddings
+),
+subs AS MATERIALIZED (
+  SELECT vec_id, s.sub,
+         list_slice(eq, s.sub * {PQ_DSUB} + 1, s.sub * {PQ_DSUB} + {PQ_DSUB})
+           AS sq
+  FROM e, (SELECT unnest(range(0, {PQ_M})) AS sub) s
+),
+seeds AS (
+  SELECT eq, code FROM (
+    SELECT eq, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+    FROM e
+  ) WHERE code < {PQ_K}
+),
+c0 AS (
+  SELECT s.sub, seeds.code,
+         list_slice(seeds.eq, s.sub * {PQ_DSUB} + 1,
+                    s.sub * {PQ_DSUB} + {PQ_DSUB}) AS cent
+  FROM seeds, (SELECT unnest(range(0, {PQ_M})) AS sub) s
+),
+a1 AS (
+  SELECT vec_id, sub, code, sq FROM (
+    SELECT s.vec_id, s.sub, c.code, s.sq,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {sqd('s.sq', 'c.cent')}, c.code) AS rn
+    FROM subs s JOIN c0 c ON c.sub = s.sub
+  ) WHERE rn = 1
+),
+upd AS (
+  SELECT sub, code, [{cent_list}] AS cent
+  FROM a1 GROUP BY sub, code
+),
+c1 AS (
+  SELECT c0.sub, c0.code, COALESCE(u.cent, c0.cent) AS cent
+  FROM c0 LEFT JOIN upd u ON u.sub = c0.sub AND u.code = c0.code
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {sqd('s.sq', 'c.cent')}, c.code) AS rn
+    FROM subs s JOIN c1 c ON c.sub = s.sub
+  ) WHERE rn = 1
+),
+dt AS (
+  SELECT q.vec_id AS query_id, c.sub, c.code, {sqd('q.sq', 'c.cent')} AS d
+  FROM (SELECT vec_id, sub, sq FROM subs WHERE vec_id < {n_queries}) q
+  JOIN c1 c ON c.sub = q.sub
+),
+scored AS (
+  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+         CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+  FROM codes JOIN dt ON dt.sub = codes.sub AND dt.code = codes.code
+  WHERE dt.query_id <> codes.vec_id
+  GROUP BY dt.query_id, codes.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS INT)
+           AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@register(
+    "similarity_pq_topk",
+    oracle=_pq_oracle(),
+    doc="Product-quantization ANN (the FAISS IVF-PQ compression path): "
+    "64-dim vectors become 8 one-byte codes via per-subspace k-means "
+    "codebooks, and queries score candidates by ADC -- 8 integer table "
+    "lookups per candidate from a driver-built distance table, no float "
+    "math in the scan.  Training is one exact-integer Lloyd round (one "
+    "map-side-combined shuffle + a 1024-row collect); scoring is a "
+    "zero-shuffle map over the codes.  At 100 TB this is the difference "
+    "between scanning 256 B/vector and 8 B/vector, and it composes with "
+    "the IVF cell pruning of similarity_topk_ivf "
+    "(operators/similarity.py:pq_topk).",
+    tags=("similarity", "ann", "pq", "embedding"),
+    bench=True,
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    return pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        n_queries=3,
+        k=TOP_K,
+    )

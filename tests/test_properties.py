@@ -431,3 +431,38 @@ def test_load_table_repins_utc_on_hostile_session(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_pq_assign_fast_agrees_with_expr_path(spark, sf_dir):
+    """The numpy PQ code assignment must agree code-for-code with the
+    SQL-literal argmin expression on real vectors -- here EXACTLY, not just
+    up to ties: both sides compute int64 distances on the same quantization
+    grid, so even ties resolve identically (lowest code)."""
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.operators.similarity import (
+        PQ_M,
+        _pq_code_expr,
+        pq_assign_fast,
+        pq_quantize,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    e = pq_quantize(emb, "embedding", "vec_id")
+    cbs = pq_train_codebooks(e)
+    expr_codes = {
+        r["vec_id"]: tuple(r[f"code{s}"] for s in range(PQ_M))
+        for r in e.select(
+            "vec_id",
+            *[
+                F.expr(_pq_code_expr(s, cbs[s])).alias(f"code{s}")
+                for s in range(PQ_M)
+            ],
+        ).collect()
+    }
+    fast_codes = {
+        r["vec_id"]: tuple(r[f"code{s}"] for s in range(PQ_M))
+        for r in pq_assign_fast(e, cbs).collect()
+    }
+    assert expr_codes == fast_codes
