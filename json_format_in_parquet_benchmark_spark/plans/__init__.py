@@ -11,6 +11,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 # evidence-priority reorder at the bottom of this module.
 from . import queries_json  # noqa: E402,F401
 from . import queries_generator  # noqa: E402,F401
+from . import queries_graph  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_search  # noqa: E402,F401
@@ -91,6 +92,7 @@ _EVIDENCE_PRIORITY = (
     "profile_length_histogram",
     "text_char_bigram_lm",
     "similarity_pq_topk",
+    "graph_pagerank_trading",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]
