@@ -12,6 +12,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 from . import queries_json  # noqa: E402,F401
 from . import queries_generator  # noqa: E402,F401
 from . import queries_graph  # noqa: E402,F401
+from . import queries_timeseries  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_search  # noqa: E402,F401
@@ -93,6 +94,8 @@ _EVIDENCE_PRIORITY = (
     "text_char_bigram_lm",
     "similarity_pq_topk",
     "graph_pagerank_trading",
+    "events_gapfill_locf",
+    "events_moving_average",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

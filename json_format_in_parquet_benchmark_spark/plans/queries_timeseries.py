@@ -1,0 +1,193 @@
+"""Time-series operators over the ``events`` stream: hypertable-style
+regularization (gap-fill + last-observation-carried-forward) and sliding
+range-window analytics.
+
+Cross-engine exactness: all bucket arithmetic happens in the integer micros
+domain (``unix_micros`` / ``epoch_us`` -- the repo-wide rule for the
+nanos-vs-micros testdata), observed values are CARRIED (never recomputed),
+LOCF uses the order-free count-group trick instead of engine-specific
+``IGNORE NULLS`` frames, and the moving average is a quantized-integer
+windowed sum divided once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import register
+
+HOUR_US = 3_600_000_000  # one hour in microseconds
+TS_USERS = 5  # bounded user slice for the series outputs
+MA_WINDOW_US = 24 * HOUR_US  # moving-average lookback
+
+
+@register(
+    "events_gapfill_locf",
+    oracle=f"""
+WITH ev AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) // {HOUR_US} AS bucket,
+         epoch_us(ts) AS us, event_id, value
+  FROM events WHERE user_id < {TS_USERS}
+),
+obs AS (
+  SELECT user_id, bucket, obs_value, n_obs FROM (
+    SELECT user_id, bucket, value AS obs_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                              ORDER BY us DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id, bucket) AS n_obs
+    FROM ev
+  ) WHERE rn = 1
+),
+spans AS (
+  SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM spans
+),
+g2 AS (
+  SELECT grid.user_id, grid.bucket, o.obs_value,
+         CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+         COUNT(o.obs_value) OVER (PARTITION BY grid.user_id
+                                  ORDER BY grid.bucket) AS grp
+  FROM grid LEFT JOIN obs o
+    ON o.user_id = grid.user_id AND o.bucket = grid.bucket
+)
+SELECT user_id, bucket, n_obs,
+       CAST(CASE WHEN obs_value IS NULL THEN 0 ELSE 1 END AS INT)
+         AS is_observed,
+       MAX(obs_value) OVER (PARTITION BY user_id, grp) AS value_filled
+FROM g2
+""",
+    doc="Hypertable-style series regularization: each user's irregular "
+    "event stream becomes a dense hourly series over their active span "
+    "(grid = sequence + explode, one row per hour), with missing hours "
+    "filled by last-observation-carried-forward.  LOCF is the portable "
+    "count-group trick -- a running COUNT of observations partitions the "
+    "series into carry groups whose single non-null value MAX propagates "
+    "-- two window passes, no IGNORE-NULLS frames, no UDF.  The "
+    "in-bucket representative is the latest observation (ties by "
+    "event_id), all in the integer micros domain.  At 100 TB the grid "
+    "explode is map-side and everything shuffles once on user_id.",
+    tags=("timeseries", "gapfill", "window"),
+    bench=True,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < TS_USERS)
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {HOUR_US}").alias("bucket"),
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+            "value",
+        )
+    )
+    in_bucket = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.withColumn("rn", F.row_number().over(in_bucket))
+        .withColumn(
+            "n_obs",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id", "bucket"))
+            .cast("bigint"),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "bucket", F.col("value").alias("obs_value"), "n_obs")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi)")).alias("bucket")
+    )
+    series = Window.partitionBy("user_id").orderBy("bucket")
+    g2 = (
+        grid.join(obs, ["user_id", "bucket"], "left")
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)).cast("bigint"))
+        .withColumn("grp", F.count("obs_value").over(series))
+    )
+    return g2.select(
+        "user_id",
+        "bucket",
+        "n_obs",
+        F.when(F.col("obs_value").isNull(), 0).otherwise(1).cast("int").alias(
+            "is_observed"
+        ),
+        F.max("obs_value")
+        .over(Window.partitionBy("user_id", "grp"))
+        .alias("value_filled"),
+    )
+
+
+@register(
+    "events_moving_average",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         CAST(FLOOR(value * 1e8) AS BIGINT) AS vq
+  FROM events WHERE user_id < {TS_USERS}
+),
+win AS (
+  SELECT user_id, event_id, us, value,
+         CAST(SUM(vq) OVER w AS BIGINT) AS sq,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {MA_WINDOW_US - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, us, value, n_win,
+       CAST(sq AS DOUBLE) / (CAST(1e8 AS DOUBLE) * CAST(n_win AS DOUBLE))
+         AS ma24
+FROM win
+""",
+    doc="24-hour sliding moving average per user over the raw event "
+    "stream: a RANGE window frame in the integer micros domain (every "
+    "event averages the trailing day including itself).  The windowed "
+    "sum is quantized-integer (order-free, exact) and de-quantized by "
+    "one double division, so the doubles match bit-for-bit cross-engine "
+    "-- the repo's standard recipe applied to sliding frames.  One "
+    "shuffle on user_id; the range frame evaluates incrementally "
+    "(add/evict) in both engines.",
+    tags=("timeseries", "window", "aggregation"),
+)
+def events_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < TS_USERS)
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            "value",
+            F.expr("cast(floor(value * 1e8) as bigint)").alias("vq"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-(MA_WINDOW_US - 1), 0)
+    )
+    win = ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        "value",
+        F.sum("vq").over(w).cast("bigint").alias("sq"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+    )
+    return win.select(
+        "user_id",
+        "event_id",
+        "us",
+        "value",
+        "n_win",
+        F.expr(
+            "cast(sq as double) / (cast(1e8 as double) * cast(n_win as double))"
+        ).alias("ma24"),
+    )
