@@ -312,11 +312,19 @@ def main() -> None:
         "full": "results/bench_full.json",
     }
     # Belt-and-braces: if the compact line ever creeps toward the driver's
-    # window, shed the least-critical sections rather than losing the parse.
-    for drop in ("path_query", "storage", "full"):
-        if len(json.dumps(compact)) <= 1600:
-            break
-        compact.pop(drop, None)
+    # ~2000-char stdout window, shed detail rather than losing the parse.
+    # Shed order: the full-results pointer first, then the FASTEST per-query
+    # timings (their detail stays in results/bench_full.json) -- storage and
+    # path_query are the sections BASELINE.md compares against, so they are
+    # never dropped.
+    if len(json.dumps(compact)) > 1600:
+        compact.pop("full", None)
+    omitted = 0
+    while len(json.dumps(compact)) > 1600 and len(compact["queries"]) > 1:
+        fastest = min(compact["queries"], key=compact["queries"].get)
+        compact["queries"].pop(fastest)
+        omitted += 1
+        compact["queries_omitted"] = omitted
 
     spark.stop()
     # Printed LAST, after Spark shutdown, so nothing can land on stdout

@@ -37,6 +37,10 @@ def pagerank(
 ) -> DataFrame:
     """Integer-grid PageRank over directed ``edges`` (columns src, dst).
 
+    Contract: every node must appear as a src (symmetric/undirected edge
+    lists satisfy this trivially); pure-sink nodes would otherwise drop
+    out of the node set.
+
     r0(v) = RANK_SCALE div |V| for every node; each superstep:
 
       contrib(u) = (DAMP_NUM * r(u)) div (DAMP_DEN * outdeg(u))
@@ -60,11 +64,9 @@ def pagerank(
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
     edges = _track_persist(edges.repartition(par, "src"))
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # Callers pass symmetric edge lists (both directions present), so the
+    # node set is distinct(src) -- scanning dst too would double the pass.
+    nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = nodes.count()  # one scalar the driver needs to size the grid
     base = (RANK_SCALE - RANK_SCALE * DAMP_NUM // DAMP_DEN) // n_nodes

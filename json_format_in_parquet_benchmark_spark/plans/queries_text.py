@@ -942,10 +942,6 @@ FROM scored
 """
 
 
-def _spark_str_lit(s: str) -> str:
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-
 @register(
     "text_char_bigram_lm",
     oracle=_bigram_lm_oracle(),
@@ -971,9 +967,18 @@ def text_char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") >= 2
     )
-    bgs = "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
-    counts = (
-        docs.select(F.explode(F.expr(bgs)).alias("b"))
+    from ..operators.dedup import _track_persist
+
+    # Bigram generation as explode(sequence) + substring keeps the whole
+    # training scan inside whole-stage codegen (a transform(...) lambda
+    # would run interpreted); the counts aggregate is NDV-sized and is
+    # persisted because two driver actions (total, vocabulary) read it.
+    counts = _track_persist(
+        docs.select(
+            F.explode(F.expr("sequence(1, length(text) - 1)")).alias("i"),
+            "text",
+        )
+        .select(F.expr("substring(text, i, 2)").alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -984,29 +989,36 @@ def text_char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor(1e12 * (c / t)) in Python IEEE doubles -- bit-identical to the
     # same expression evaluated by DuckDB (and Spark, had we evaluated it
     # there): division and multiplication of identical operands.
-    entries = []
-    for r in vocab_rows:
-        pq = math.floor(1e12 * (r["c"] / total))
-        entries.append(f"{_spark_str_lit(r['b'])}, {pq}L")
-    map_expr = f"map({', '.join(entries)})"
-    score = (
-        f"aggregate({bgs}, cast(0 as bigint),"
-        f" (acc, x) -> acc + coalesce(element_at({map_expr}, x),"
-        " cast(0 as bigint)))"
-    )
-    scored = docs.select(
-        "doc_id",
-        F.expr(f"cast(size({bgs}) as bigint)").alias("n_bigrams"),
-        F.expr(score).alias("score_q"),
-    )
-    # Two-level select: the fold runs once per row (CollapseProject keeps
-    # non-cheap producer expressions used more than once un-inlined, but
-    # there is no reason to lean on that).
-    return scored.select(
-        "doc_id",
-        "n_bigrams",
-        "score_q",
-        F.expr(
-            f"cast(score_q as double) / ({LM_QUANT} * cast(n_bigrams as double))"
-        ).alias("lm_score"),
+    model = {
+        r["b"]: math.floor(1e12 * (r["c"] / total)) for r in vocab_rows
+    }
+
+    # Scoring: the fitted distribution rides into an Arrow-batched kernel
+    # as a closure-captured hash map (O(1) lookups; a Catalyst map literal
+    # is an O(|vocab|) linear scan per lookup and measured 10x slower at
+    # sf0.1).  Integer sums keep the result exactly the oracle's; the one
+    # double division uses identical operands.
+    def score(batches):
+        import pandas as pd
+
+        get = model.get
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": pdf["doc_id"], "n_bigrams": [], "score_q": []}
+            for text in pdf["text"]:
+                n = len(text) - 1
+                out["n_bigrams"].append(n)
+                out["score_q"].append(
+                    sum(get(text[i : i + 2], 0) for i in range(n))
+                )
+            out["lm_score"] = [
+                sq / (1e12 * n)
+                for sq, n in zip(out["score_q"], out["n_bigrams"])
+            ]
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        score,
+        schema="doc_id long, n_bigrams long, score_q long, lm_score double",
     )
