@@ -96,6 +96,8 @@ _EVIDENCE_PRIORITY = (
     "graph_pagerank_trading",
     "events_gapfill_locf",
     "events_moving_average",
+    "window_ntile_deciles",
+    "events_anomaly_zscore",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

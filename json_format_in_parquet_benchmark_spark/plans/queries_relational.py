@@ -1256,3 +1256,110 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_qty",
     )
     return out.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(50)
+
+
+@register(
+    "window_ntile_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, spend,
+       CAST(NTILE(10) OVER w AS INT) AS decile,
+       CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+       CAST(CUME_DIST() OVER w AS DOUBLE) AS cume
+FROM spend
+WINDOW w AS (ORDER BY spend DESC, o_custkey)
+""",
+    doc="Distribution-rank window functions (ntile / percent_rank / "
+    "cume_dist) over per-customer spend: the segmentation pass every "
+    "marketing-style workload runs.  Ranks are rational outputs of exact "
+    "row positions, so the doubles are deterministic cross-engine.  The "
+    "global ORDER BY window is the documented scale caveat: one ordered "
+    "partition means one task holds the sorted run -- at 100 TB this "
+    "exact form is replaced by a two-phase approximate-quantile cut "
+    "(sketch_histogram_quantiles) unless a total order is truly required.",
+    tags=("relational", "window", "rank"),
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2))) as double)"
+        ).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        "spend",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1e8) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(FLOOR(value * value * 1e8) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT user_id, n,
+         CAST(s1 AS DOUBLE) / (CAST(1e8 AS DOUBLE) * CAST(n AS DOUBLE)) AS mean,
+         CAST(s2 AS DOUBLE) / (CAST(1e8 AS DOUBLE) * CAST(n AS DOUBLE)) AS ex2
+  FROM stats
+)
+SELECT e.event_id, e.user_id, e.value,
+       (e.value - m.mean) / sqrt(m.ex2 - m.mean * m.mean) AS zscore,
+       CAST(abs((e.value - m.mean) / sqrt(m.ex2 - m.mean * m.mean)) > 2.0
+            AS INT) AS is_anomaly
+FROM events e JOIN m ON m.user_id = e.user_id
+WHERE abs((e.value - m.mean) / sqrt(m.ex2 - m.mean * m.mean)) > 2.0
+""",
+    doc="Per-user z-score anomaly detection over event values: per-user "
+    "mean and variance from quantized-integer sums (order-free, exact "
+    "cross-engine; value^2 is squared in the double domain FIRST, then "
+    "quantized, so no int64 overflow), joined back as a broadcast-sized "
+    "stats table -- two scans of events, one tiny shuffle.  Every "
+    "arithmetic step after the exact sums is deterministic IEEE "
+    "(division, sqrt, subtraction), so the emitted z-scores hash-match "
+    "bit-for-bit.  Emits only the anomalies (|z| > 2).",
+    tags=("events", "anomaly", "aggregation"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(floor(value * 1e8) as bigint)"))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.expr("cast(floor(value * value * 1e8) as bigint)"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    m = stats.select(
+        "user_id",
+        "n",
+        F.expr(
+            "cast(s1 as double) / (cast(1e8 as double) * cast(n as double))"
+        ).alias("mean"),
+        F.expr(
+            "cast(s2 as double) / (cast(1e8 as double) * cast(n as double))"
+        ).alias("ex2"),
+    )
+    z = "(value - mean) / sqrt(ex2 - mean * mean)"
+    joined = events.join(F.broadcast(m), "user_id")
+    return joined.where(F.expr(f"abs({z}) > 2.0")).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(z).alias("zscore"),
+        F.expr(f"cast(abs({z}) > 2.0 as int)").alias("is_anomaly"),
+    )
