@@ -37,8 +37,10 @@ from json_format_in_parquet_benchmark_spark.operators import dedup
 from json_format_in_parquet_benchmark_spark.operators.semantic import (
     semantic_dup_flags_fast,
 )
+from json_format_in_parquet_benchmark_spark.operators.graph import pagerank
 from json_format_in_parquet_benchmark_spark.operators.similarity import (
     ivf_assign_fast,
+    pq_topk,
     topk_ivf,
 )
 from json_format_in_parquet_benchmark_spark.session import get_spark
@@ -207,6 +209,34 @@ def main() -> None:
                 embs, "embedding", "vec_id", threshold=0.95,
                 k=max(8, n_emb // 500), iters=2, dim=DIM,
             ).count()
+        )
+        # PQ: codebook size is FIXED (compression codebooks do not grow
+        # with the corpus); train + encode + ADC-score should therefore
+        # scale linearly in N.
+        r["pq_topk"] = timed(
+            lambda: pq_topk(
+                embs, "embedding", "vec_id", n_queries=8, k=5
+            ).count()
+        )
+        # PageRank: deterministic synthetic 4-regular symmetric graph over
+        # n nodes; 3 supersteps.  Wall time should track |E| linearly.
+        edges_path = os.path.join(args.workdir, f"edges_{n}")
+        eraw = spark.range(n).selectExpr(
+            "id as a",
+            f"(id * 7 + 1) % {n} as b",
+            f"(id * 13 + 3) % {n} as c",
+        )
+        (
+            eraw.selectExpr("a as src", "b as dst")
+            .union(eraw.selectExpr("b", "a"))
+            .union(eraw.selectExpr("a", "c"))
+            .union(eraw.selectExpr("c", "a"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite")
+            .parquet(edges_path)
+        )
+        r["pagerank_3iter"] = timed(
+            lambda: pagerank(spark.read.parquet(edges_path)).count()
         )
         results[n] = r
         for op, (secs, rows) in r.items():
