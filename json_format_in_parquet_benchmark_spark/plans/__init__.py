@@ -98,6 +98,13 @@ _EVIDENCE_PRIORITY = (
     "events_moving_average",
     "window_ntile_deciles",
     "events_anomaly_zscore",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_dormant_accounts",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

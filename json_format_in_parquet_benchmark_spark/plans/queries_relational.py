@@ -1363,3 +1363,427 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(z).alias("zscore"),
         F.expr(f"cast(abs({z}) > 2.0 as int)").alias("is_anomaly"),
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+    doc="TPC-H Q5-style local supplier volume: revenue where customer and "
+    "supplier share a nation, per EUROPE nation in 1997.  Plan shape: the "
+    "orderdate filter pushes into the orders scan; lineitem x orders is "
+    "the one fact-fact shuffle join, then supplier/customer/nation/region "
+    "are broadcast -- the same-nation predicate rides the supplier join "
+    "condition, so no post-join filter pass.",
+    tags=("relational", "join", "aggregation"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o_f = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    joined = (
+        li.join(o_f, li.l_orderkey == o_f.o_orderkey)
+        .join(F.broadcast(c), o_f.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2))"
+            " * (1 - cast(l_discount as decimal(18,2)))) as double)"
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.orderBy(F.col("revenue").desc(), "n_name")
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS volume,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY ns.n_name, nc.n_name, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+""",
+    doc="TPC-H Q7-style volume shipping: bilateral trade between two "
+    "nations by shipment year.  The disjunctive nation-pair predicate "
+    "sits on broadcast dimension columns, so it evaluates right after the "
+    "broadcast joins with no extra shuffle; only lineitem x orders "
+    "exchanges data, and the shipdate range prunes the lineitem scan.",
+    tags=("relational", "join", "aggregation"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    li_f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    joined = (
+        li_f.join(o, li_f.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li_f.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    agg = joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2))"
+            " * (1 - cast(l_discount as decimal(18,2)))) as double)"
+        ).alias("volume"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.orderBy("supp_nation", "cust_nation", "ship_year")
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+WITH all_lines AS (
+  SELECT CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+)
+SELECT order_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM all_lines
+GROUP BY order_year
+ORDER BY order_year
+""",
+    doc="TPC-H Q8-style national market share: the fraction of ASIA's "
+    "STANDARD-part revenue supplied by one nation, per order year.  "
+    "Numerator and denominator aggregate in the same pass (conditional "
+    "decimal sum); the p_type filter prunes via the broadcast part join "
+    "before the revenue math.  One fact-fact shuffle, five broadcasts.",
+    tags=("relational", "join", "aggregation"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+    )
+    lines = joined.select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.expr(
+            "cast(l_extendedprice as decimal(18,2))"
+            " * (1 - cast(l_discount as decimal(18,2)))"
+        ).alias("volume"),
+        "supp_nation",
+    )
+    agg = lines.groupBy("order_year").agg(
+        F.expr(
+            "cast(sum(case when supp_nation = 'NATION_2' then volume"
+            " else cast(0 as decimal(18,2)) end) as double)"
+            " / cast(sum(volume) as double)"
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.orderBy("order_year")
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H Q13-style customer order-count distribution, INCLUDING "
+    "zero-order customers (the left join is the point of the query).  "
+    "Two aggregations: per-customer counts shuffle on the join key they "
+    "already share (no extra exchange under AQE), then the distribution "
+    "rollup collapses to at most max-order-count rows.",
+    tags=("relational", "join", "aggregation", "outer-join"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue r
+JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+    doc="TPC-H Q15-style top supplier: the supplier(s) with maximum "
+    "quarterly revenue (ties all emitted, per the spec).  The revenue "
+    "'view' is computed once; Spark expresses the scalar-max filter as a "
+    "window MAX over an empty partition on the ALREADY-aggregated "
+    "per-supplier rows -- tiny input, no second scan of lineitem, where "
+    "the naive correlated form would rescan the fact table.",
+    tags=("relational", "aggregation", "subquery", "window"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,2))"
+                " * (1 - cast(l_discount as decimal(18,2)))) as double)"
+            ).alias("total_revenue")
+        )
+    )
+    w = Window.partitionBy()
+    top = revenue.withColumn(
+        "mx", F.max("total_revenue").over(w)
+    ).where(F.col("total_revenue") == F.col("mx"))
+    return (
+        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH brand_lines AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#1'
+),
+part_avg AS (
+  SELECT l_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*)) AS qty_cut
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM brand_lines b
+JOIN part_avg a ON a.l_partkey = b.l_partkey
+WHERE b.l_quantity < a.qty_cut
+""",
+    doc="TPC-H Q17-style small-quantity-order revenue: lines of one brand "
+    "whose quantity is under 20% of that part's average.  The per-part "
+    "average and the line filter are a self-join of the SAME filtered "
+    "scan on its natural key -- the brand filter rides the broadcast "
+    "part join, the per-part aggregate broadcast-joins back under AQE, "
+    "and lineitem is scanned once per side with only brand lines kept.  "
+    "The cut itself (0.2 * exact-decimal mean) is deterministic IEEE.",
+    tags=("relational", "join", "aggregation", "subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    brand_lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = brand_lines.groupBy("l_partkey").agg(
+        F.expr(
+            "0.2 * (cast(sum(cast(l_quantity as decimal(18,2))) as double)"
+            " / count(*))"
+        ).alias("qty_cut")
+    )
+    joined = brand_lines.join(
+        part_avg.withColumnRenamed("l_partkey", "pk"),
+        F.col("l_partkey") == F.col("pk"),
+    ).where(F.col("l_quantity") < F.col("qty_cut"))
+    return joined.agg(
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / 7.0"
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q22_dormant_accounts",
+    oracle="""
+WITH cutoff AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+),
+rich_idle AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+  FROM customer c, cutoff
+  WHERE c.c_acctbal > cutoff.avg_bal
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+)
+SELECT n.n_name,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM rich_idle r
+JOIN nation n ON n.n_nationkey = r.c_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+    doc="TPC-H Q22-style global sales opportunity, adapted to the testdata "
+    "schema (no phone column, so the country-code filter is dropped): "
+    "above-average-balance customers with no orders since 2000, rolled "
+    "up by nation. "
+    "The scalar average broadcasts as a one-row cross join; the "
+    "no-orders test is a LEFT ANTI join on the order keys only (column-"
+    "pruned scan) -- the two canonical decorrelation patterns in one "
+    "query.",
+    tags=("relational", "anti-join", "subquery", "aggregation"),
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    cutoff = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.expr(
+            "cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*)"
+        ).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(cutoff)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr(
+                "cast(sum(cast(c_acctbal as decimal(18,2))) as double)"
+            ).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
