@@ -105,6 +105,7 @@ _EVIDENCE_PRIORITY = (
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q22_dormant_accounts",
+    "dq_validate_suite",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -1787,3 +1787,184 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+
+@register(
+    "dq_validate_suite",
+    oracle="""
+WITH li AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount
+  FROM lineitem
+),
+o AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_pk,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_cust
+  FROM orders
+),
+d AS (
+  SELECT CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS empty_text,
+         CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_chars_drift
+  FROM documents
+),
+fk1 AS (
+  SELECT COUNT(*) AS orphans FROM lineitem l
+  ANTI JOIN orders oo ON oo.o_orderkey = l.l_orderkey
+),
+fk2 AS (
+  SELECT COUNT(*) AS orphans FROM orders oo
+  ANTI JOIN customer c ON c.c_custkey = oo.o_custkey
+),
+checks(check_name, observed, threshold) AS (
+  SELECT 'lineitem_row_count_min', (SELECT n_rows FROM li), 1000
+  UNION ALL SELECT 'lineitem_quantity_domain', (SELECT bad_qty FROM li), 0
+  UNION ALL SELECT 'lineitem_discount_domain', (SELECT bad_discount FROM li), 0
+  UNION ALL SELECT 'orders_pk_unique', (SELECT dup_pk FROM o), 0
+  UNION ALL SELECT 'orders_custkey_complete', (SELECT null_cust FROM o), 0
+  UNION ALL SELECT 'lineitem_fk_orders', (SELECT orphans FROM fk1), 0
+  UNION ALL SELECT 'orders_fk_customer', (SELECT orphans FROM fk2), 0
+  UNION ALL SELECT 'documents_text_nonempty', (SELECT empty_text FROM d), 0
+  UNION ALL SELECT 'documents_n_chars_consistent',
+                   (SELECT n_chars_drift FROM d), 0
+)
+SELECT check_name,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(threshold AS BIGINT) AS threshold,
+       CAST(CASE WHEN check_name = 'lineitem_row_count_min'
+                 THEN observed >= threshold
+                 ELSE observed <= threshold END AS INT) AS passed
+FROM checks
+""",
+    doc="Deequ-style data-validation suite: domain checks, primary-key "
+    "uniqueness, foreign-key orphan counts, null completeness, and a "
+    "derived-column consistency check (n_chars vs length(text)), emitted "
+    "as one verdict row per constraint.  Scale design: all per-table "
+    "constraints for a table fold into ONE conditional-aggregate scan "
+    "(deequ's core trick -- checks per table, not scans per check); the "
+    "FK checks are anti-join counts on column-pruned key scans.  The "
+    "suite is the pre-training gate a 100 TB corpus refresh runs before "
+    "any expensive pipeline stage.",
+    tags=("quality", "validation", "aggregation", "anti-join"),
+)
+def dq_validate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = load_table(spark, sf_dir, "documents")
+
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("bad_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1
+            ).otherwise(0)
+        ).alias("bad_discount"),
+    )
+    o_stats = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_cust"
+        ),
+    )
+    d_stats = d.agg(
+        F.sum(F.when(F.length("text") == 0, 1).otherwise(0)).alias(
+            "empty_text"
+        ),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("n_chars_drift"),
+    )
+    fk1 = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    fk2 = (
+        o.select("o_custkey")
+        .join(
+            c.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    # One scan per table: each single-row stats aggregate unpivots into its
+    # verdict rows via stack() -- referencing li_stats from three separate
+    # union branches would re-run the lineitem scan per branch (Catalyst
+    # does not CSE across union arms).
+    checks = (
+        li_stats.select(
+            F.expr(
+                "stack(3,"
+                " 'lineitem_row_count_min', cast(n_rows as bigint), 1000L,"
+                " 'lineitem_quantity_domain', cast(bad_qty as bigint), 0L,"
+                " 'lineitem_discount_domain', cast(bad_discount as bigint),"
+                " 0L) as (check_name, observed, threshold)"
+            )
+        )
+        .unionByName(
+            o_stats.select(
+                F.expr(
+                    "stack(2,"
+                    " 'orders_pk_unique', cast(dup_pk as bigint), 0L,"
+                    " 'orders_custkey_complete', cast(null_cust as bigint),"
+                    " 0L) as (check_name, observed, threshold)"
+                )
+            )
+        )
+        .unionByName(
+            d_stats.select(
+                F.expr(
+                    "stack(2,"
+                    " 'documents_text_nonempty', cast(empty_text as bigint),"
+                    " 0L,"
+                    " 'documents_n_chars_consistent',"
+                    " cast(n_chars_drift as bigint), 0L)"
+                    " as (check_name, observed, threshold)"
+                )
+            )
+        )
+        .unionByName(
+            fk1.select(
+                F.lit("lineitem_fk_orders").alias("check_name"),
+                F.col("orphans").cast("bigint").alias("observed"),
+                F.lit(0).cast("bigint").alias("threshold"),
+            )
+        )
+        .unionByName(
+            fk2.select(
+                F.lit("orders_fk_customer").alias("check_name"),
+                F.col("orphans").cast("bigint").alias("observed"),
+                F.lit(0).cast("bigint").alias("threshold"),
+            )
+        )
+    )
+    return checks.select(
+        "check_name",
+        "observed",
+        "threshold",
+        F.when(
+            F.col("check_name") == "lineitem_row_count_min",
+            F.col("observed") >= F.col("threshold"),
+        )
+        .otherwise(F.col("observed") <= F.col("threshold"))
+        .cast("int")
+        .alias("passed"),
+    )
