@@ -106,6 +106,7 @@ _EVIDENCE_PRIORITY = (
     "q17_small_quantity_revenue",
     "q22_dormant_accounts",
     "dq_validate_suite",
+    "sink_zorder_events",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]
