@@ -259,3 +259,72 @@ def test_compaction_sink_writes_expected_file_count(spark):
     out, n_files = write_compacted_events(spark, SF)
     parts = glob.glob(_os.path.join(out, "part-*.parquet"))
     assert len(parts) == n_files, (n_files, parts)
+
+
+def test_q10_broadcasts_dims_and_take_ordered(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    assert plan.count("BroadcastExchange") >= 2  # customer + nation at least
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_filters_push_to_parquet(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # toString may truncate the filter list mid-entry, so match the prefix
+    # rather than requiring a closing bracket.
+    m = re.search(r"PushedFilters: \[([^\n]*)", plan)
+    assert m and ("l_shipda" in m.group(1) or "l_discount" in m.group(1)), plan
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    # Only the four referenced columns reach the reader.
+    assert all("l_orderkey" not in s and "l_returnflag" not in s for s in schemas)
+
+
+def test_pagerank_has_no_cartesian_and_caches_edges(spark):
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        release_caches,
+    )
+
+    plan = plan_of(spark, "graph_pagerank_trading")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # supersteps iterate the cached edges
+    release_caches()
+
+
+def test_pq_scoring_is_single_python_stage(spark):
+    # One ArrowEvalPython/MapInPandas stage (the code assignment); the ADC
+    # scoring itself is JVM-side expression lookups over int literals.
+    plan = plan_of(spark, "similarity_pq_topk")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_single_join_no_python(spark):
+    plan = plan_of(spark, "events_gapfill_locf")
+    assert "Python" not in plan and "MapInPandas" not in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("user_id" in p for p in pushed), plan  # user slice pushes down
+
+
+def test_bigram_lm_scoring_stage_is_arrow_batched(spark):
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        release_caches,
+    )
+
+    plan = plan_of(spark, "text_char_bigram_lm")
+    assert "MapInPandas" in plan  # hash-map scoring kernel
+    # Scoring side reads only (doc_id, text): no exploded training columns.
+    assert "BatchEvalPython" not in plan
+    release_caches()
+
+
+def test_dq_suite_one_scan_per_table(spark):
+    plan = plan_of(spark, "dq_validate_suite")
+    # lineitem appears in exactly two scans: the stats aggregate and the FK
+    # anti-join probe side (NOT once per check).
+    assert plan.count("file:/root/testdata/sf0.001/lineitem.parquet") == 2, plan
+
+
+def test_anomaly_stats_join_is_broadcast(spark):
+    plan = plan_of(spark, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
