@@ -107,6 +107,8 @@ _EVIDENCE_PRIORITY = (
     "q22_dormant_accounts",
     "dq_validate_suite",
     "sink_zorder_events",
+    "scan_csv_events",
+    "scan_orc_events",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -205,3 +205,86 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+def _alt_source_path(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), "jfipb_sources", f"events_{fmt}_{tag}")
+
+
+_ALT_SOURCE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(epoch_us(ts) % 1000000) AS BIGINT) AS us_checksum
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "scan_csv_events",
+    oracle=_ALT_SOURCE_ORACLE,
+    doc="CSV source roundtrip: events exported to headered CSV (timestamps "
+    "as integer micros -- the lossless way through a text format) and "
+    "read back with an EXPLICIT schema, then aggregated.  The oracle "
+    "runs on the original Parquet, so the whole text cycle -- quoting, "
+    "typed re-parse, micros arithmetic -- must be lossless.  Explicit "
+    "schemas matter doubly at scale: schema inference would scan the "
+    "data twice, and CSV carries no types of its own.",
+    tags=("source", "csv", "roundtrip"),
+)
+def scan_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    out = _alt_source_path(sf_dir, "csv")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_type",
+        "value",
+    )
+    events.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("event_id long, us long, event_type string, value double")
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "cast(sum(cast(value as decimal(18,2))) as double)"
+        ).alias("total_value"),
+        F.sum(F.expr("us % 1000000")).cast("bigint").alias("us_checksum"),
+    )
+
+
+@register(
+    "scan_orc_events",
+    oracle=_ALT_SOURCE_ORACLE,
+    doc="ORC source roundtrip: the same events slice through the ORC "
+    "columnar format (types survive natively; predicate pushdown and "
+    "column pruning work as with Parquet).  Demonstrates the engine is "
+    "source-format-agnostic -- the plan downstream of the scan node is "
+    "identical to the Parquet one.",
+    tags=("source", "orc", "roundtrip"),
+)
+def scan_orc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    out = _alt_source_path(sf_dir, "orc")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_type",
+        "value",
+    )
+    events.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "cast(sum(cast(value as decimal(18,2))) as double)"
+        ).alias("total_value"),
+        F.sum(F.expr("us % 1000000")).cast("bigint").alias("us_checksum"),
+    )
