@@ -109,6 +109,7 @@ _EVIDENCE_PRIORITY = (
     "sink_zorder_events",
     "scan_csv_events",
     "scan_orc_events",
+    "similarity_hard_negatives",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -551,3 +551,96 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=3,
         k=TOP_K,
     )
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
+         {cosine_duckdb("q.qv", "c.embedding")} AS cos_sim,
+         CAST(CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS INT)
+           AS same_label
+  FROM q CROSS JOIN embeddings c
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, qlabel, neighbor_id, nlabel, cos_sim, same_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id, same_label
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, qlabel,
+       CASE WHEN same_label = 1 THEN 'positive' ELSE 'hard_negative' END
+         AS kind,
+       neighbor_id, nlabel, cos_sim
+FROM ranked WHERE rn = 1
+ORDER BY query_id, kind
+""",
+    doc="Contrastive-pair mining for embedding-model training: per anchor, "
+    "the nearest SAME-label vector (positive) and the nearest "
+    "DIFFERENT-label vector (the hard negative -- the pair that "
+    "dominates the InfoNCE gradient).  One corpus scan against the "
+    "broadcast anchor set, one window partitioned by (anchor, "
+    "same-label); at 100 TB the candidate set comes from the IVF/PQ "
+    "index (similarity_topk_ivf / similarity_pq_topk) and only the "
+    "shortlist is exactly re-ranked -- this query is that re-rank "
+    "stage in its exact form.",
+    tags=("similarity", "embedding", "mining", "pipeline"),
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot_spark, norm_spark
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+        F.expr(norm_spark("embedding")).alias("qnrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("nlabel"),
+        F.expr(norm_spark("embedding")).alias("cnrm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "nlabel",
+            F.expr(f"{dot_spark('qv', 'cv')} / (qnrm * cnrm)").alias(
+                "cos_sim"
+            ),
+            F.expr("cast(case when nlabel = qlabel then 1 else 0 end as int)")
+            .alias("same_label"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same_label").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "qlabel",
+            F.expr(
+                "case when same_label = 1 then 'positive'"
+                " else 'hard_negative' end"
+            ).alias("kind"),
+            "neighbor_id",
+            "nlabel",
+            "cos_sim",
+        )
+        .orderBy("query_id", "kind")
+    )
