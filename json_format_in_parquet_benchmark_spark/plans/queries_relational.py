@@ -1430,8 +1430,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     oracle="""
-SELECT ns.n_name AS supp_nation,
-       nc.n_name AS cust_nation,
+SELECT rs.r_name AS supp_region,
+       rc.r_name AS cust_region,
        CAST(YEAR(l.l_shipdate) AS INT) AS ship_year,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
@@ -1443,18 +1443,22 @@ JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
 JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
-WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+JOIN region rs  ON rs.r_regionkey = ns.n_regionkey
+JOIN region rc  ON rc.r_regionkey = nc.n_regionkey
+WHERE ((rs.r_name = 'EUROPE' AND rc.r_name = 'ASIA')
+    OR (rs.r_name = 'ASIA' AND rc.r_name = 'EUROPE'))
   AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY ns.n_name, nc.n_name, ship_year
-ORDER BY supp_nation, cust_nation, ship_year
+GROUP BY rs.r_name, rc.r_name, ship_year
+ORDER BY supp_region, cust_region, ship_year
 """,
     doc="TPC-H Q7-style volume shipping: bilateral trade between two "
-    "nations by shipment year.  The disjunctive nation-pair predicate "
-    "sits on broadcast dimension columns, so it evaluates right after the "
-    "broadcast joins with no extra shuffle; only lineitem x orders "
-    "exchanges data, and the shipdate range prunes the lineitem scan.",
+    "REGIONS by shipment year (region-level so the result is dense at "
+    "every test scale; the plan shape is the spec's).  The disjunctive "
+    "pair predicate sits on broadcast dimension columns, so it evaluates "
+    "right after the broadcast joins with no extra shuffle; only "
+    "lineitem x orders exchanges data, and the shipdate range prunes "
+    "the lineitem scan.",
     tags=("relational", "join", "aggregation"),
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,11 +1467,22 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
     ns = nation.select(
-        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_regionkey").alias("ns_region"),
     )
     nc = nation.select(
-        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_regionkey").alias("nc_region"),
+    )
+    rs = region.select(
+        F.col("r_regionkey").alias("rs_key"),
+        F.col("r_name").alias("supp_region"),
+    )
+    rc = region.select(
+        F.col("r_regionkey").alias("rc_key"),
+        F.col("r_name").alias("cust_region"),
     )
     li_f = li.where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -1479,20 +1494,22 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
         .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(rs), F.col("ns_region") == F.col("rs_key"))
+        .join(F.broadcast(rc), F.col("nc_region") == F.col("rc_key"))
         .where(
             (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
+                (F.col("supp_region") == "EUROPE")
+                & (F.col("cust_region") == "ASIA")
             )
             | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
+                (F.col("supp_region") == "ASIA")
+                & (F.col("cust_region") == "EUROPE")
             )
         )
     )
     agg = joined.groupBy(
-        "supp_nation",
-        "cust_nation",
+        "supp_region",
+        "cust_region",
         F.year("l_shipdate").cast("int").alias("ship_year"),
     ).agg(
         F.expr(
@@ -1501,7 +1518,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("volume"),
         F.count(F.lit(1)).alias("n_lines"),
     )
-    return agg.orderBy("supp_nation", "cust_nation", "ship_year")
+    return agg.orderBy("supp_region", "cust_region", "ship_year")
 
 
 @register(
