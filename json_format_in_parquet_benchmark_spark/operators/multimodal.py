@@ -177,3 +177,58 @@ def sample_frames(media: DataFrame, k: int = FRAME_SAMPLE_K) -> DataFrame:
         batches,
         schema="media_id long, sample_idx long, frame_idx long, n_frames long",
     )
+
+
+AUDIO_SAMPLE_RATE = 16_000  # Hz (stub metadata convention)
+AUDIO_CHUNK_S = 30  # seconds per training chunk
+
+
+def chunk_audio(
+    media: DataFrame,
+    sample_rate: int = AUDIO_SAMPLE_RATE,
+    chunk_s: int = AUDIO_CHUNK_S,
+) -> DataFrame:
+    """Split each audio payload into fixed-duration chunks (the ASR /
+    audio-LM preprocessing staple) with a deterministic per-chunk energy
+    stub.
+
+    n_samples derives from the payload size (stub: 64 samples per payload
+    byte); chunk count = ceil(n_samples / chunk).  One row fans out to
+    n_chunks rows inside mapInPandas -- the real extractor's shape; the
+    energy value is an md5-derived integer so the whole fan-out is exactly
+    oracle-checkable (a real decoder swaps ONLY the two stub lines).
+    """
+    chunk_samples = sample_rate * chunk_s
+    src = media.where(F.col("kind") == "audio").select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, idxs, starts, lens, energies = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # decode stub: sample count and fingerprint from the blob
+                n_samples = len(payload) * 64
+                fp = hashlib.md5(payload).hexdigest()
+                n_chunks = -(-n_samples // chunk_samples)
+                for i in range(n_chunks):
+                    start = i * chunk_samples
+                    mids.append(mid)
+                    idxs.append(i)
+                    starts.append(start)
+                    lens.append(min(chunk_samples, n_samples - start))
+                    h = hashlib.md5(f"{fp}:{i}".encode()).hexdigest()
+                    energies.append(int(h[:15], 16) % 100_000)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "chunk_idx": idxs,
+                    "start_sample": starts,
+                    "n_samples": lens,
+                    "energy_q": energies,
+                }
+            )
+
+    return src.mapInPandas(
+        batches,
+        schema="media_id long, chunk_idx long, start_sample long,"
+        " n_samples long, energy_q long",
+    )

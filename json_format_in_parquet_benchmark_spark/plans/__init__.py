@@ -110,6 +110,7 @@ _EVIDENCE_PRIORITY = (
     "scan_csv_events",
     "scan_orc_events",
     "similarity_hard_negatives",
+    "multimodal_audio_chunks",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

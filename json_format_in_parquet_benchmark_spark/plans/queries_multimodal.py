@@ -10,6 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    AUDIO_CHUNK_S,
+    AUDIO_SAMPLE_RATE,
     FRAME_SAMPLE_K,
     RESIZE_MAX_SIDE,
     decode_features,
@@ -117,3 +119,42 @@ WHERE kind = 'video'
 )
 def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media(spark, sf_dir), k=FRAME_SAMPLE_K)
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle=_MEDIA_CTE
+    + f"""
+, sized AS (
+  SELECT media_id, fingerprint,
+         payload_bytes * 64 AS n_samples_total,
+         (payload_bytes * 64 + {AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S} - 1)
+           // {AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S} AS n_chunks
+  FROM media WHERE kind = 'audio'
+)
+SELECT media_id,
+       i AS chunk_idx,
+       i * {AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S} AS start_sample,
+       LEAST({AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S},
+             n_samples_total - i * {AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S})
+         AS n_samples,
+       ('0x' || substr(md5(fingerprint || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+         % 100000 AS energy_q
+FROM sized CROSS JOIN range(1000) t(i)
+WHERE i < n_chunks
+""",
+    doc="Fixed-duration audio chunking (30s @ 16kHz) with per-chunk energy "
+    "-- the ASR/audio-LM preprocessing fan-out.  One audio row becomes "
+    "ceil(n_samples/chunk) rows inside mapInPandas; chunk boundaries are "
+    "pure integer arithmetic on the stub-derived sample count and the "
+    "energy is md5-derived, so the whole Arrow fan-out is exactly "
+    "oracle-checked.  A real decoder replaces only the two stub lines "
+    "(operators/multimodal.py:chunk_audio); the Spark plumbing -- "
+    "payload pruning before the Python stage, schema, batch shape -- is "
+    "the part that must hold at 100 TB and is what this query pins.",
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import chunk_audio
+
+    return chunk_audio(_media(spark, sf_dir))
