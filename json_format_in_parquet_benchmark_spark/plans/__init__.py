@@ -111,6 +111,7 @@ _EVIDENCE_PRIORITY = (
     "scan_orc_events",
     "similarity_hard_negatives",
     "multimodal_audio_chunks",
+    "pipeline_pretrain_corpus",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

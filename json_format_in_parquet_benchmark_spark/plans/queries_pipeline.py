@@ -146,3 +146,160 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+LM_FLOOR = 0.0115  # char-bigram LM score floor (drops the bottom ~5%)
+PRETRAIN_DOMAIN_CAP = 15
+PRETRAIN_SHARD_BUDGET = 2000
+
+
+def _pretrain_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+
+    cap_h = hash64_sql_duckdb("CAST(doc_id AS VARCHAR)", salt="cap:")
+    split_h = hash64_sql_duckdb("CAST(doc_id AS VARCHAR)", salt="split:")
+    return f"""
+WITH bg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(text)::BIGINT),
+                               i -> substr(text, i::INT, 2))) AS b
+  FROM documents WHERE len(text) >= 2
+),
+cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+vocab AS (
+  SELECT b,
+         CAST(FLOOR(CAST(1e12 AS DOUBLE) * (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))
+              AS BIGINT) AS pq
+  FROM cnt, tot ORDER BY c DESC, b LIMIT 4096
+),
+lm AS (
+  SELECT bg.doc_id,
+         CAST(SUM(COALESCE(v.pq, 0)) AS BIGINT) AS score_q,
+         COUNT(*) AS nb
+  FROM bg LEFT JOIN vocab v USING (b) GROUP BY bg.doc_id
+),
+gated AS (
+  SELECT d.doc_id, d.lang, d.source, d.text
+  FROM documents d JOIN lm ON lm.doc_id = d.doc_id
+  WHERE CAST(lm.score_q AS DOUBLE)
+        / (CAST(1e12 AS DOUBLE) * CAST(lm.nb AS DOUBLE)) > {LM_FLOOR}
+),
+capped AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY ({cap_h}), doc_id) AS rk
+    FROM gated
+  ) WHERE rk <= {PRETRAIN_DOMAIN_CAP}
+),
+deduped AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(array_to_string(list_sort(list_distinct({_TOKS_D})), ' '))
+      ORDER BY doc_id) AS dn
+    FROM capped
+  ) WHERE dn = 1
+),
+assigned AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens,
+         CASE WHEN ({split_h}) % 100 < 98 THEN 'train'
+              WHEN ({split_h}) % 100 = 98 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM deduped
+),
+packed AS (
+  SELECT split, lang, doc_id, n_tokens,
+         CASE WHEN split = 'train'
+              THEN CAST(FLOOR((SUM(n_tokens) OVER (
+                     PARTITION BY split, lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                   / {PRETRAIN_SHARD_BUDGET}.0) AS BIGINT)
+              ELSE -1 END AS shard
+  FROM assigned
+)
+SELECT split, lang, shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM packed
+GROUP BY split, lang, shard
+"""
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    oracle=_pretrain_oracle(),
+    doc="Pretraining-corpus materialization pipeline, composed as one plan: "
+    "corpus-trained char-bigram LM quality gate (drops improbable text) "
+    "-> per-domain cap (hash-ranked, same salt as sample_domain_cap, so "
+    "the standalone op and the pipeline agree doc-for-doc) -> exact "
+    "tokenset dedup (lowest-id representative) -> deterministic 98/1/1 "
+    "split (same salt as split_train_valid_test -- the eval set never "
+    "leaks when the pipeline is re-run) -> token-budget shard packing of "
+    "the train split.  Emits the shard manifest with id checksums "
+    "pinning every per-doc decision.  Everything after the k-bounded LM "
+    "vocabulary collect is one Catalyst plan: a scan, three window "
+    "passes, and the final rollup.",
+    tags=("pipeline", "text", "lm", "dedup", "sampling"),
+    bench=True,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash64_sql_spark
+    from .queries_text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = bigram_lm_scores(spark, sf_dir).select("doc_id", "lm_score")
+    gated = docs.join(lm, "doc_id").where(F.col("lm_score") > LM_FLOOR)
+    cap_h = hash64_sql_spark("cast(doc_id as string)", salt="cap:")
+    capped = (
+        gated.withColumn("rk_h", F.expr(cap_h))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("rk_h", "doc_id")
+            ),
+        )
+        .where(F.col("rk") <= PRETRAIN_DOMAIN_CAP)
+    )
+    th = F.expr(
+        f"md5(concat_ws(' ', array_sort(array_distinct({_TOKS_S}))))"
+    )
+    deduped = (
+        capped.withColumn("th", th)
+        .withColumn(
+            "dn",
+            F.row_number().over(Window.partitionBy("th").orderBy("doc_id")),
+        )
+        .where(F.col("dn") == 1)
+    )
+    split_h = hash64_sql_spark("cast(doc_id as string)", salt="split:")
+    assigned = deduped.select(
+        "doc_id",
+        "lang",
+        F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("n_tokens"),
+        F.expr(
+            f"case when ({split_h}) % 100 < 98 then 'train'"
+            f" when ({split_h}) % 100 = 98 then 'valid' else 'test' end"
+        ).alias("split"),
+    )
+    cum = Window.partitionBy("split", "lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = assigned.withColumn(
+        "shard",
+        F.when(
+            F.col("split") == "train",
+            F.floor(
+                (F.sum("n_tokens").over(cum) - F.col("n_tokens"))
+                / F.lit(PRETRAIN_SHARD_BUDGET)
+            ).cast("bigint"),
+        ).otherwise(F.lit(-1).cast("bigint")),
+    )
+    return packed.groupBy("split", "lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )

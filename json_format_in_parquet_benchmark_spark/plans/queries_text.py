@@ -962,6 +962,13 @@ FROM scored
     bench=True,
 )
 def text_char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_scores(spark, sf_dir)
+
+
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, score_q, lm_score): train the corpus char-bigram
+    model, score every doc.  Shared by the standalone query and the
+    composed pretraining pipeline."""
     import math
 
     docs = load_table(spark, sf_dir, "documents").where(
