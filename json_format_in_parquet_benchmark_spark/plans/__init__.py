@@ -112,6 +112,8 @@ _EVIDENCE_PRIORITY = (
     "similarity_hard_negatives",
     "multimodal_audio_chunks",
     "pipeline_pretrain_corpus",
+    "orders_market_basket",
+    "events_markov_transitions",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

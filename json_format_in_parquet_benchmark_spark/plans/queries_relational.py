@@ -1985,3 +1985,148 @@ def dq_validate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("passed"),
     )
+
+
+BASKET_MIN_SUP = 5  # minimum co-occurrence count for a reported pair
+BASKET_TOP = 20
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+item_cnt AS (SELECT part, COUNT(*) AS cnt FROM items GROUP BY part),
+pair_cnt AS (
+  SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_both
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part
+  HAVING COUNT(*) >= {BASKET_MIN_SUP}
+)
+SELECT part_a, part_b, n_both,
+       CAST(n_both AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+       CAST(n_both * n.n_orders AS DOUBLE)
+         / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+FROM pair_cnt
+CROSS JOIN n
+JOIN item_cnt ca ON ca.part = pair_cnt.part_a
+JOIN item_cnt cb ON cb.part = pair_cnt.part_b
+ORDER BY n_both DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+""",
+    doc="Market-basket pair mining (the first pass of FP-growth/Apriori): "
+    "part pairs co-occurring in the same order, with support and lift.  "
+    "The pair generation is a WITHIN-ORDER self-join, so its cost is "
+    "bounded by max-basket-size^2 per order (baskets are ~7 lines here), "
+    "never corpus-quadratic -- the same bounded-blocking argument as the "
+    "dedup family; the min-support HAVING prunes before the dimension "
+    "joins, and item counts + the order total are broadcast-sized.  "
+    "Lift is one double division of exact integer products.",
+    tags=("relational", "basket", "mining", "join"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders_df = items.agg(
+        F.countDistinct("okey").alias("n_orders")
+    )
+    item_cnt = items.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select("okey", F.col("part").alias("part_b"))
+    pair_cnt = (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= BASKET_MIN_SUP)
+    )
+    ca = item_cnt.select(
+        F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = item_cnt.select(
+        F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    scored = (
+        pair_cnt.crossJoin(F.broadcast(n_orders_df))
+        .join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.expr("cast(n_both as double) / cast(n_orders as double)").alias(
+                "support"
+            ),
+            F.expr(
+                "cast(n_both * n_orders as double)"
+                " / cast(cnt_a * cnt_b as double)"
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_both").desc(), "part_a", "part_b"
+    ).limit(BASKET_TOP)
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+totals AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM trans
+  GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, t.n, tt.row_total,
+       CAST(t.n AS DOUBLE) / CAST(tt.row_total AS DOUBLE) AS p
+FROM trans t JOIN totals tt ON tt.prev_type = t.prev_type
+ORDER BY t.prev_type, next_type
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the product-analytics 'what happens after X' table): "
+    "lag() in the integer micros domain with event_id tiebreak, then "
+    "transition counts and row-normalized probabilities.  One shuffle "
+    "on user_id for the ordering; the matrix itself is "
+    "event-type-squared tiny at any corpus size.",
+    tags=("events", "markov", "window", "aggregation"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts)"), F.col("event_id")
+    )
+    ordered = events.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return (
+        trans.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            "row_total",
+            F.expr("cast(n as double) / cast(row_total as double)").alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
