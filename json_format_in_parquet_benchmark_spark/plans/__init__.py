@@ -114,6 +114,7 @@ _EVIDENCE_PRIORITY = (
     "pipeline_pretrain_corpus",
     "orders_market_basket",
     "events_markov_transitions",
+    "text_keyword_pagerank",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

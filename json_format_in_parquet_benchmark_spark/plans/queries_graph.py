@@ -24,25 +24,22 @@ PR_ITERS = 3
 PR_TOP = 25
 
 
-def _pagerank_oracle() -> str:
+def pagerank_cte_chain(iters: int) -> tuple[str, str]:
+    """The unrolled integer-grid PageRank CTE chain, generic over the graph:
+    the caller supplies CTEs named ``edges`` (src, dst; symmetric) before
+    this chain.  Returns (chain_sql, final_relation_name)."""
     scale = RANK_SCALE
     residual = scale - scale * DAMP_NUM // DAMP_DEN
     parts = [
-        """eraw AS MATERIALIZED (
-  SELECT DISTINCT l.l_suppkey * 2 + 1 AS a, o.o_custkey * 2 AS b
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-)""",
-        "edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM eraw"
-        " UNION ALL SELECT b AS src, a AS dst FROM eraw)",
         "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)",
-        # (every node of this undirected graph appears as a src)
+        # (every node of a symmetric graph appears as a src)
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
         "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
         f"r0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank_q"
         " FROM nodes CROSS JOIN nn)",
     ]
     prev = "r0"
-    for i in range(1, PR_ITERS + 1):
+    for i in range(1, iters + 1):
         parts.append(
             f"""f{i} AS (
   SELECT e.dst AS node,
@@ -63,14 +60,25 @@ def _pagerank_oracle() -> str:
 )"""
         )
         prev = f"r{i}"
+    return ",\n".join(parts), prev
+
+
+def _pagerank_oracle() -> str:
+    chain, fin = pagerank_cte_chain(PR_ITERS)
     return (
-        "WITH "
-        + ",\n".join(parts)
+        """WITH eraw AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey * 2 + 1 AS a, o.o_custkey * 2 AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM eraw
+ UNION ALL SELECT b AS src, a AS dst FROM eraw),
+"""
+        + chain
         + f"""
 SELECT node // 2 AS entity_id,
        CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
        rank_q
-FROM {prev}
+FROM {fin}
 ORDER BY rank_q DESC, node
 LIMIT {PR_TOP}
 """
@@ -117,4 +125,91 @@ def graph_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kind"),
             "rank_q",
         )
+    )
+
+
+KW_MIN_LEN = 4  # content-word filter for the keyword graph
+KW_TOP = 15
+
+
+def _keyword_oracle() -> str:
+    from ..functions.text import tokens_duckdb
+
+    toks = tokens_duckdb("text")
+    chain, fin = pagerank_cte_chain(PR_ITERS)
+    return (
+        f"""WITH adj AS MATERIALIZED (
+  SELECT DISTINCT u.pair['a'] AS a, u.pair['b'] AS b FROM (
+    SELECT unnest(list_transform(range(1, len({toks})),
+             i -> struct_pack(a := {toks}[i::INT], b := {toks}[i::INT + 1])))
+           AS pair
+    FROM documents
+  ) u
+  WHERE len(u.pair['a']) >= {KW_MIN_LEN} AND len(u.pair['b']) >= {KW_MIN_LEN}
+    AND u.pair['a'] <> u.pair['b']
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM adj
+),
+edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+ UNION ALL SELECT v AS src, u AS dst FROM und),
+"""
+        + chain
+        + f"""
+SELECT node AS token, rank_q
+FROM {fin}
+ORDER BY rank_q DESC, node
+LIMIT {KW_TOP}
+"""
+    )
+
+
+@register(
+    "text_keyword_pagerank",
+    oracle=_keyword_oracle(),
+    doc="TextRank-style keyword extraction: PageRank over the corpus word "
+    "co-occurrence graph (adjacent content words of length >= "
+    f"{KW_MIN_LEN}, canonicalized undirected edges), reusing the SAME "
+    "integer-exact pagerank operator as the trading-network query -- "
+    "operators compose across domains, string node ids included.  The "
+    "graph build is one explode + two distincts; the supersteps are the "
+    "operator's cached-edges Pregel loop.  High-rank tokens are the "
+    "corpus's central vocabulary (the published TextRank result), "
+    "useful for corpus summarization and topic tagging at 100 TB.",
+    tags=("text", "graph", "pagerank", "keywords"),
+)
+def text_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_spark
+
+    toks = tokens_spark("text")
+    docs = load_table(spark, sf_dir, "documents")
+    adj = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({toks}) - 1),"
+                    f" i -> struct(element_at({toks}, i) as a,"
+                    f" element_at({toks}, i + 1) as b))"
+                )
+            ).alias("pair")
+        )
+        .select(F.col("pair.a").alias("a"), F.col("pair.b").alias("b"))
+        .where(
+            (F.length("a") >= KW_MIN_LEN)
+            & (F.length("b") >= KW_MIN_LEN)
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    und = adj.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    ranks = pagerank(edges, n_iters=PR_ITERS)
+    return (
+        ranks.orderBy(F.col("rank_q").desc(), F.col("node"))
+        .limit(KW_TOP)
+        .select(F.col("node").alias("token"), "rank_q")
     )
