@@ -115,6 +115,7 @@ _EVIDENCE_PRIORITY = (
     "orders_market_basket",
     "events_markov_transitions",
     "text_keyword_pagerank",
+    "stream_upsert_foreachbatch",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

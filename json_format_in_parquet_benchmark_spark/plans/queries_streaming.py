@@ -583,3 +583,117 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     sink = _run_to_memory(agg, f"sliding_wm_{tag}", "append")
     return _fmt_win_start(sink)
+
+
+# --- foreachBatch incremental upsert sink -----------------------------------
+
+SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 UTC: the two-file stage split
+
+
+def _staged_events_two_files(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as TWO chronological parquet files so maxFilesPerTrigger=1
+    yields two deterministic micro-batches (modification times pin the
+    order).  Used by the incremental-sink query, where the FINAL state must
+    be independent of the batch split."""
+    import shutil
+
+    tag = "two_" + (os.path.basename(sf_dir.rstrip("/")) or "sf")
+    if tag in _STAGED:
+        return _STAGED[tag]
+    out_dir = os.path.join(_STAGE_ROOT, tag)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("cast(floor(value * 1e8) as bigint)").alias("vq"),
+    )
+    for i, pred in enumerate([f"us < {SPLIT_US}", f"us >= {SPLIT_US}"]):
+        tmp = os.path.join(_STAGE_ROOT, f"{tag}_half{i}")
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(out_dir, f"batch-{i:03d}.parquet")
+        shutil.copy(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    _STAGED[tag] = out_dir
+    return out_dir
+
+
+@register(
+    "stream_upsert_foreachbatch",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1e8) AS BIGINT)) AS BIGINT) AS total_vq,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+FROM events
+GROUP BY user_id
+""",
+    doc="Streaming incremental materialization via foreachBatch: the event "
+    "stream arrives as two chronological micro-batches, and each batch "
+    "MERGES its per-user partial aggregate into a parquet state table "
+    "(read current state -> union -> re-aggregate -> atomic "
+    "write-and-swap) -- the CDC upsert-sink pattern used when the target "
+    "lacks native MERGE.  The mergeable-aggregate algebra (count/sum/max "
+    "over quantized integers) makes the final state provably independent "
+    "of the batch split, which is exactly what the oracle checks: a "
+    "plain batch aggregate over all events.  At 100 TB the state table "
+    "is per-user rows (partitioned, rewritten per micro-batch only where "
+    "keys changed on a real table format).",
+    tags=("streaming", "sink", "foreachBatch", "upsert"),
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    events_dir = _staged_events_two_files(spark, sf_dir)
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    state_dir = os.path.join(_STAGE_ROOT, f"upsert_state_{tag}")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("vq").cast("bigint").alias("total_vq"),
+            F.max("us").cast("bigint").alias("last_us"),
+        )
+        if os.path.isdir(state_dir):
+            current = batch_df.sparkSession.read.parquet(state_dir)
+            merged = (
+                current.unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("total_vq").cast("bigint").alias("total_vq"),
+                    F.max("last_us").cast("bigint").alias("last_us"),
+                )
+            )
+        else:
+            merged = partial
+        tmp_dir = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp_dir, state_dir)
+
+    stream = (
+        spark.readStream.schema("user_id long, us long, vq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"jfipb_ckpt_upsert_{tag}_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(state_dir)
