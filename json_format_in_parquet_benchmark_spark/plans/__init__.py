@@ -116,6 +116,7 @@ _EVIDENCE_PRIORITY = (
     "events_markov_transitions",
     "text_keyword_pagerank",
     "stream_upsert_foreachbatch",
+    "similarity_ivfpq_topk",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -436,26 +436,31 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_by_query(truth, approx)
 
 
-def _pq_oracle(n_queries: int = 3, k: int = 10) -> str:
-    """Unrolled PQ training + ADC scoring, bit-exact vs the Spark plan: all
-    distances are int64 arithmetic on the 1e6 quantization grid, centroid
-    updates are FLOOR(sum/count) with identical double operands, argmin
-    ties break to the lowest code."""
+def _pq_sqd(a: str, b: str) -> str:
+    from ..operators.similarity import PQ_DSUB
+
+    return " + ".join(
+        f"({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])"
+        for j in range(1, PQ_DSUB + 1)
+    )
+
+
+def _pq_cte_chain() -> str:
+    """CTE chain (starting after WITH) producing ``codes`` (vec_id, sub,
+    code) and ``c1`` (sub, code, cent) -- the trained PQ codebooks and
+    per-vector codes, bit-exact vs the Spark kernels: int64 distances on
+    the 1e6 grid, FLOOR(sum/count) centroid updates, argmin ties to the
+    lowest code."""
     from ..operators.similarity import PQ_DSUB, PQ_K, PQ_M
 
-    def sqd(a: str, b: str) -> str:
-        return " + ".join(
-            f"({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])"
-            for j in range(1, PQ_DSUB + 1)
-        )
+    sqd = _pq_sqd
 
     cent_list = ", ".join(
         f"CAST(FLOOR(CAST(SUM(sq[{j}]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))"
         " AS BIGINT)"
         for j in range(1, PQ_DSUB + 1)
     )
-    return f"""
-WITH e AS MATERIALIZED (
+    return f"""e AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS eq
@@ -505,9 +510,14 @@ codes AS MATERIALIZED (
 ),
 dt AS (
   SELECT q.vec_id AS query_id, c.sub, c.code, {sqd('q.sq', 'c.cent')} AS d
-  FROM (SELECT vec_id, sub, sq FROM subs WHERE vec_id < {n_queries}) q
+  FROM (SELECT vec_id, sub, sq FROM subs WHERE vec_id < __NQ__) q
   JOIN c1 c ON c.sub = q.sub
-),
+)"""
+
+
+def _pq_oracle(n_queries: int = 3, k: int = 10) -> str:
+    return f"""
+WITH {_pq_cte_chain().replace('__NQ__', str(n_queries))},
 scored AS (
   SELECT dt.query_id, codes.vec_id AS neighbor_id,
          CAST(SUM(dt.d) AS BIGINT) AS adc_dist
@@ -643,4 +653,74 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
         .orderBy("query_id", "kind")
+    )
+
+
+def _ivfpq_oracle(n_queries: int = 3, k: int = 10) -> str:
+    cents = _centroids_duckdb_literal()
+    return f"""
+WITH {_pq_cte_chain().replace('__NQ__', str(n_queries))},
+cellranked AS (
+  SELECT vec_id, cell, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+  FROM (
+    SELECT e2.vec_id, t.i AS cell,
+           {dot_duckdb("e2.embedding", f"({{}})[t.i + 1]").format(cents)} AS d
+    FROM embeddings e2 CROSS JOIN range({N_CELLS}) t(i)
+  )
+),
+corpus_cells AS (SELECT vec_id, cell FROM cellranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM cellranked
+           WHERE vec_id < {n_queries} AND rn <= {N_PROBE}),
+cand AS (
+  SELECT p.query_id, cc.vec_id
+  FROM probes p JOIN corpus_cells cc USING (cell)
+  WHERE p.query_id <> cc.vec_id
+),
+scored AS (
+  SELECT ca.query_id, codes.vec_id AS neighbor_id,
+         CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+  FROM cand ca
+  JOIN codes ON codes.vec_id = ca.vec_id
+  JOIN dt ON dt.query_id = ca.query_id
+         AND dt.sub = codes.sub AND dt.code = codes.code
+  GROUP BY ca.query_id, codes.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS INT)
+           AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    doc="IVF-PQ composed ANN (the FAISS trillion-scale layout): coarse "
+    f"IVF cells prune the corpus to each query's {N_PROBE} nearest of "
+    f"{N_CELLS} cells, then PQ codes + per-query ADC tables score only "
+    "the survivors with 8 integer lookups each -- search cost "
+    "O(N * n_probe/n_cells) candidates x O(m) adds, payload 8 B/vector. "
+    "Both stages reuse their standalone operators' exact machinery "
+    "(argmax-dot cells; int64-grid codebooks), so the composition is "
+    "bit-exactly oracle-checked end to end "
+    "(operators/similarity.py:ivfpq_topk).",
+    tags=("similarity", "ann", "ivf", "pq", "embedding"),
+    bench=True,
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        n_queries=3,
+        k=TOP_K,
+        n_cells=N_CELLS,
+        n_probe=N_PROBE,
+        dim=DIM,
     )
