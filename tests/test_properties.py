@@ -466,3 +466,107 @@ def test_pq_assign_fast_agrees_with_expr_path(spark, sf_dir):
         for r in pq_assign_fast(e, cbs).collect()
     }
     assert expr_codes == fast_codes
+
+
+def test_pagerank_conserves_bounded_mass(spark, sf_dir):
+    """Total rank mass stays within [residual-only, full scale]: every
+    superstep redistributes at most the damped mass plus the residual, and
+    floor divisions only ever DROP mass -- so the total is bounded above by
+    RANK_SCALE and below by the pure-residual floor."""
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        release_caches,
+    )
+    from json_format_in_parquet_benchmark_spark.operators.graph import (
+        RANK_SCALE,
+        pagerank,
+    )
+
+    eraw = spark.range(200).selectExpr("id as a", "(id * 7 + 1) % 200 as b")
+    edges = eraw.selectExpr("a as src", "b as dst").union(
+        eraw.selectExpr("b", "a")
+    )
+    ranks = pagerank(edges, n_iters=3)
+    total = ranks.agg(F.sum("rank_q")).first()[0]
+    n = ranks.count()
+    release_caches()
+    assert n == 200
+    residual_floor = (RANK_SCALE - RANK_SCALE * 85 // 100) // 200 * 200
+    assert residual_floor <= total <= RANK_SCALE
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    """Transition probabilities sum to 1 per source state (up to the exact
+    rational arithmetic: sum of n/row_total over a row is exactly 1.0 when
+    row_total divides cleanly through the double grid -- assert to 1e-12)."""
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+
+    rows = REGISTRY["events_markov_transitions"].fn(spark, sf_dir).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p"]
+    assert by_prev and all(abs(v - 1.0) < 1e-12 for v in by_prev.values())
+
+
+def test_basket_lift_consistent_with_counts(spark, sf_dir):
+    """Reported lift must equal the ratio recomputed from the emitted
+    integer counts and the independent order total."""
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    item_cnt = {
+        r["l_partkey"]: r["cnt"]
+        for r in items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in REGISTRY["orders_market_basket"].fn(spark, sf_dir).collect():
+        expect = (r["n_both"] * n_orders) / (
+            item_cnt[r["part_a"]] * item_cnt[r["part_b"]]
+        )
+        assert r["lift"] == expect
+
+
+def test_ivfpq_dist_matches_manual_adc(spark, sf_dir):
+    """Every IVF-PQ reported distance must equal the ADC distance
+    recomputed in Python from the trained codebooks and codes."""
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.operators.similarity import (
+        PQ_DSUB,
+        PQ_M,
+        pq_assign_fast,
+        pq_quantize,
+        pq_train_codebooks,
+    )
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = pq_quantize(emb, "embedding", "vec_id")
+    cbs = pq_train_codebooks(e)
+    codes = {
+        r["vec_id"]: [r[f"code{s}"] for s in range(PQ_M)]
+        for r in pq_assign_fast(e, cbs).collect()
+    }
+    qeq = {
+        r["vec_id"]: [int(v) for v in r["eq"]]
+        for r in e.where(F.col("vec_id") < 3).collect()
+    }
+    out = REGISTRY["similarity_ivfpq_topk"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        q = qeq[r["query_id"]]
+        total = 0
+        for s in range(PQ_M):
+            cent = cbs[s][codes[r["neighbor_id"]][s]]
+            total += sum(
+                (q[s * PQ_DSUB + j] - cent[j]) ** 2 for j in range(PQ_DSUB)
+            )
+        assert total == r["adc_dist"]
