@@ -117,6 +117,7 @@ _EVIDENCE_PRIORITY = (
     "text_keyword_pagerank",
     "stream_upsert_foreachbatch",
     "similarity_ivfpq_topk",
+    "table_diff_snapshots",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]
