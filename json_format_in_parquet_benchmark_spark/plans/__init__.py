@@ -118,6 +118,7 @@ _EVIDENCE_PRIORITY = (
     "stream_upsert_foreachbatch",
     "similarity_ivfpq_topk",
     "table_diff_snapshots",
+    "scan_ndjson_corrupt",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -288,3 +288,78 @@ def scan_orc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_value"),
         F.sum(F.expr("us % 1000000")).cast("bigint").alias("us_checksum"),
     )
+
+
+CORRUPT_MOD = 20  # every 20th staged line is deliberately malformed
+
+
+@register(
+    "scan_ndjson_corrupt",
+    oracle=f"""
+WITH staged AS (
+  SELECT CASE WHEN event_id % {CORRUPT_MOD} = 0
+              THEN '{{"k": ' || CAST(event_id AS VARCHAR)
+              ELSE props END AS line,
+         event_id % {CORRUPT_MOD} = 0 AS is_corrupt,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN is_corrupt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN is_corrupt THEN 0 ELSE k END) AS BIGINT)
+         AS k_checksum,
+       bit_xor(CASE WHEN is_corrupt
+                    THEN ('0x' || substr(md5(line), 1, 15))::BIGINT
+                    ELSE 0 END) AS corrupt_checksum
+FROM staged
+""",
+    doc="Malformed-record tolerance (PERMISSIVE source mode): an NDJSON "
+    "corpus with a deterministic 5% of truncated lines is read back "
+    "with an explicit schema + _corrupt_record column -- valid rows "
+    "parse, bad rows land intact in the corrupt column instead of "
+    "failing the job, and the checksums pin BOTH populations exactly.  "
+    "At 100 TB this is non-negotiable: a petabyte crawl always contains "
+    "garbage, and FAILFAST would turn one bad line into a dead "
+    "pipeline.  The corrupt-line md5 XOR proves byte-faithful capture, "
+    "not just counting.",
+    tags=("source", "ndjson", "corrupt", "robustness"),
+)
+def scan_ndjson_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), "jfipb_sources", f"events_ndjson_dirty_{tag}"
+    )
+    events = load_table(spark, sf_dir, "events")
+    staged = events.select(
+        F.expr(
+            f"case when event_id % {CORRUPT_MOD} = 0"
+            " then concat('{\"k\": ', cast(event_id as string))"
+            " else props end"
+        ).alias("value")
+    )
+    staged.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema("k long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 0).otherwise(
+                F.col("k")
+            )
+        ).cast("bigint").alias("k_checksum"),
+        F.expr(
+            "bit_xor(case when _corrupt_record is not null"
+            " then cast(conv(substr(md5(_corrupt_record), 1, 15), 16, 10)"
+            " as bigint) else 0 end)"
+        ).alias("corrupt_checksum"),
+    )
