@@ -57,6 +57,52 @@ def _plan_fingerprint(df) -> str:
     return hashlib.md5(s.encode()).hexdigest()[:16]
 
 
+_EXEC_METRIC_KEYS = {
+    "shuffleBytesWritten": "shuffle_write_bytes",
+    "localBytesRead": "shuffle_read_bytes",
+    "remoteBytesRead": "shuffle_read_bytes",
+    "filesSize": "scan_bytes",
+}
+
+
+def _exec_metrics(df) -> dict:
+    """Aggregate executed-plan SQL metrics (post-collect): total shuffle
+    write/read bytes, bytes scanned, and exchange/broadcast node counts.
+    These quantify the shuffle-discipline claims mechanically -- a plan
+    regression that doubles shuffled bytes shows up here even when wall
+    time hides in machine noise."""
+    acc = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0, "scan_bytes": 0,
+           "n_shuffles": 0, "n_broadcasts": 0}
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "ShuffleExchangeExec":
+            acc["n_shuffles"] += 1
+        elif cls == "BroadcastExchangeExec":
+            acc["n_broadcasts"] += 1
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            key = _EXEC_METRIC_KEYS.get(kv._1())
+            if key:
+                try:
+                    acc[key] += max(0, kv._2().value())
+                except Exception:
+                    pass
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return acc
+
+
 def infer_sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -96,6 +142,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     plan_hashes: dict[str, str] = {}
+    exec_metrics: dict[str, dict] = {}
     for name, q in sorted(bench_queries.items()):
         best = float("inf")
         for _ in range(3):
@@ -110,6 +157,10 @@ def main() -> None:
             plan_hashes[name] = _plan_fingerprint(df)
         except Exception:
             plan_hashes[name] = "err"
+        try:
+            exec_metrics[name] = _exec_metrics(df)
+        except Exception:
+            exec_metrics[name] = {"error": "unavailable"}
 
     t_phase = _phase("headline_queries", t_phase)
 
@@ -283,6 +334,7 @@ def main() -> None:
         "sf": infer_sf(SF_DIR),
         "rows": rows,
         "plan_hash": plan_hashes,
+        "exec_metrics": exec_metrics,
         "storage": storage,
         "storage_by_corpus": storage_by_corpus,
         "path_query": path_query,
