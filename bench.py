@@ -48,12 +48,25 @@ def _plan_fingerprint(df) -> str:
     import hashlib
     import re
 
-    s = df._jdf.queryExecution().executedPlan().toString()
+    # The FORMATTED explain string, not executedPlan().toString(): toString
+    # truncates long expression lists at a raw-character width, so the cut
+    # position shifts with expression-id lengths and two identical plans
+    # can hash differently.  Formatted mode prints every expression in full.
+    s = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     s = re.sub(r"#\d+[A-Za-z]*", "#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"\[codegen id : \d+\]", "", s)
     s = re.sub(r"/tmp/\S+", "<tmp>", s)
     s = re.sub(r"0x[0-9a-f]+", "<addr>", s)
+    # AQE picks BuildLeft/BuildRight per run when both join sides fit the
+    # broadcast threshold (observed flipping between identical runs in one
+    # session) and flags isFinalPlan per materialization state -- both are
+    # immaterial to the plan SHAPE and would raise false plan-change alarms.
+    s = re.sub(r"Build(Left|Right)", "Build", s)
+    s = re.sub(r"isFinalPlan=\w+", "isFinalPlan=", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
     return hashlib.md5(s.encode()).hexdigest()[:16]
 
 
@@ -143,7 +156,17 @@ def main() -> None:
     rows: dict[str, int] = {}
     plan_hashes: dict[str, str] = {}
     exec_metrics: dict[str, dict] = {}
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        release_caches as _release_caches,
+    )
+
     for name, q in sorted(bench_queries.items()):
+        # Drop persisted intermediates left by the PREVIOUS query: Spark's
+        # CacheManager substitutes canonically-matching cached fragments
+        # into later plans, so without this a query's measured plan (and
+        # its fingerprint) depends on which queries ran before it.  The
+        # three iterations of one query still share their own caches.
+        _release_caches()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -182,7 +182,13 @@ def text_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens_spark
 
     toks = tokens_spark("text")
-    docs = load_table(spark, sf_dir, "documents")
+    # Guard: sequence(1, m) runs DESCENDING when m < 1 (same hazard
+    # functions/text.py:shingles_spark documents), so a 0/1-token document
+    # would build [1, 0] and element_at(toks, 2) would throw -- filter
+    # short docs out first (the oracle's range(1, len) is empty for them).
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.expr(f"size({toks}) >= 2")
+    )
     adj = (
         docs.select(
             F.explode(

@@ -131,17 +131,20 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
          (payload_bytes * 64 + {AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S} - 1)
            // {AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S} AS n_chunks
   FROM media WHERE kind = 'audio'
+),
+fanned AS (
+  SELECT media_id, fingerprint, n_samples_total,
+         unnest(range(n_chunks)) AS i
+  FROM sized
 )
 SELECT media_id,
        i AS chunk_idx,
        i * {AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S} AS start_sample,
        LEAST({AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S},
-             n_samples_total - i * {AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S})
-         AS n_samples,
+             n_samples_total - i * {AUDIO_SAMPLE_RATE * AUDIO_CHUNK_S}) AS n_samples,
        ('0x' || substr(md5(fingerprint || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
          % 100000 AS energy_q
-FROM sized CROSS JOIN range(1000) t(i)
-WHERE i < n_chunks
+FROM fanned
 """,
     doc="Fixed-duration audio chunking (30s @ 16kHz) with per-chunk energy "
     "-- the ASR/audio-LM preprocessing fan-out.  One audio row becomes "

@@ -148,9 +148,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .queries_text import (  # noqa: E402  (pipeline reuses the ops' knobs)
+    DOMAIN_CAP as PRETRAIN_DOMAIN_CAP,
+    LM_QUANT,
+    LM_VOCAB_K,
+    SHARD_TOKEN_BUDGET as PRETRAIN_SHARD_BUDGET,
+)
+
 LM_FLOOR = 0.0115  # char-bigram LM score floor (drops the bottom ~5%)
-PRETRAIN_DOMAIN_CAP = 15
-PRETRAIN_SHARD_BUDGET = 2000
 
 
 def _pretrain_oracle() -> str:
@@ -169,9 +174,9 @@ cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
 vocab AS (
   SELECT b,
-         CAST(FLOOR(CAST(1e12 AS DOUBLE) * (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))
+         CAST(FLOOR({LM_QUANT} * (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))
               AS BIGINT) AS pq
-  FROM cnt, tot ORDER BY c DESC, b LIMIT 4096
+  FROM cnt, tot ORDER BY c DESC, b LIMIT {LM_VOCAB_K}
 ),
 lm AS (
   SELECT bg.doc_id,
@@ -183,7 +188,7 @@ gated AS (
   SELECT d.doc_id, d.lang, d.source, d.text
   FROM documents d JOIN lm ON lm.doc_id = d.doc_id
   WHERE CAST(lm.score_q AS DOUBLE)
-        / (CAST(1e12 AS DOUBLE) * CAST(lm.nb AS DOUBLE)) > {LM_FLOOR}
+        / ({LM_QUANT} * CAST(lm.nb AS DOUBLE)) > {LM_FLOOR}
 ),
 capped AS (
   SELECT doc_id, lang, source, text FROM (

@@ -1311,17 +1311,20 @@ WITH stats AS (
   FROM events GROUP BY user_id
 ),
 m AS (
-  SELECT user_id, n,
-         CAST(s1 AS DOUBLE) / (CAST(1e8 AS DOUBLE) * CAST(n AS DOUBLE)) AS mean,
-         CAST(s2 AS DOUBLE) / (CAST(1e8 AS DOUBLE) * CAST(n AS DOUBLE)) AS ex2
-  FROM stats
+  SELECT user_id, n, mean, ex2, ex2 - mean * mean AS var
+  FROM (
+    SELECT user_id, n,
+           CAST(s1 AS DOUBLE) / (CAST(1e8 AS DOUBLE) * CAST(n AS DOUBLE)) AS mean,
+           CAST(s2 AS DOUBLE) / (CAST(1e8 AS DOUBLE) * CAST(n AS DOUBLE)) AS ex2
+    FROM stats
+  )
 )
 SELECT e.event_id, e.user_id, e.value,
-       (e.value - m.mean) / sqrt(m.ex2 - m.mean * m.mean) AS zscore,
-       CAST(abs((e.value - m.mean) / sqrt(m.ex2 - m.mean * m.mean)) > 2.0
-            AS INT) AS is_anomaly
+       (e.value - m.mean) / sqrt(m.var) AS zscore,
+       CAST(abs((e.value - m.mean) / sqrt(m.var)) > 2.0 AS INT) AS is_anomaly
 FROM events e JOIN m ON m.user_id = e.user_id
-WHERE abs((e.value - m.mean) / sqrt(m.ex2 - m.mean * m.mean)) > 2.0
+WHERE m.var > 0.0
+  AND abs((e.value - m.mean) / sqrt(m.var)) > 2.0
 """,
     doc="Per-user z-score anomaly detection over event values: per-user "
     "mean and variance from quantized-integer sums (order-free, exact "
@@ -1353,10 +1356,15 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(s2 as double) / (cast(1e8 as double) * cast(n as double))"
         ).alias("ex2"),
-    )
-    z = "(value - mean) / sqrt(ex2 - mean * mean)"
+    ).withColumn("var", F.expr("ex2 - mean * mean"))
+    # var can quantize below 0 for a (near-)constant-value user, where the
+    # z-score is undefined anyway: DuckDB's sqrt raises on negatives while
+    # Spark returns NaN, so BOTH sides exclude var <= 0 explicitly.
+    z = "(value - mean) / sqrt(var)"
     joined = events.join(F.broadcast(m), "user_id")
-    return joined.where(F.expr(f"abs({z}) > 2.0")).select(
+    return joined.where(
+        (F.col("var") > 0.0) & F.expr(f"abs({z}) > 2.0")
+    ).select(
         "event_id",
         "user_id",
         "value",

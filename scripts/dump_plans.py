@@ -2,10 +2,12 @@
 to results/plans.txt, with a stable fingerprint per plan.
 
 Purpose: make the plan SHAPE reviewable and diffable round-over-round --
-pushed filters, join strategies, codegen spans -- without rerunning the
-bench.  The same normalized fingerprint is emitted into the bench JSON
-(`plan_hash`), so a timing drift can be mechanically attributed to either
-a plan change (fingerprint differs) or machine noise (fingerprint equal).
+pushed filters, join strategies, codegen spans.  Each query is EXECUTED
+(collected) before hashing so the fingerprint covers AQE's final
+re-optimized plan -- the same plan state bench.py hashes post-collect --
+making `plan_hash` here directly comparable to the bench JSON: a timing
+drift can be mechanically attributed to either a plan change (fingerprint
+differs) or machine noise (fingerprint equal).
 
 Usage:  python scripts/dump_plans.py  [sf_dir]
 """
@@ -17,6 +19,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from json_format_in_parquet_benchmark_spark.operators.dedup import release_caches
 from json_format_in_parquet_benchmark_spark.plans import REGISTRY
 from json_format_in_parquet_benchmark_spark.session import get_spark
 
@@ -38,7 +41,15 @@ def main() -> None:
             if not q.bench:
                 continue
             try:
+                # Run TWICE and fingerprint the second (warm) run: bench.py
+                # hashes after min-of-3 iterations, whose plan sees the
+                # query's own caches already MATERIALIZED -- a cold first
+                # run plans TableCacheQueryStage/BroadcastQueryStage wrappers
+                # differently and would spuriously disagree.  Hashing the
+                # post-collect state also captures AQE's final plan.
+                q.fn(spark, sf_dir).collect()
                 df = q.fn(spark, sf_dir)
+                df.collect()
                 plan = spark._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"
                 )
@@ -47,6 +58,7 @@ def main() -> None:
                 plan, fp = f"ERROR: {exc}", "err"
             out.write(f"{'=' * 72}\n{name}  plan_hash={fp}\n{'=' * 72}\n")
             out.write(plan + "\n")
+            release_caches()
     print(f"wrote {out_path}")
     spark.stop()
 

@@ -102,6 +102,12 @@ def synth_embeddings(spark: SparkSession, n: int, out: str) -> None:
     )
 
 
+def timed_l(label: str, fn) -> tuple[float, int]:
+    """timed() with the op name printed up front -- the long tiers need a
+    stderr marker saying which operator is currently running."""
+    return timed(fn, label)
+
+
 def timed(fn, label: str = "") -> tuple[float, int]:
     """min-of-2 trials: long-lived local JVMs show multi-x timing noise
     (GC, JIT warmup, lazy cache population racing); the min is the
@@ -143,13 +149,13 @@ def main() -> None:
         # buckets at 2k vectors up to 2^19 at 200k.
         n_planes = max(8, (n_emb - 1).bit_length() + 2)
         r: dict[str, tuple[float, int]] = {}
-        r["exact_dedup"] = timed(
+        r["exact_dedup"] = timed_l("exact_dedup", 
             lambda: dedup.exact_dedup(docs, "text", "doc_id").count()
         )
-        r["minhash_lsh"] = timed(
+        r["minhash_lsh"] = timed_l("minhash_lsh", 
             lambda: dedup.minhash_lsh_pairs(docs, "text", "doc_id").count()
         )
-        r["simhash"] = timed(
+        r["simhash"] = timed_l("simhash", 
             lambda: dedup.simhash_pairs(docs, "text", "doc_id").count()
         )
         # End-to-end near-dup clustering: minhash pair generation plus
@@ -157,7 +163,7 @@ def main() -> None:
         # corpus, so CC takes the driver union-find fast path at every one
         # of these sizes; the distributed min-label loop is the >2M-edge
         # fallback.
-        r["minhash_clusters"] = timed(
+        r["minhash_clusters"] = timed_l("minhash_clusters", 
             lambda: dedup.connected_components(
                 dedup.minhash_lsh_pairs(docs, "text", "doc_id")
             ).count()
@@ -167,21 +173,21 @@ def main() -> None:
             # (driver_max_edges=0 disables the union-find fast path) on the
             # largest probe so the Pregel fallback has a measured number at
             # scale, not just a unit test.
-            r["minhash_clusters_distributed"] = timed(
+            r["minhash_clusters_distributed"] = timed_l("minhash_clusters_distributed", 
                 lambda: dedup.connected_components(
                     dedup.minhash_lsh_pairs(docs, "text", "doc_id"),
                     driver_max_edges=0,
                 ).count()
             )
-        r["ngram_jaccard"] = timed(
+        r["ngram_jaccard"] = timed_l("ngram_jaccard", 
             lambda: dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
         )
-        r["ngram_prefix"] = timed(
+        r["ngram_prefix"] = timed_l("ngram_prefix", 
             lambda: dedup.ngram_jaccard_pairs_prefix(
                 docs, "text", "doc_id"
             ).count()
         )
-        r["embedding_near_dup"] = timed(
+        r["embedding_near_dup"] = timed_l("embedding_near_dup", 
             lambda: dedup.embedding_near_dup_pairs(
                 embs, "embedding", "vec_id", n_planes=n_planes
             ).count()
@@ -191,7 +197,7 @@ def main() -> None:
         # The build uses the Arrow-vectorized numpy assignment (the
         # at-scale kernel; the interpreted SQL form is the oracle path).
         n_cells = max(16, n_emb // 500)
-        r["ivf_topk"] = timed(
+        r["ivf_topk"] = timed_l("ivf_topk", 
             lambda: topk_ivf(
                 embs, embs.limit(8), "embedding", "vec_id", k=5,
                 n_cells=n_cells, dim=DIM,
@@ -204,7 +210,7 @@ def main() -> None:
         # with N to hold within-cluster (quadratic) pair work ~ N^2/k linear.
         # The numpy kernels are the at-scale path (the SQL-literal argmin is
         # the oracle form; its expression grows with k*dim).
-        r["semantic_dedup"] = timed(
+        r["semantic_dedup"] = timed_l("semantic_dedup", 
             lambda: semantic_dup_flags_fast(
                 embs, "embedding", "vec_id", threshold=0.95,
                 k=max(8, n_emb // 500), iters=2, dim=DIM,
@@ -213,7 +219,7 @@ def main() -> None:
         # PQ: codebook size is FIXED (compression codebooks do not grow
         # with the corpus); train + encode + ADC-score should therefore
         # scale linearly in N.
-        r["pq_topk"] = timed(
+        r["pq_topk"] = timed_l("pq_topk", 
             lambda: pq_topk(
                 embs, "embedding", "vec_id", n_queries=8, k=5
             ).count()
@@ -235,7 +241,7 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(edges_path)
         )
-        r["pagerank_3iter"] = timed(
+        r["pagerank_3iter"] = timed_l("pagerank_3iter", 
             lambda: pagerank(spark.read.parquet(edges_path)).count()
         )
         results[n] = r

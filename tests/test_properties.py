@@ -570,3 +570,53 @@ def test_ivfpq_dist_matches_manual_adc(spark, sf_dir):
                 (q[s * PQ_DSUB + j] - cent[j]) ** 2 for j in range(PQ_DSUB)
             )
         assert total == r["adc_dist"]
+
+
+def test_keyword_pagerank_survives_one_token_docs(spark, sf_dir):
+    """A 0/1-token document must not crash the adjacency build (Spark's
+    sequence(1, m) runs DESCENDING for m < 1 and element_at would throw);
+    short docs are filtered out, matching the oracle's empty range."""
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        release_caches,
+    )
+    from json_format_in_parquet_benchmark_spark.operators.graph import pagerank
+    from json_format_in_parquet_benchmark_spark.plans.queries_graph import (
+        KW_MIN_LEN,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "alpha beta alpha gamma beta")],
+        "doc_id long, text string",
+    )
+    # replicate the query's adjacency pipeline on the hostile frame
+    toks = "split(text, ' ')"
+    adj = (
+        docs.where(F.expr(f"size(filter({toks}, x -> x != '')) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({toks}) - 1),"
+                    f" i -> struct(element_at({toks}, i) as a,"
+                    f" element_at({toks}, i + 1) as b))"
+                )
+            ).alias("pair")
+        )
+        .select("pair.a", "pair.b")
+        .where(
+            (F.length("a") >= KW_MIN_LEN)
+            & (F.length("b") >= KW_MIN_LEN)
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    und = adj.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    ranks = pagerank(edges, n_iters=2).collect()
+    release_caches()
+    assert {r["node"] for r in ranks} == {"alpha", "beta", "gamma"}
