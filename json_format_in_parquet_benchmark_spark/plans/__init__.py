@@ -119,6 +119,7 @@ _EVIDENCE_PRIORITY = (
     "similarity_ivfpq_topk",
     "table_diff_snapshots",
     "scan_ndjson_corrupt",
+    "sample_weighted_priority",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

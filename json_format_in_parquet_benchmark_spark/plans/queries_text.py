@@ -1029,3 +1029,62 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         score,
         schema="doc_id long, n_bigrams long, score_q long, lm_score double",
     )
+
+
+WEIGHTED_K = 50  # weighted sample size
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(({hash64_sql_duckdb("CAST(doc_id AS VARCHAR)", salt="wsamp:")})
+              AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents WHERE n_chars > 0
+),
+picked AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn FROM keyed
+  ) WHERE rn <= {WEIGHTED_K}
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM picked
+GROUP BY lang
+""",
+    doc="Size-weighted priority sampling (sampling-without-replacement "
+    "where a document's inclusion probability is proportional to its "
+    f"length): key = uniform-hash / weight, keep the {WEIGHTED_K} "
+    "smallest keys -- the Efraimidis-Spirakis scheme with the rational "
+    "u/w key in place of u^(1/w) (same induced order, no ln/pow, so the "
+    "keys are deterministic IEEE divisions and exactly cross-engine).  "
+    "Deterministic hash keys make the sample a pure function of ids -- "
+    "stable under re-runs and appends -- and top-k-by-key runs as "
+    "per-partition heaps (TakeOrdered), no global sort.  The per-lang "
+    "rollup with id checksum pins the exact selection.",
+    tags=("text", "sampling", "weighted", "pipeline"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = hash64_sql_spark("cast(doc_id as string)", salt="wsamp:")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(f"cast(({h}) as double) / cast(n_chars as double)").alias(
+            "priority"
+        ),
+    )
+    picked = (
+        keyed.orderBy("priority", "doc_id").limit(WEIGHTED_K)
+    )
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )

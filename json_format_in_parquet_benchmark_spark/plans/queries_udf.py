@@ -79,7 +79,7 @@ SELECT doc_id, u.token AS token, u.pos AS pos FROM ex
     tags=("udf", "udtf"),
 )
 def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="token string, pos int")
     class Tokenize:
