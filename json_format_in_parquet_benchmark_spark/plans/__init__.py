@@ -120,6 +120,7 @@ _EVIDENCE_PRIORITY = (
     "table_diff_snapshots",
     "scan_ndjson_corrupt",
     "sample_weighted_priority",
+    "parts_abc_pareto",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -2138,3 +2138,85 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "parts_abc_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                         AS DOUBLE) * 100.0) AS BIGINT) AS rq
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(rq) AS BIGINT) AS t FROM rev),
+ranked AS (
+  SELECT l_partkey, rq,
+         CAST(CAST(SUM(rq) OVER (ORDER BY rq DESC, l_partkey
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+              / CAST(tot.t AS DOUBLE) AS DOUBLE) AS cum_share
+  FROM rev CROSS JOIN tot
+),
+classed AS (
+  SELECT l_partkey, rq,
+         CASE WHEN cum_share <= 0.8 THEN 'A'
+              WHEN cum_share <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       COUNT(*) AS n_parts,
+       CAST(SUM(rq) AS BIGINT) AS class_revenue_cents,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_part
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+""",
+    doc="ABC / Pareto classification of parts by revenue: rank by revenue, "
+    "accumulate the share of total, cut at 80%/95% -- the inventory-"
+    "management classic.  Per-part revenue is quantized to integer CENTS "
+    "from the exact-decimal sum (floor of identical doubles is "
+    "deterministic), so the running total, the grand total, and every "
+    "share division are order-free integer/IEEE arithmetic -- a "
+    "double-to-DECIMAL recast here would round HALF_UP in Spark but "
+    "HALF_EVEN in DuckDB.  Scale caveat as window_ntile_deciles: the "
+    "global ordered window is the exact form; at 100 TB the cuts come "
+    "from a quantile sketch over per-part revenues instead.",
+    tags=("relational", "window", "pareto", "aggregation"),
+)
+def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "cast(floor(cast(sum(cast(l_extendedprice as decimal(18,2))"
+            " * (1 - cast(l_discount as decimal(18,2)))) as double)"
+            " * 100.0) as bigint)"
+        ).alias("rq")
+    )
+    tot = rev.agg(F.sum("rq").cast("bigint").alias("t"))
+    w = (
+        Window.orderBy(F.col("rq").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share",
+        F.sum("rq").over(w).cast("double") / F.col("t").cast("double"),
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rq").cast("bigint").alias("class_revenue_cents"),
+            F.min("l_partkey").cast("bigint").alias("min_part"),
+            F.max("l_partkey").cast("bigint").alias("max_part"),
+        )
+        .orderBy("abc_class")
+    )
