@@ -121,6 +121,7 @@ _EVIDENCE_PRIORITY = (
     "scan_ndjson_corrupt",
     "sample_weighted_priority",
     "parts_abc_pareto",
+    "parts_skyline_cheap_small",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

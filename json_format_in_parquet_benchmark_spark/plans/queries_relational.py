@@ -2220,3 +2220,58 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "parts_skyline_cheap_small",
+    oracle="""
+WITH pts AS (
+  SELECT p_retailprice AS price, p_size AS psize,
+         COUNT(*) AS n_parts, MIN(p_partkey) AS sample_part
+  FROM part GROUP BY p_retailprice, p_size
+)
+SELECT a.price, a.psize, a.n_parts, a.sample_part
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price <= a.price AND b.psize <= a.psize
+    AND (b.price < a.price OR b.psize < a.psize)
+)
+ORDER BY a.price, a.psize
+""",
+    doc="Skyline (Pareto-front preference) query: the parts no other part "
+    "beats on BOTH price and size -- the canonical multi-criteria "
+    "shortlist.  The oracle states the NOT-EXISTS domination semantics "
+    "directly; the Spark side earns them with the sort-scan algorithm: "
+    "over DISTINCT (price, size) pairs ordered by (price, size), a pair "
+    "is dominated iff the running MIN(size) over strictly-preceding "
+    "pairs is <= its size -- one window pass, O(n log n), no quadratic "
+    "self-join.  At 100 TB the distinct-pair grid (the only shuffled "
+    "data) is tiny relative to the fact table.",
+    tags=("relational", "skyline", "window", "preference"),
+)
+def parts_skyline_cheap_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("sample_part"),
+    )
+    # Distinct pairs sorted by (price, size): any strictly-preceding pair
+    # has price < p, or price = p and size < s -- so it dominates iff its
+    # size <= s, making "dominated" = running-min(size) over the preceding
+    # frame <= s.  Pair distinctness rules out the equal-pair edge case.
+    w = (
+        Window.orderBy("price", "psize")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.withColumn("min_prev_size", F.min("psize").over(w))
+    return (
+        flagged.where(
+            F.col("min_prev_size").isNull()
+            | (F.col("min_prev_size") > F.col("psize"))
+        )
+        .select("price", "psize", "n_parts", "sample_part")
+        .orderBy("price", "psize")
+    )
