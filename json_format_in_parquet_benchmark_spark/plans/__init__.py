@@ -122,6 +122,7 @@ _EVIDENCE_PRIORITY = (
     "sample_weighted_priority",
     "parts_abc_pareto",
     "parts_skyline_cheap_small",
+    "events_user_trend_ols",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -191,3 +191,72 @@ def events_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sq as double) / (cast(1e8 as double) * cast(n_win as double))"
         ).alias("ma24"),
     )
+
+
+@register(
+    "events_user_trend_ols",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id,
+         (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+           // {HOUR_US} AS xh,
+         CAST(FLOOR(value * 100) AS BIGINT) AS yc
+  FROM events
+),
+sums AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xh) AS BIGINT) AS sx,
+         CAST(SUM(yc) AS BIGINT) AS sy,
+         CAST(SUM(xh * yc) AS BIGINT) AS sxy,
+         CAST(SUM(xh * xh) AS BIGINT) AS sxx
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept_cents
+FROM sums
+WHERE n * sxx - sx * sx > 0
+""",
+    doc="Per-user spend trend via closed-form OLS: y (value in integer "
+    "cents) regressed on x (hours since the user's first event).  All "
+    "four moment sums accumulate as exact int64 (x <= corpus-span hours, "
+    "y <= cents: products stay far under 2^63), the slope is ONE double "
+    "division of exact integer differences, and the intercept reuses "
+    "that slope with deterministic IEEE ops -- so even the regression "
+    "coefficients hash-match bit-for-bit.  Degenerate users (all events "
+    "in one hour bucket: zero x-variance) are excluded identically on "
+    "both sides.  One shuffle on user_id; this is the map-reduce "
+    "closed-form shape that replaces iterative fitting at 100 TB.",
+    tags=("timeseries", "regression", "aggregation"),
+)
+def events_user_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("yc"),
+    )
+    ev = ev.withColumn(
+        "xh", F.expr(f"(us - min(us) over (partition by user_id)) div {HOUR_US}")
+    )
+    sums = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xh").cast("bigint").alias("sx"),
+        F.sum("yc").cast("bigint").alias("sy"),
+        F.sum(F.expr("xh * yc")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("xh * xh")).cast("bigint").alias("sxx"),
+    )
+    slope = "cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)"
+    return sums.where(F.expr("n * sxx - sx * sx > 0")).select(
+        "user_id",
+        "n",
+        F.expr(slope).alias("slope_cents_per_hour"),
+        F.expr(
+            f"(cast(sy as double) - ({slope}) * cast(sx as double))"
+            " / cast(n as double)"
+        ).alias("intercept_cents"),
+    )
