@@ -123,6 +123,8 @@ _EVIDENCE_PRIORITY = (
     "parts_abc_pareto",
     "parts_skyline_cheap_small",
     "events_user_trend_ols",
+    "events_cusum_changepoints",
+    "graph_triangle_count",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -260,3 +260,77 @@ def events_user_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / cast(n as double)"
         ).alias("intercept_cents"),
     )
+
+
+CUSUM_THRESHOLD_CENTS = 10_000  # drift alarm at +/- $100 cumulative deviation
+
+
+@register(
+    "events_cusum_changepoints",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100) AS BIGINT) AS yc
+  FROM events
+),
+stats AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yc) AS BIGINT) AS sy
+  FROM ev GROUP BY user_id
+),
+walked AS (
+  SELECT e.user_id, e.event_id, s.n,
+         CAST(SUM(s.n * e.yc - s.sy)
+              OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_scaled
+  FROM ev e JOIN stats s ON s.user_id = e.user_id
+)
+SELECT user_id, event_id, cusum_scaled,
+       CAST(CASE WHEN abs(cusum_scaled) > n * {CUSUM_THRESHOLD_CENTS}
+                 THEN 1 ELSE 0 END AS INT) AS drift_flag
+FROM walked
+WHERE abs(cusum_scaled) > n * {CUSUM_THRESHOLD_CENTS}
+""",
+    doc="CUSUM changepoint / drift detection per user: the running "
+    "cumulative deviation of event values from the user's own mean, "
+    "flagged where it leaves a +/-$100 band -- the classic sequential "
+    "drift detector.  Division-free formulation: comparing "
+    "sum(y_i - mean) against T is identical to comparing the all-integer "
+    "sum(n*y_i - sum_y) against n*T, so the walk is exact int64 "
+    "arithmetic end to end (magnitudes: n*yc <= ~1e3 * 5e4 per step, "
+    "summed over <= n steps stays far under 2^63).  Two passes over "
+    "events co-partitioned on user_id: the per-user moments, then the "
+    "ordered window walk.",
+    tags=("timeseries", "changepoint", "window"),
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("yc"),
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yc").cast("bigint").alias("sy"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = ev.join(F.broadcast(stats), "user_id").withColumn(
+        "cusum_scaled",
+        F.sum(F.expr("n * yc - sy")).over(w).cast("bigint"),
+    )
+    return walked.where(
+        F.expr(f"abs(cusum_scaled) > n * {CUSUM_THRESHOLD_CENTS}")
+    ).select(
+        "user_id",
+        "event_id",
+        "cusum_scaled",
+        F.expr(
+            f"cast(case when abs(cusum_scaled) > n * {CUSUM_THRESHOLD_CENTS}"
+            " then 1 else 0 end as int)"
+        ).alias("drift_flag"),
+    )
