@@ -132,13 +132,11 @@ KW_MIN_LEN = 4  # content-word filter for the keyword graph
 KW_TOP = 15
 
 
-def _keyword_oracle() -> str:
+def _word_edges_cte() -> str:
     from ..functions.text import tokens_duckdb
 
     toks = tokens_duckdb("text")
-    chain, fin = pagerank_cte_chain(PR_ITERS)
-    return (
-        f"""WITH adj AS MATERIALIZED (
+    return f"""adj AS MATERIALIZED (
   SELECT DISTINCT u.pair['a'] AS a, u.pair['b'] AS b FROM (
     SELECT unnest(list_transform(range(1, len({toks})),
              i -> struct_pack(a := {toks}[i::INT], b := {toks}[i::INT + 1])))
@@ -150,7 +148,14 @@ def _keyword_oracle() -> str:
 ),
 und AS MATERIALIZED (
   SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM adj
-),
+)"""
+
+
+
+def _keyword_oracle() -> str:
+    chain, fin = pagerank_cte_chain(PR_ITERS)
+    return (
+        f"""WITH {_word_edges_cte()},
 edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
  UNION ALL SELECT v AS src, u AS dst FROM und),
 """
@@ -219,25 +224,6 @@ def text_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KW_TOP)
         .select(F.col("node").alias("token"), "rank_q")
     )
-
-
-def _word_edges_cte() -> str:
-    from ..functions.text import tokens_duckdb
-
-    toks = tokens_duckdb("text")
-    return f"""adj AS MATERIALIZED (
-  SELECT DISTINCT u.pair['a'] AS a, u.pair['b'] AS b FROM (
-    SELECT unnest(list_transform(range(1, len({toks})),
-             i -> struct_pack(a := {toks}[i::INT], b := {toks}[i::INT + 1])))
-           AS pair
-    FROM documents
-  ) u
-  WHERE len(u.pair['a']) >= {KW_MIN_LEN} AND len(u.pair['b']) >= {KW_MIN_LEN}
-    AND u.pair['a'] <> u.pair['b']
-),
-und AS MATERIALIZED (
-  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM adj
-)"""
 
 
 @register(
