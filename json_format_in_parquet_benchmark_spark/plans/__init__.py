@@ -125,6 +125,7 @@ _EVIDENCE_PRIORITY = (
     "events_user_trend_ols",
     "events_cusum_changepoints",
     "graph_triangle_count",
+    "events_top_paths",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -2275,3 +2275,59 @@ def parts_skyline_cheap_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price", "psize", "n_parts", "sample_part")
         .orderBy("price", "psize")
     )
+
+
+PATHS_TOP = 15
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+WITH paths AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+  FROM events
+  GROUP BY user_id, day
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATHS_TOP}
+""",
+    doc="Path exploration (the product-analytics 'what journeys happen "
+    "most'): each user-day becomes an ordered event-type path string, "
+    "then the most frequent journeys surface.  Path assembly is "
+    "collect_list of (time, id, type) structs sorted in-array -- struct "
+    "ordering gives a total, engine-independent order -- so the emitted "
+    "strings match DuckDB's ORDER BY string_agg exactly.  Two shuffles "
+    "(user-day grouping, then path counting), both map-side-combined; "
+    "path cardinality, not event volume, bounds the second.",
+    tags=("events", "paths", "aggregation"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    paths = (
+        events.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.struct(
+                F.expr("unix_micros(ts)").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("z"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.expr(
+                "concat_ws('>', transform(array_sort(collect_list(z)),"
+                " x -> x.et))"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATHS_TOP)
+    )
