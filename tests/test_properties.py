@@ -620,3 +620,96 @@ def test_keyword_pagerank_survives_one_token_docs(spark, sf_dir):
     ranks = pagerank(edges, n_iters=2).collect()
     release_caches()
     assert {r["node"] for r in ranks} == {"alpha", "beta", "gamma"}
+
+
+def test_skyline_matches_bruteforce_domination(spark, sf_dir):
+    """The window-based skyline must equal the O(n^2) NOT-EXISTS
+    definition computed directly over the distinct pairs."""
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = [
+        (r["price"], r["psize"])
+        for r in part.select(
+            F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+        )
+        .distinct()
+        .collect()
+    ]
+    brute = {
+        (p, s)
+        for p, s in pairs
+        if not any(
+            (p2 <= p and s2 <= s and (p2 < p or s2 < s)) for p2, s2 in pairs
+        )
+    }
+    got = {
+        (r["price"], r["psize"])
+        for r in REGISTRY["parts_skyline_cheap_small"].fn(spark, sf_dir).collect()
+    }
+    assert got == brute and got
+
+
+def test_cusum_walk_ends_at_zero(spark, sf_dir):
+    """sum over a user's events of (n*y_i - sum_y) telescopes to exactly 0,
+    so every user's FULL cusum walk must end at 0 -- a strong invariant of
+    the division-free formulation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.expr("cast(floor(value * 100) as bigint)").alias("yc"),
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yc").cast("bigint").alias("sy"),
+    )
+    finals = (
+        ev.join(stats, "user_id")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("n * yc - sy")).alias("final"))
+        .where(F.col("final") != 0)
+        .count()
+    )
+    assert finals == 0
+
+
+def test_top_paths_preserve_event_counts(spark, sf_dir):
+    """Every user-day path's arrow-separated length equals that day's event
+    count -- the assembly loses or reorders nothing."""
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    paths = (
+        events.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.struct(
+                F.expr("unix_micros(ts)").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("z"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.expr(
+                "concat_ws('>', transform(array_sort(collect_list(z)),"
+                " x -> x.et))"
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bad = paths.where(
+        F.expr("size(split(path, '>')) != n_events")
+    ).count()
+    assert bad == 0
