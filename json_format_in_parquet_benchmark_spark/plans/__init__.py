@@ -14,6 +14,7 @@ from . import queries_generator  # noqa: E402,F401
 from . import queries_graph  # noqa: E402,F401
 from . import queries_timeseries  # noqa: E402,F401
 from . import queries_relational  # noqa: E402,F401
+from . import queries_tpch  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_search  # noqa: E402,F401
 from . import queries_sketches  # noqa: E402,F401
@@ -126,6 +127,17 @@ _EVIDENCE_PRIORITY = (
     "events_cusum_changepoints",
     "graph_triangle_count",
     "events_top_paths",
+    # TPC-H completion set (round 3): the nine spec queries the derived
+    # relational surface was still missing.
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_delay_priority",
+    "q16_part_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]
