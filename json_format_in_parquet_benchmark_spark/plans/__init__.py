@@ -19,6 +19,7 @@ from . import queries_text  # noqa: E402,F401
 from . import queries_search  # noqa: E402,F401
 from . import queries_sketches  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
+from . import queries_embedding_stats  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
 from . import queries_udf  # noqa: E402,F401
 from . import queries_sinks  # noqa: E402,F401
@@ -138,6 +139,11 @@ _EVIDENCE_PRIORITY = (
     "q19_disjunctive_revenue",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    # Embedding statistics + adaptive filtering (round 3, late)
+    "embedding_gram_matrix",
+    "embedding_pca_power",
+    "similarity_matryoshka_recall",
+    "text_adaptive_length_filter",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -724,3 +724,67 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=N_PROBE,
         dim=DIM,
     )
+
+
+MATRYOSHKA_DIM = 16
+
+
+@register(
+    "similarity_matryoshka_recall",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings),
+exact_ranked AS (
+  SELECT a.query_id, b.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+                            ORDER BY {cosine_duckdb("a.embedding", "b.embedding")} DESC,
+                                     b.neighbor_id) AS rank
+  FROM q a CROSS JOIN c b
+  WHERE a.query_id <> b.neighbor_id
+),
+truth AS (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {TOP_K}),
+trunc_ranked AS (
+  SELECT a.query_id, b.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+                            ORDER BY {cosine_duckdb(f"a.embedding[1:{MATRYOSHKA_DIM}]", f"b.embedding[1:{MATRYOSHKA_DIM}]")} DESC,
+                                     b.neighbor_id) AS rank
+  FROM q a CROSS JOIN c b
+  WHERE a.query_id <> b.neighbor_id
+),
+approx AS (SELECT query_id, neighbor_id FROM trunc_ranked WHERE rank <= {TOP_K})
+SELECT t.query_id,
+       COUNT(*) AS k_true,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS k_hit,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY 1
+""",
+    doc="Matryoshka / dimension-truncation evaluation: recall@k of "
+    f"brute-force search over the FIRST {MATRYOSHKA_DIM} of {DIM} "
+    "embedding dimensions against full-dimension exact search -- the "
+    "measurement that decides whether a prefix-truncated (MRL-style) "
+    "index is good enough before trading 4x index size and bandwidth "
+    "for it at 100 TB.  Both arms are the same broadcast-query "
+    "brute-force operator; the truncated arm just projects "
+    "slice(embedding) first, so the comparison isolates the dimension "
+    "cut from any ANN approximation.",
+    tags=("similarity", "embedding", "evaluation"),
+)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    truth = topk_bruteforce(emb, queries, "embedding", "vec_id", k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    cut = F.slice(F.col("embedding"), 1, MATRYOSHKA_DIM).alias("emb_cut")
+    approx = topk_bruteforce(
+        emb.select("vec_id", cut),
+        queries.select("vec_id", cut),
+        "emb_cut",
+        "vec_id",
+        k=TOP_K,
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    return _recall_by_query(truth, approx)

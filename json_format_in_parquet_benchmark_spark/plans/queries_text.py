@@ -1088,3 +1088,85 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@register(
+    "text_adaptive_length_filter",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1
+           AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+cuts AS (
+  SELECT lang,
+         CAST(MAX(n) AS BIGINT) AS n_docs,
+         MAX(CASE WHEN rn = CAST(FLOOR(0.05 * (n - 1)) AS BIGINT)
+                  THEN n_chars END) AS lo_cut,
+         MAX(CASE WHEN rn = CAST(FLOOR(0.95 * (n - 1)) AS BIGINT)
+                  THEN n_chars END) AS hi_cut
+  FROM ranked GROUP BY lang
+)
+SELECT r.lang, c.n_docs, c.lo_cut, c.hi_cut,
+       CAST(SUM(CASE WHEN r.n_chars BETWEEN c.lo_cut AND c.hi_cut
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN r.n_chars BETWEEN c.lo_cut AND c.hi_cut
+                     THEN r.doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM ranked r
+JOIN cuts c ON c.lang = r.lang
+GROUP BY r.lang, c.n_docs, c.lo_cut, c.hi_cut
+ORDER BY r.lang
+""",
+    doc="Per-language adaptive length filtering: instead of one global "
+    "character-count band, each language gets its own [p5, p95] cut "
+    "from the EXACT rank statistics of its own length distribution "
+    "(zh runs far shorter than en in characters; a global band "
+    "over-drops one and under-filters the other).  The exact quantile "
+    "is the value at rank floor(p * (n-1)) under a deterministic "
+    "(n_chars, doc_id) order, so both engines agree bit-for-bit.  "
+    "One shuffle on lang for the rank window; the kept-set checksum "
+    "verifies the exact membership, not just counts.  At 100 TB the "
+    "per-group global sort becomes a per-group quantile sketch "
+    "(the window_ntile_deciles caveat); membership stays a map-side "
+    "broadcast of the tiny per-language cut table.",
+    tags=("text", "quality", "quantile", "window"),
+)
+def text_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select("lang", "doc_id", "n_chars").withColumn(
+        "rn", F.row_number().over(w) - 1
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    cuts = ranked.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor(0.05 * (F.col("n") - 1)).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).alias("lo_cut"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor(0.95 * (F.col("n") - 1)).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).alias("hi_cut"),
+    )
+    joined = ranked.join(F.broadcast(cuts), "lang")
+    kept = F.col("n_chars").between(F.col("lo_cut"), F.col("hi_cut"))
+    return (
+        joined.groupBy("lang", "n_docs", "lo_cut", "hi_cut")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -713,3 +713,82 @@ def test_top_paths_preserve_event_counts(spark, sf_dir):
         F.expr("size(split(path, '>')) != n_events")
     ).count()
     assert bad == 0
+
+
+def test_power_iteration_tracks_float_reference(spark, sf_dir):
+    """The integer power iteration (floor renormalization each step) must
+    stay within rounding distance of the exact float iterate of the same
+    step count -- validates the integer arithmetic, independent of how
+    converged t steps are on this (near-isotropic, slow-converging)
+    synthetic corpus."""
+    import numpy as np
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_embedding_stats import (
+        AUG,
+        GRID,
+        PCA_ITERS,
+        V0,
+        _power_iteration,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = [r["embedding"] for r in emb.select("embedding").collect()]
+    x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    q = np.floor(x * float(GRID)).astype(np.int64)
+    a = np.concatenate([np.ones((len(q), 1), dtype=np.int64), q], axis=1)
+    s = a.T @ a
+    rows = [(i, j, int(s[i, j])) for i in range(AUG) for j in range(i, AUG)]
+    v_int = np.array(_power_iteration(rows), dtype=np.float64)
+
+    n = len(q)
+    cov = (n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))).astype(np.float64)
+    v_ref = np.full(64, float(V0))
+    for _ in range(PCA_ITERS):
+        w = cov @ v_ref
+        v_ref = w / (np.abs(w).max() / 1e6)
+    cos = abs(v_int @ v_ref) / (
+        np.linalg.norm(v_int) * np.linalg.norm(v_ref)
+    )
+    assert cos > 0.9999, cos
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    """The distributed mapInPandas gram reduction equals a single-process
+    numpy computation exactly (integer domain, no tolerance)."""
+    import numpy as np
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_embedding_stats import (
+        AUG,
+        GRID,
+        _gram_df,
+    )
+
+    got = {
+        (r["i"], r["j"]): r["s"]
+        for r in _gram_df(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = [r["embedding"] for r in emb.select("embedding").collect()]
+    x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    q = np.floor(x * float(GRID)).astype(np.int64)
+    a = np.concatenate([np.ones((len(q), 1), dtype=np.int64), q], axis=1)
+    s = a.T @ a
+    assert len(got) == AUG * (AUG + 1) // 2
+    for (i, j), v in got.items():
+        assert v == int(s[i, j]), (i, j)
+
+
+def test_matryoshka_recall_bounded_and_self_consistent(spark, sf_dir):
+    """Recall of the full-dimension arm against itself is 1.0 by
+    construction; the truncated arm's recall must be in [0, 1] with
+    k_true == TOP_K per query."""
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+    from json_format_in_parquet_benchmark_spark.plans.queries_similarity import (
+        TOP_K,
+    )
+
+    rows = REGISTRY["similarity_matryoshka_recall"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["k_true"] == TOP_K
+        assert 0.0 <= r["recall"] <= 1.0
