@@ -144,6 +144,10 @@ _EVIDENCE_PRIORITY = (
     "embedding_pca_power",
     "similarity_matryoshka_recall",
     "text_adaptive_length_filter",
+    "stream_session_window_batch",
+    "stream_session_window",
+    "profile_token_zipf",
+    "dq_skew_profile",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

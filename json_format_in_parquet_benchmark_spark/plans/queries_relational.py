@@ -2331,3 +2331,80 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(PATHS_TOP)
     )
+
+
+def _skew_block(label: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{label}' AS key_col,
+       a.n_rows, a.ndv, a.top1_freq, t.top10_freq,
+       CAST(a.top1_freq * a.ndv AS DOUBLE) / CAST(a.n_rows AS DOUBLE)
+         AS skew_ratio
+FROM (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS ndv,
+         CAST(MAX(c) AS BIGINT) AS top1_freq
+  FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY {key})
+) a CROSS JOIN (
+  SELECT CAST(SUM(c) AS BIGINT) AS top10_freq
+  FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {key}
+        ORDER BY COUNT(*) DESC, {key} LIMIT 10)
+) t"""
+
+
+@register(
+    "dq_skew_profile",
+    oracle=" UNION ALL ".join(
+        [
+            _skew_block("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+            _skew_block("lineitem.l_partkey", "lineitem", "l_partkey"),
+            _skew_block("events.user_id", "events", "user_id"),
+        ]
+    ),
+    doc="Join-key skew diagnostics: for each hot join/shuffle key, the "
+    "row count, distinct count, heaviest-key frequency, top-10 "
+    "frequency mass, and the skew ratio top1 * ndv / rows (1.0 = "
+    "perfectly uniform; >> 1 = a salting/AQE-skew-join candidate).  "
+    "This is the measurement that DECIDES whether "
+    "agg_salted_skew_user-style salting is worth its extra shuffle at "
+    "100 TB -- run it on a sample before committing the plan.  Each "
+    "key costs one groupBy shuffle; the top-10 is a TakeOrdered over "
+    "already-aggregated counts, not a global sort.",
+    tags=("dq", "diagnostics", "aggregation", "skew"),
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def block(label: str, df: DataFrame, key: str) -> DataFrame:
+        grp = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        summary = grp.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("ndv"),
+            F.max("c").cast("bigint").alias("top1_freq"),
+        )
+        top10 = (
+            grp.orderBy(F.col("c").desc(), F.col("k"))
+            .limit(10)
+            .agg(F.sum("c").cast("bigint").alias("top10_freq"))
+        )
+        return (
+            summary.crossJoin(top10)
+            .select(
+                F.lit(label).alias("key_col"),
+                "n_rows",
+                "ndv",
+                "top1_freq",
+                "top10_freq",
+                (
+                    (F.col("top1_freq") * F.col("ndv")).cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("skew_ratio"),
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        block("lineitem.l_orderkey", li, "l_orderkey")
+        .unionAll(block("lineitem.l_partkey", li, "l_partkey"))
+        .unionAll(block("events.user_id", ev, "user_id"))
+    )

@@ -697,3 +697,76 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(state_dir)
+
+
+@register(
+    "stream_session_window_batch",
+    oracle=_SESSION_CTE
+    + f"""
+SELECT user_id,
+       start_us,
+       end_us + {GAP_US} AS end_us,
+       CAST(n_events AS BIGINT) AS n_events
+FROM sessions
+""",
+    doc="Native session_window sessionization (batch): Spark's built-in "
+    "gap-merge operator, window = [first event, last event + gap) per "
+    "user -- the declarative twin of the manual lag()-islands "
+    "computation (stream_sessionize_batch) and the "
+    "applyInPandasWithState path (stream_sessionize_stateful); all "
+    "three arms agree on the SAME session boundaries, checked against "
+    "the same islands oracle.  One shuffle on user_id; the merge "
+    "itself is state local to each key.",
+    tags=("streaming", "session", "window"),
+)
+def stream_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import session_window_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return session_window_counts(events, gap=f"{GAP_MINUTES} minutes")
+
+
+@register(
+    "stream_session_window",
+    oracle=_SESSION_CTE
+    + f"""
+, wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events)
+SELECT user_id,
+       start_us // 1000 AS start_ms,
+       (end_us + {GAP_US}) // 1000 AS end_ms,
+       CAST(n_events AS BIGINT) AS n_events
+FROM sessions, wm
+WHERE (end_us + {GAP_US}) // 1000 <= wm.wm_ms
+""",
+    doc="TRUE streaming native session windows WITH WATERMARK: file-source "
+    "readStream -> withWatermark(ts, 1h) -> session_window(gap 8h) per "
+    "user -> availableNow -> memory sink in APPEND mode.  Sessions are "
+    "mergeable state (MergingSessionsExec): adjacent-in-gap events "
+    "collapse as they arrive, and a session finalizes once the "
+    "watermark passes its end (last event + gap) -- so the oracle is "
+    "the batch islands result MINUS the per-user trailing sessions "
+    "still within an hour+gap of the stream's end, compared at the "
+    "watermark's ms precision.",
+    tags=("streaming", "session", "window", "stateful", "watermark"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import (
+        read_events_stream,
+        session_window_counts,
+    )
+
+    events_dir = _staged_events(spark, sf_dir)
+    stream = read_events_stream(spark, events_dir)
+    agg = session_window_counts(
+        stream, gap=f"{GAP_MINUTES} minutes", watermark="1 hour"
+    )
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sink = _run_to_memory(agg, f"session_win_{tag}", "append")
+    return sink.select(
+        "user_id",
+        F.expr("start_us div 1000").alias("start_ms"),
+        F.expr("end_us div 1000").alias("end_ms"),
+        "n_events",
+    )

@@ -1170,3 +1170,65 @@ def text_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "profile_token_zipf",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest({_TOKS_D}) AS w FROM documents
+),
+freq AS (
+  SELECT w, COUNT(*) AS f FROM words GROUP BY w
+),
+ranked AS (
+  SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r FROM freq
+)
+SELECT CAST(FLOOR(log2(r)) AS BIGINT) AS rank_band,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(f) AS BIGINT) AS total_freq,
+       CAST(MAX(f) AS BIGINT) AS max_freq,
+       CAST(SUM(CAST(FLOOR(log2(f)) AS BIGINT)) AS BIGINT) AS sum_log2f
+FROM ranked
+GROUP BY rank_band
+ORDER BY rank_band
+""",
+    doc="Vocabulary heavy-tail (Zipf) profile: corpus word frequencies "
+    "bucketed into power-of-two RANK bands (band = floor(log2(rank)) "
+    "under a deterministic freq-desc/word order), with per-band word "
+    "count, total frequency mass, and an integer log-frequency sum -- "
+    "the rank-frequency curve a tokenizer/vocab-size decision reads, "
+    "kept cross-engine exact by summing floor(log2) integers instead "
+    "of order-sensitive float logs (log2 boundary analysis: ranks and "
+    "counts are exact ints; log2 of a power of two is IEEE-exact and "
+    "non-powers sit >=1e-5 from the next integer, far beyond the "
+    "1-ulp engine difference).  The global rank window runs on the "
+    "VOCABULARY (orders of magnitude smaller than the corpus); at "
+    "100 TB the band cuts come from frequency-histogram prefix sums "
+    "instead of a single-partition sort.",
+    tags=("text", "profile", "statistics"),
+)
+def profile_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("w"))),
+    )
+    return (
+        ranked.groupBy(
+            F.floor(F.log2("r")).cast("bigint").alias("rank_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("f").cast("bigint").alias("total_freq"),
+            F.max("f").cast("bigint").alias("max_freq"),
+            F.sum(F.floor(F.log2("f")).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_log2f"),
+        )
+        .orderBy("rank_band")
+    )

@@ -243,3 +243,32 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "8 hours", watermark: str | None = None
+) -> DataFrame:
+    """Native ``F.session_window`` sessionization: Spark merges events per
+    user into sessions whose window is [first_ts, last_ts + gap) -- the
+    built-in operator twin of :func:`sessionize_batch`'s manual islands
+    computation (and of the ``applyInPandasWithState`` stateful path).
+
+    Works identically on a batch or streaming DataFrame; pass ``watermark``
+    on the streaming side so append mode finalizes sessions once the
+    watermark passes their end.  Bounds are emitted as epoch integers
+    (micros here; stream twins downscale to ms, the watermark's precision).
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.col("user_id"), F.session_window("ts", gap).alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("win.start").alias("start_us"),
+            F.unix_micros("win.end").alias("end_us"),
+            "n_events",
+        )
+    )
