@@ -148,6 +148,8 @@ _EVIDENCE_PRIORITY = (
     "stream_session_window",
     "profile_token_zipf",
     "dq_skew_profile",
+    "join_fuzzy_part_names",
+    "customers_rfm_segments",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -111,6 +111,7 @@ SELECT i, j, s FROM gram ORDER BY i, j
     "covariance that scales to arbitrary corpus size (module docstring; "
     "per-batch numpy A^T A via mapInPandas, integer groupBy merge).",
     tags=("embedding", "statistics", "pandas-udf"),
+    bench=True,
 )
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gram_df(spark, sf_dir).orderBy("i", "j")

@@ -2408,3 +2408,171 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(block("lineitem.l_partkey", li, "l_partkey"))
         .unionAll(block("events.user_id", ev, "user_id"))
     )
+
+
+@register(
+    "join_fuzzy_part_names",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+blocked AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON a.p_name < b.p_name
+   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+   AND (substr(a.p_name, 1, 3) = substr(b.p_name, 1, 3)
+        OR substr(a.p_name, length(a.p_name) - 2, 3)
+           = substr(b.p_name, length(b.p_name) - 2, 3))
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+FROM blocked
+WHERE levenshtein(name_a, name_b) <= 2
+ORDER BY name_a, name_b
+""",
+    doc="Fuzzy (edit-distance) self-join for entity cleaning: distinct part "
+    "names within Levenshtein distance 2, candidate-blocked by a length "
+    "band (a true lev bound) plus shared 3-char prefix OR suffix, then "
+    "verified with the exact distance -- the candidate-generate/verify "
+    "shape every scale fuzzy join uses (the affix blocking trades "
+    "recall for never going all-pairs; on this corpus it is measured "
+    "COMPLETE against the brute-force join, pinned in "
+    "tests/test_properties.py).  Distances are exact integers, so both "
+    "engines agree bit-for-bit.  At 100 TB the name-dictionary side is "
+    "orders of magnitude smaller than the fact data -- dedupe names "
+    "first, fuzzy-join the dictionary, broadcast the mapping back.",
+    tags=("relational", "join", "fuzzy", "dedup"),
+)
+def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    blocked = a.join(
+        b,
+        (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 2
+        )
+        & (
+            (F.substring("name_a", 1, 3) == F.substring("name_b", 1, 3))
+            | (
+                F.expr("substr(name_a, length(name_a) - 2, 3)")
+                == F.expr("substr(name_b, length(name_b) - 2, 3)")
+            )
+        ),
+    )
+    return (
+        blocked.withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b").cast("bigint"),
+        )
+        .where(F.col("edit_dist") <= 2)
+        .orderBy("name_a", "name_b")
+    )
+
+
+RFM_ANCHOR = "2002-01-01 00:00:00"
+
+
+@register(
+    "customers_rfm_segments",
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', MAX(o_orderdate),
+                   TIMESTAMP '{RFM_ANCHOR}') AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT custkey, recency_days, frequency, monetary_cents,
+         ROW_NUMBER() OVER (ORDER BY recency_days, custkey) - 1 AS rr,
+         ROW_NUMBER() OVER (ORDER BY frequency, custkey) - 1 AS rf,
+         ROW_NUMBER() OVER (ORDER BY monetary_cents, custkey) - 1 AS rm,
+         COUNT(*) OVER () AS n
+  FROM base
+),
+scored AS (
+  SELECT custkey, monetary_cents,
+         CAST(LEAST(3, (4 * rr) // n) AS BIGINT) AS r_q,
+         CAST(LEAST(3, (4 * rf) // n) AS BIGINT) AS f_q,
+         CAST(LEAST(3, (4 * rm) // n) AS BIGINT) AS m_q
+  FROM ranked
+)
+SELECT r_q, f_q, m_q,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS total_cents,
+       CAST(SUM(custkey) AS BIGINT) AS custkey_checksum
+FROM scored
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+""",
+    doc="RFM customer segmentation: per-customer recency (days from last "
+    "order to a fixed anchor), frequency (order count), monetary "
+    "(exact cents), each cut into quartiles by EXACT rank "
+    "(quartile = 4*rank/n floored, deterministic custkey tiebreak) and "
+    "rolled up per (R,F,M) cell with a membership checksum -- the "
+    "classic marketing segmentation, kept cross-engine exact by "
+    "integer ranks instead of percentile estimates.  Three rank "
+    "windows over the ALREADY-AGGREGATED per-customer rows (tiny vs "
+    "the fact table); at 100 TB the quartile cuts come from a "
+    "quantile sketch and the windows disappear.",
+    tags=("relational", "window", "segmentation", "aggregation"),
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.expr("cast(round(o_totalprice * 100.0) as bigint)"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    n_w = Window.partitionBy()
+    ranked = (
+        base.withColumn(
+            "rr",
+            F.row_number().over(
+                Window.orderBy("recency_days", "custkey")
+            )
+            - 1,
+        )
+        .withColumn(
+            "rf",
+            F.row_number().over(Window.orderBy("frequency", "custkey")) - 1,
+        )
+        .withColumn(
+            "rm",
+            F.row_number().over(
+                Window.orderBy("monetary_cents", "custkey")
+            )
+            - 1,
+        )
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+    )
+    scored = ranked.select(
+        "custkey",
+        "monetary_cents",
+        F.least(F.lit(3), F.expr("(4 * rr) div n"))
+        .cast("bigint")
+        .alias("r_q"),
+        F.least(F.lit(3), F.expr("(4 * rf) div n"))
+        .cast("bigint")
+        .alias("f_q"),
+        F.least(F.lit(3), F.expr("(4 * rm) div n"))
+        .cast("bigint")
+        .alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("total_cents"),
+            F.sum("custkey").cast("bigint").alias("custkey_checksum"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

@@ -718,6 +718,7 @@ FROM sessions
     "the same islands oracle.  One shuffle on user_id; the merge "
     "itself is state local to each key.",
     tags=("streaming", "session", "window"),
+    bench=True,
 )
 def stream_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import session_window_counts

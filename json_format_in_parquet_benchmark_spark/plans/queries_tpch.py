@@ -206,6 +206,7 @@ ORDER BY nation, o_year DESC
     "orders-lineitem fact-fact join shuffles each side once on the "
     "order key; the name LIKE filter prunes parts before the broadcast.",
     tags=("relational", "tpch", "join", "aggregation"),
+    bench=True,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -574,6 +575,7 @@ ORDER BY numwait DESC, s.s_name
     "reference has no relational runtime (SURVEY.md section 2.2); this "
     "completes the derived TPC-H surface.",
     tags=("relational", "tpch", "join", "subquery", "aggregation"),
+    bench=True,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

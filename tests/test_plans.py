@@ -328,3 +328,17 @@ def test_anomaly_stats_join_is_broadcast(spark):
     plan = plan_of(spark, "events_anomaly_zscore")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_survey_lists_every_registry_query():
+    """README claims SURVEY.md section 2.3 lists every registry name; pin it
+    so the inventory can't silently drift as queries are added."""
+    import os
+
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SURVEY.md")) as fh:
+        survey = fh.read()
+    missing = [n for n in REGISTRY if f"`{n}`" not in survey]
+    assert not missing, f"registry names absent from SURVEY.md: {missing}"

@@ -792,3 +792,30 @@ def test_matryoshka_recall_bounded_and_self_consistent(spark, sf_dir):
     for r in rows:
         assert r["k_true"] == TOP_K
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_fuzzy_block_join_complete_on_corpus(spark, sf_dir):
+    """The affix blocking of join_fuzzy_part_names must not lose any pair
+    the brute-force (unblocked) lev<=2 join finds on the actual corpus."""
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+
+    blocked = {
+        (r["name_a"], r["name_b"], r["edit_dist"])
+        for r in REGISTRY["join_fuzzy_part_names"].fn(spark, sf_dir).collect()
+    }
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    brute = {
+        (r["name_a"], r["name_b"], r["edit_dist"])
+        for r in a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .where(F.col("edit_dist") <= 2)
+        .collect()
+    }
+    assert blocked == brute
+    assert brute  # nonempty on the testdata
