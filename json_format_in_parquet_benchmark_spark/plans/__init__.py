@@ -150,6 +150,8 @@ _EVIDENCE_PRIORITY = (
     "dq_skew_profile",
     "join_fuzzy_part_names",
     "customers_rfm_segments",
+    "orders_open_interval_sweep",
+    "events_interarrival_stats",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

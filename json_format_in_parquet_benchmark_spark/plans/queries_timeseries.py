@@ -334,3 +334,151 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end as int)"
         ).alias("drift_flag"),
     )
+
+
+OPEN_DAYS = 30
+
+
+@register(
+    "orders_open_interval_sweep",
+    oracle=f"""
+WITH deltas AS (
+  SELECT o_orderdate AS d, 1 AS delta FROM orders
+  UNION ALL
+  SELECT o_orderdate + INTERVAL {OPEN_DAYS} DAY, -1 FROM orders
+),
+byday AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net
+  FROM deltas GROUP BY d
+),
+running AS (
+  SELECT d, net,
+         CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS open_now
+  FROM byday
+)
+SELECT strftime(date_trunc('month', d), '%Y-%m') AS month,
+       CAST(MAX(open_now) AS BIGINT) AS peak_open,
+       CAST(MIN(open_now) AS BIGINT) AS min_open,
+       CAST(COUNT(*) AS BIGINT) AS boundary_days
+FROM running
+GROUP BY month
+ORDER BY month
+""",
+    doc=f"Concurrent-interval counting by boundary sweep: each order opens "
+    f"an interval [orderdate, orderdate + {OPEN_DAYS}d); the sweep "
+    "explodes intervals into +1/-1 boundary events, aggregates per day, "
+    "and a running sum over BOUNDARY DAYS (not calendar days, not "
+    "order-x-day pairs) yields the live-interval count -- the O(n) "
+    "pattern that replaces the quadratic interval-x-timepoint join for "
+    "occupancy/backlog/concurrency questions.  Monthly peak/min rollup "
+    "keeps the output bounded.  The ordered prefix sum runs over the "
+    "per-day aggregate (thousands of rows, not the fact table); at "
+    "100 TB it becomes the standard two-pass distributed prefix sum "
+    "(per-partition totals broadcast as offsets).",
+    tags=("timeseries", "window", "sweep", "aggregation"),
+)
+def orders_open_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    opens = o.select(F.col("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+    closes = o.select(
+        F.expr(f"o_orderdate + interval {OPEN_DAYS} days").alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    byday = (
+        opens.unionAll(closes)
+        .groupBy("d")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    running = byday.withColumn(
+        "open_now", F.sum("net").over(w).cast("bigint")
+    )
+    return (
+        running.groupBy(
+            F.date_format(F.date_trunc("month", "d"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.max("open_now").cast("bigint").alias("peak_open"),
+            F.min("open_now").cast("bigint").alias("min_open"),
+            F.count(F.lit(1)).alias("boundary_days"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+gaps AS (
+  SELECT us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS g
+  FROM e
+),
+g2 AS (SELECT g FROM gaps WHERE g IS NOT NULL),
+ranked AS (
+  SELECT g, ROW_NUMBER() OVER (ORDER BY g) - 1 AS r,
+         COUNT(*) OVER () AS n
+  FROM g2
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(g) AS BIGINT) AS min_gap_us,
+       CAST(MAX(g) AS BIGINT) AS max_gap_us,
+       CAST(MAX(CASE WHEN r = (n - 1) // 2 THEN g END) AS BIGINT)
+         AS median_gap_us,
+       CAST(MAX(CASE WHEN r = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT)
+                THEN g END) AS BIGINT) AS p90_gap_us,
+       CAST(SUM(g) AS BIGINT) AS total_gap_us
+FROM ranked
+""",
+    doc="Inter-arrival time distribution: per-user event gaps (lag over the "
+    "user timeline in exact integer micros), summarized by exact "
+    "rank-based median/p90 plus min/max/total -- the burstiness "
+    "measurement behind session-gap and watermark-delay tuning "
+    "(GAP_MINUTES and the streaming watermarks in queries_streaming "
+    "are judgment calls THIS query turns into data).  Rank ordering is "
+    "by gap value only: ties make rank assignment among equal values "
+    "arbitrary, but the VALUE at any rank is determined by the "
+    "multiset, so the emitted quantiles are deterministic.  The global "
+    "sort runs over one gap per event (same cardinality as the fact "
+    "table): exact here; at 100 TB the quantiles come from a sketch "
+    "and the lag stays a per-user window.",
+    tags=("timeseries", "quantile", "window", "statistics"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        (F.col("us") - F.lag("us").over(w)).alias("g")
+    ).where(F.col("g").isNotNull())
+    rw = Window.orderBy("g")
+    ranked = gaps.withColumn("r", F.row_number().over(rw) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min("g").cast("bigint").alias("min_gap_us"),
+        F.max("g").cast("bigint").alias("max_gap_us"),
+        F.max(
+            F.when(F.col("r") == F.expr("(n - 1) div 2"), F.col("g"))
+        )
+        .cast("bigint")
+        .alias("median_gap_us"),
+        F.max(
+            F.when(
+                F.col("r")
+                == F.floor(0.9 * (F.col("n") - 1)).cast("bigint"),
+                F.col("g"),
+            )
+        )
+        .cast("bigint")
+        .alias("p90_gap_us"),
+        F.sum("g").cast("bigint").alias("total_gap_us"),
+    )
