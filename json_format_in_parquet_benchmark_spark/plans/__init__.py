@@ -152,6 +152,7 @@ _EVIDENCE_PRIORITY = (
     "customers_rfm_segments",
     "orders_open_interval_sweep",
     "events_interarrival_stats",
+    "scan_xml_events",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

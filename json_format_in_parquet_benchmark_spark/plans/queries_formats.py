@@ -290,6 +290,48 @@ def scan_orc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_xml_events",
+    oracle=_ALT_SOURCE_ORACLE,
+    doc="XML source roundtrip (Spark 4 built-in XML data source): the same "
+    "events slice written as row-tagged XML and read back with an "
+    "EXPLICIT schema -- the third text-format cycle next to CSV and "
+    "NDJSON, timestamps carried as integer micros so the text hop is "
+    "lossless.  XML is the interchange format enterprise feeds still "
+    "arrive in; the point is the scan node is swappable while the "
+    "downstream plan stays identical.",
+    tags=("source", "xml", "roundtrip"),
+)
+def scan_xml_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    out = _alt_source_path(sf_dir, "xml")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_type",
+        "value",
+    )
+    events.write.mode("overwrite").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).format("xml").save(out)
+    back = (
+        spark.read.schema(
+            "event_id long, us long, event_type string, value double"
+        )
+        .option("rowTag", "event")
+        .format("xml")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "cast(sum(cast(value as decimal(18,2))) as double)"
+        ).alias("total_value"),
+        F.sum(F.expr("us % 1000000")).cast("bigint").alias("us_checksum"),
+    )
+
+
 CORRUPT_MOD = 20  # every 20th staged line is deliberately malformed
 
 
