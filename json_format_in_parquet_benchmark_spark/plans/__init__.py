@@ -153,6 +153,8 @@ _EVIDENCE_PRIORITY = (
     "orders_open_interval_sweep",
     "events_interarrival_stats",
     "scan_xml_events",
+    "multimodal_pack_shards",
+    "dq_k_anonymity",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

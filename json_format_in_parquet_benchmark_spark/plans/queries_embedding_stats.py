@@ -65,13 +65,14 @@ gram AS MATERIALIZED (
 )"""
 
 
-def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed augmented-moment reduction: one numpy ``A^T A`` per Arrow
-    batch, then an exact integer sum per (i, j) cell of the upper triangle."""
+def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Distributed augmented-moment reduction over any DataFrame with a
+    ``vec_col`` array column: one numpy ``A^T A`` per Arrow batch, then an
+    exact integer sum per (i, j) cell of the upper triangle."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    emb = emb.select(F.col(vec_col).alias("embedding"))
 
     def partials(batches):
         iu = np.triu_indices(AUG)
@@ -114,7 +115,9 @@ SELECT i, j, s FROM gram ORDER BY i, j
     bench=True,
 )
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _gram_df(spark, sf_dir).orderBy("i", "j")
+    return gram_matrix(load_table(spark, sf_dir, "embeddings")).orderBy(
+        "i", "j"
+    )
 
 
 def _floor_div(w: int, d: int) -> int:
@@ -217,7 +220,8 @@ ORDER BY dim_idx
 )
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
-        (r["i"], r["j"], r["s"]) for r in _gram_df(spark, sf_dir).collect()
+        (r["i"], r["j"], r["s"])
+        for r in gram_matrix(load_table(spark, sf_dir, "embeddings")).collect()
     ]
     v = _power_iteration(rows)
     return spark.createDataFrame(

@@ -161,3 +161,72 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import chunk_audio
 
     return chunk_audio(_media(spark, sf_dir))
+
+
+SHARD_BYTE_BUDGET = 5_000
+
+
+@register(
+    "multimodal_pack_shards",
+    oracle=_MEDIA_CTE
+    + f""",
+packed AS (
+  SELECT kind, media_id, payload_bytes,
+         CAST(FLOOR((SUM(payload_bytes) OVER (PARTITION BY kind
+                 ORDER BY media_id ROWS UNBOUNDED PRECEDING)
+               - payload_bytes) / {SHARD_BYTE_BUDGET}.0) AS BIGINT) AS shard
+  FROM media
+)
+SELECT kind, shard,
+       COUNT(*) AS n_media,
+       CAST(SUM(payload_bytes) AS BIGINT) AS shard_bytes,
+       MIN(media_id) AS first_media,
+       MAX(media_id) AS last_media
+FROM packed
+GROUP BY kind, shard
+ORDER BY kind, shard
+""",
+    doc="WebDataset-style shard packing for multimodal training data: "
+    "within each modality, media records pack in media_id order into "
+    f"~{SHARD_BYTE_BUDGET}-byte shards by cumulative payload size "
+    "(shard = floor(preceding-bytes / budget)) -- the byte-budget twin "
+    "of pack_token_shards, producing the sequential-read tar-shard "
+    "layout image/audio loaders stream at training time.  The window "
+    "input is pruned to (id, kind, octet_length(payload)) before the "
+    "shuffle -- sizes travel, blobs do not (the wide-row rule of "
+    "operators/multimodal.py).  "
+    "One shuffle on kind for the ordered window; at 100 TB the "
+    "per-kind prefix sum distributes by range partitioning on "
+    "media_id with per-partition offsets.",
+    tags=("multimodal", "sharding", "window"),
+)
+def multimodal_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    media = _media(spark, sf_dir).select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").cast("bigint").alias("payload_bytes"),
+    )
+    w = (
+        Window.partitionBy("kind")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = media.withColumn(
+        "shard",
+        F.floor(
+            (F.sum("payload_bytes").over(w) - F.col("payload_bytes"))
+            / float(SHARD_BYTE_BUDGET)
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("kind", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("payload_bytes").cast("bigint").alias("shard_bytes"),
+            F.min("media_id").alias("first_media"),
+            F.max("media_id").alias("last_media"),
+        )
+        .orderBy("kind", "shard")
+    )

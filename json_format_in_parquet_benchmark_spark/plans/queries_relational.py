@@ -2576,3 +2576,52 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_lt_5,
+       CAST(SUM(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_lt_10,
+       CAST(SUM(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+            AS BIGINT) AS customers_at_risk_lt_10
+FROM classes
+""",
+    doc="k-anonymity audit over the (nation, market segment) "
+    "quasi-identifier: equivalence-class size distribution, the "
+    "minimum class size (the dataset's k), and how many classes / "
+    "customers fall below k=5 and k=10 -- the privacy check a "
+    "training-data release gate runs before publishing aggregates or "
+    "joining external data.  One groupBy on the quasi-identifier "
+    "tuple, one scalar rollup; trivially scale-safe.",
+    tags=("dq", "privacy", "aggregation"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_lt_5"),
+        F.sum(F.when(F.col("class_size") < 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_lt_10"),
+        F.sum(
+            F.when(F.col("class_size") < 10, F.col("class_size")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("customers_at_risk_lt_10"),
+    )

@@ -219,6 +219,16 @@ def main() -> None:
         # PQ: codebook size is FIXED (compression codebooks do not grow
         # with the corpus); train + encode + ADC-score should therefore
         # scale linearly in N.
+        # Gram/moment reduction: THE mergeable-aggregate shape (covariance
+        # for whitening/PCA) -- per-batch numpy A^T A partials + integer
+        # merge; cost is one map pass, so growth must be ~linear in N and
+        # independent of any pair structure.
+        from json_format_in_parquet_benchmark_spark.plans.queries_embedding_stats import (
+            gram_matrix,
+        )
+        r["gram_matrix"] = timed_l("gram_matrix", 
+            lambda: gram_matrix(embs).count()
+        )
         r["pq_topk"] = timed_l("pq_topk", 
             lambda: pq_topk(
                 embs, "embedding", "vec_id", n_queries=8, k=5

@@ -760,12 +760,12 @@ def test_gram_matrix_matches_numpy(spark, sf_dir):
     from json_format_in_parquet_benchmark_spark.plans.queries_embedding_stats import (
         AUG,
         GRID,
-        _gram_df,
+        gram_matrix,
     )
 
     got = {
         (r["i"], r["j"]): r["s"]
-        for r in _gram_df(spark, sf_dir).collect()
+        for r in gram_matrix(load_table(spark, sf_dir, "embeddings")).collect()
     }
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = [r["embedding"] for r in emb.select("embedding").collect()]
