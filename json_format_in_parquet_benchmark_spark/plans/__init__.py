@@ -155,6 +155,7 @@ _EVIDENCE_PRIORITY = (
     "scan_xml_events",
     "multimodal_pack_shards",
     "dq_k_anonymity",
+    "dedup_minhash_recall",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

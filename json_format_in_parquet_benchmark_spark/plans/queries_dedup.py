@@ -701,3 +701,96 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=SEM_ITERS,
         dim=EMBED_DIM,
     )
+
+
+def _minhash_recall_oracle() -> str:
+    band_case = """CASE WHEN t.jaccard < 0.6 THEN 'j_050_060'
+                 WHEN t.jaccard < 0.8 THEN 'j_060_080'
+                 ELSE 'j_080_100' END"""
+    return (
+        "WITH "
+        + _minhash_pairs_cte()
+        + f""",
+true_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+  FROM true_inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter)
+        >= {MINHASH_THRESHOLD}
+),
+banded AS (
+  SELECT {band_case} AS sim_band,
+         CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t
+  LEFT JOIN pairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+)
+SELECT sim_band,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(hit) AS BIGINT) AS n_found,
+       CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+FROM banded
+GROUP BY sim_band
+ORDER BY sim_band
+"""
+    )
+
+
+@register(
+    "dedup_minhash_recall",
+    oracle=_minhash_recall_oracle(),
+    doc="Recall evaluation for the MinHash-LSH near-dup path: ground truth "
+    "is the EXACT threshold-Jaccard join (the prefix-filtered operator, "
+    "same 3-shingles, same t=0.5), found is the banded-LSH candidate "
+    "pipeline with its exact verify (so precision is 1.0 by "
+    "construction and recall is the whole question).  Recall is "
+    "reported per similarity band -- the S-curve of (16 hashes, 8 "
+    "bands) predicts weak capture just above threshold and near-total "
+    "capture at high similarity, and THIS query measures where the "
+    "curve actually sits before a 100 TB run commits to the banding "
+    "knobs -- closing the dedup evaluation loop the way "
+    "similarity_lsh_recall / similarity_ivf_recall close the ANN one.",
+    tags=("dedup", "evaluation", "minhash"),
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs_prefix(
+        docs, "text", "doc_id",
+        n=MINHASH_SHINGLE, threshold_num=1, threshold_den=2,
+    ).select("doc_a", "doc_b", "jaccard")
+    found = minhash_lsh_pairs(docs, "text", "doc_id").select(
+        F.col("doc_a").alias("fa"), F.col("doc_b").alias("fb")
+    )
+    banded = truth.join(
+        found,
+        (truth.doc_a == F.col("fa")) & (truth.doc_b == F.col("fb")),
+        "left",
+    ).select(
+        F.when(F.col("jaccard") < 0.6, "j_050_060")
+        .when(F.col("jaccard") < 0.8, "j_060_080")
+        .otherwise("j_080_100")
+        .alias("sim_band"),
+        F.when(F.col("fa").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return (
+        banded.groupBy("sim_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum("hit").cast("bigint").alias("n_found"),
+            (F.sum("hit").cast("double") / F.count(F.lit(1))).alias(
+                "recall"
+            ),
+        )
+        .orderBy("sim_band")
+    )
