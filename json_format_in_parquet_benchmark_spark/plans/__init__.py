@@ -156,6 +156,7 @@ _EVIDENCE_PRIORITY = (
     "multimodal_pack_shards",
     "dq_k_anonymity",
     "dedup_minhash_recall",
+    "pipeline_multimodal_curation",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -230,3 +230,120 @@ def multimodal_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind", "shard")
     )
+
+
+@register(
+    "pipeline_multimodal_curation",
+    oracle=_MEDIA_CTE
+    + f""",
+feats AS (
+  SELECT media_id, kind, payload_bytes, fingerprint FROM media
+),
+ranked AS (
+  SELECT media_id, kind, payload_bytes, fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY kind
+                            ORDER BY payload_bytes, media_id) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY kind) AS n
+  FROM feats
+),
+cuts AS (
+  SELECT kind,
+         MAX(CASE WHEN rn = CAST(FLOOR(0.10 * (n - 1)) AS BIGINT)
+                  THEN payload_bytes END) AS lo,
+         MAX(CASE WHEN rn = CAST(FLOOR(0.90 * (n - 1)) AS BIGINT)
+                  THEN payload_bytes END) AS hi
+  FROM ranked GROUP BY kind
+),
+kept AS (
+  SELECT f.media_id, f.kind, f.payload_bytes, f.fingerprint
+  FROM feats f JOIN cuts c ON c.kind = f.kind
+  WHERE f.payload_bytes BETWEEN c.lo AND c.hi
+),
+packed AS (
+  SELECT kind, media_id, payload_bytes, fingerprint,
+         CAST(FLOOR((SUM(payload_bytes) OVER (PARTITION BY kind
+                 ORDER BY media_id ROWS UNBOUNDED PRECEDING)
+               - payload_bytes) / {SHARD_BYTE_BUDGET}.0) AS BIGINT) AS shard
+  FROM kept
+)
+SELECT kind, shard,
+       COUNT(*) AS n_media,
+       CAST(SUM(payload_bytes) AS BIGINT) AS shard_bytes,
+       CAST(SUM(('0x' || substr(fingerprint, 1, 15))::BIGINT
+                % 1000000007) AS BIGINT) AS fp_checksum
+FROM packed
+GROUP BY kind, shard
+ORDER BY kind, shard
+""",
+    doc="Composed multimodal curation flagship: Arrow-batched decode/"
+    "feature stage (operators/multimodal.py:decode_features) -> "
+    "per-modality quality gate at the exact [p10, p90] payload-size "
+    "band (outlier blobs are truncated uploads or concatenation "
+    "errors; the cut adapts per kind like text_adaptive_length_filter "
+    "does per language) -> WebDataset byte-budget shard packing of the "
+    "survivors -> per-shard rollup with a content-fingerprint checksum "
+    "that pins exact MEMBERSHIP, not just counts.  The whole chain "
+    "composes into one plan: the only Python is the one Arrow decode "
+    "stage, sizes (never blobs) travel through the windows, and each "
+    "stage is the already-verified standalone operator -- the "
+    "text-side pipeline_pretrain_corpus pattern applied to media.",
+    tags=("multimodal", "pipeline", "sharding", "quality"),
+    bench=True,
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    feats = decode_features(_media(spark, sf_dir)).select(
+        "media_id", "kind", "payload_bytes", "fingerprint"
+    )
+    w_rank = Window.partitionBy("kind").orderBy("payload_bytes", "media_id")
+    ranked = feats.withColumn(
+        "rn", F.row_number().over(w_rank) - 1
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("kind")))
+    cuts = ranked.groupBy("kind").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor(0.10 * (F.col("n") - 1)).cast("bigint"),
+                F.col("payload_bytes"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor(0.90 * (F.col("n") - 1)).cast("bigint"),
+                F.col("payload_bytes"),
+            )
+        ).alias("hi"),
+    )
+    kept = feats.join(F.broadcast(cuts), "kind").where(
+        F.col("payload_bytes").between(F.col("lo"), F.col("hi"))
+    )
+    w_pack = (
+        Window.partitionBy("kind")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = kept.withColumn(
+        "shard",
+        F.floor(
+            (F.sum("payload_bytes").over(w_pack) - F.col("payload_bytes"))
+            / float(SHARD_BYTE_BUDGET)
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("kind", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("payload_bytes").cast("bigint").alias("shard_bytes"),
+            F.sum(
+                F.expr(
+                    "cast(conv(substr(fingerprint, 1, 15), 16, 10) as bigint)"
+                    " % 1000000007"
+                )
+            )
+            .cast("bigint")
+            .alias("fp_checksum"),
+        )
+        .orderBy("kind", "shard")
+    )
