@@ -157,6 +157,8 @@ _EVIDENCE_PRIORITY = (
     "dq_k_anonymity",
     "dedup_minhash_recall",
     "pipeline_multimodal_curation",
+    "text_bpe_pair_counts",
+    "sketch_histogram_rollup",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -735,3 +735,46 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(x_inter as double) / cast(x_union as double) as exact_jaccard",
         )
     )
+
+
+HIST_BIN_WIDTH = 50.0
+
+
+@register(
+    "sketch_histogram_rollup",
+    oracle=f"""
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+       CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY week_start, bin
+ORDER BY week_start, bin
+""",
+    doc="Mergeable-histogram rollup: per-DAY fixed-bin value histograms "
+    "merged bin-wise into per-WEEK histograms -- the histogram twin of "
+    "events_rollup_hll, demonstrating the general principle that any "
+    "counter-algebra sketch rolls up WITHOUT rescanning raw data "
+    "(merged daily counts == direct weekly counts, which is exactly "
+    "what the oracle computes from raw events; equality IS the "
+    "mergeability proof).  Daily partials are what a 100 TB deployment "
+    "materializes once and re-aggregates to any coarser grain for "
+    "free.",
+    tags=("sketch", "histogram", "rollup", "mergeable"),
+)
+def sketch_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") / HIST_BIN_WIDTH).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    weekly = (
+        daily.groupBy(
+            F.date_format(F.date_trunc("week", "day"), "yyyy-MM-dd").alias(
+                "week_start"
+            ),
+            "bin",
+        )
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .orderBy("week_start", "bin")
+    )
+    return weekly

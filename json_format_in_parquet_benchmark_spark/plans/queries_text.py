@@ -1232,3 +1232,80 @@ def profile_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank_band")
     )
+
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest({_TOKS_D}) AS w FROM documents
+),
+wf AS (
+  SELECT w, COUNT(*) AS c FROM words GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 1) || '|'
+           || substr(w, CAST(i AS INT) + 1, 1) AS pair,
+         CAST(SUM(c) AS BIGINT) AS pair_count
+  FROM wf, unnest(range(1, length(w))) t(i)
+  WHERE length(w) >= 2
+  GROUP BY pair
+),
+ranked AS (
+  SELECT pair, pair_count,
+         ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rnk
+  FROM pairs
+)
+SELECT pair, pair_count, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {BPE_TOP_PAIRS}
+ORDER BY rnk
+""",
+    doc="The first BPE merge step of tokenizer TRAINING: adjacent "
+    "character-pair frequencies across the corpus, weighted by word "
+    "occurrence count, top pairs by count -- the argmax the BPE loop "
+    "takes before merging.  Pair counting runs on the VOCABULARY "
+    "(word, count) table, not the raw corpus: the word-frequency "
+    "reduction happens first (one shuffle on word), then each DISTINCT "
+    "word explodes into its len-1 pairs weighted by its count -- "
+    "exactly how production BPE trainers avoid rescanning the corpus "
+    "per merge.  All counts exact integers; rank tiebreak by pair "
+    "string.  At 100 TB the vocab table is MBs: the whole merge loop "
+    "after this reduction is driver-scale.",
+    tags=("text", "tokenizer", "bpe", "aggregation"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        wf.where(F.length("w") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.expr("sequence(1, length(w) - 1)")
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            F.concat(
+                F.expr("substr(w, i, 1)"),
+                F.lit("|"),
+                F.expr("substr(w, i + 1, 1)"),
+            ).alias("pair"),
+            "c",
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("pair_count"))
+    )
+    ranked = pairs.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("pair_count").desc(), F.col("pair")))
+        .cast("bigint"),
+    )
+    return ranked.where(F.col("rnk") <= BPE_TOP_PAIRS).orderBy("rnk")
