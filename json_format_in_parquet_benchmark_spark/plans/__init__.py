@@ -159,6 +159,7 @@ _EVIDENCE_PRIORITY = (
     "pipeline_multimodal_curation",
     "text_bpe_pair_counts",
     "sketch_histogram_rollup",
+    "graph_kcore_word",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -296,3 +296,130 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 16, 10) as bigint))"
         ).alias("triangle_checksum"),
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+KCORE_TOP = 25
+
+
+def _kcore_oracle() -> str:
+    parts = [f"e0 AS MATERIALIZED (SELECT u, v FROM und)"]
+    prev = "e0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""d{t} AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY node
+),
+k{t} AS (SELECT node FROM d{t} WHERE deg >= {KCORE_K}),
+e{t} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN k{t} a ON a.node = e.u
+  JOIN k{t} b ON b.node = e.v
+)"""
+        )
+        prev = f"e{t}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_word_edges_cte()},
+{chain},
+final_deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY node
+)
+SELECT node AS token, deg
+FROM final_deg
+ORDER BY deg DESC, token
+LIMIT {KCORE_TOP}
+"""
+
+
+@register(
+    "graph_kcore_word",
+    oracle=_kcore_oracle(),
+    doc=f"k-core decomposition ({KCORE_K}-core, {KCORE_ROUNDS} fixed peel "
+    "rounds) of the word co-occurrence graph: each round drops nodes "
+    f"with degree < {KCORE_K} and their incident edges; survivors of "
+    "repeated peeling are the graph's dense vocabulary core (a "
+    "stronger cohesion signal than raw degree, standard for "
+    "community seeding and stopword-like hub discovery).  The peel is "
+    "a degree aggregate + two semi-joins per round over a SHRINKING "
+    "edge set -- each round is cheaper than the last; fixed rounds "
+    "keep the oracle an unrolled CTE chain (full k-core iterates to "
+    "fixpoint; on this corpus the census is stable well before round "
+    f"{KCORE_ROUNDS}, and the round count is the documented knob).",
+    tags=("graph", "kcore", "text"),
+)
+def graph_kcore_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_spark
+
+    toks = tokens_spark("text")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.expr(f"size({toks}) >= 2")
+    )
+    adj = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({toks}) - 1),"
+                    f" i -> struct(element_at({toks}, i) as a,"
+                    f" element_at({toks}, i + 1) as b))"
+                )
+            ).alias("pair")
+        )
+        .select(F.col("pair.a").alias("a"), F.col("pair.b").alias("b"))
+        .where(
+            (F.length("a") >= KW_MIN_LEN)
+            & (F.length("b") >= KW_MIN_LEN)
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    from ..operators.dedup import _track_persist
+
+    # Persist each round's SHRINKING edge set: without it the lineage
+    # doubles per round (degree agg + two semi-joins each re-derive the
+    # full prior chain) and the plan recomputes exponentially -- measured
+    # 50s -> ~10s with per-round persists.  The persisted plans pin
+    # 200-partition exchanges in a vanilla session (the
+    # canChangeCachedPlanOutputPartitioning lesson) -- near-empty-task
+    # overhead at test scale, the right width on a real cluster where
+    # the session owner sizes spark.sql.shuffle.partitions.
+    edges = _track_persist(
+        adj.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        ).distinct()
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= KCORE_K).select("node")
+        edges = _track_persist(
+            edges.join(
+                F.broadcast(keep.withColumnRenamed("node", "ku")),
+                edges.u == F.col("ku"),
+                "left_semi",
+            ).join(
+                F.broadcast(keep.withColumnRenamed("node", "kv")),
+                edges.v == F.col("kv"),
+                "left_semi",
+            )
+        )
+    final_deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return (
+        final_deg.orderBy(F.col("deg").desc(), F.col("node"))
+        .limit(KCORE_TOP)
+        .select(F.col("node").alias("token"), "deg")
+    )
