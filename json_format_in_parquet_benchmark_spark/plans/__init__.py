@@ -160,6 +160,7 @@ _EVIDENCE_PRIORITY = (
     "text_bpe_pair_counts",
     "sketch_histogram_rollup",
     "graph_kcore_word",
+    "events_heatmap_dow_hour",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -482,3 +482,38 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_gap_us"),
         F.sum("g").cast("bigint").alias("total_gap_us"),
     )
+
+
+@register(
+    "events_heatmap_dow_hour",
+    oracle="""
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY dow, hod
+ORDER BY dow, hod
+""",
+    doc="Activity calendar heatmap: events and distinct users per "
+    "(day-of-week, hour-of-day) cell -- the load-profile matrix behind "
+    "capacity planning and anomaly baselines.  DuckDB's dayofweek is "
+    "0=Sunday..6 while Spark's dayofweek is 1=Sunday..7, so the Spark "
+    "side emits dayofweek-1 to match; hour() agrees as-is (UTC-pinned "
+    "timestamps, the repo-wide rule).  One shuffle; 168 output cells "
+    "max regardless of scale.",
+    tags=("timeseries", "calendar", "aggregation"),
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("dow", "hod")
+    )
