@@ -147,6 +147,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    docsets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, exact jaccard >= threshold).
 
@@ -170,13 +171,17 @@ def minhash_lsh_pairs(
     # distinct); three plan branches need its result (signatures, verify
     # left, verify right), so compute the per-doc shingle array ONCE and
     # persist it -- ~20 bytes/shingle, the natural materialization point of
-    # every MinHash pipeline at any scale.
-    docsets = _track_persist(
-        _spread(df).select(
-            F.col(id_col).alias("doc_id"),
-            F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
+    # every MinHash pipeline at any scale.  Callers comparing against
+    # another shingle-based operator (the recall harness) pass the SAME
+    # persisted ``docsets`` (doc_id, shset) to both so the corpus is
+    # shingled once, not per arm.
+    if docsets is None:
+        docsets = _track_persist(
+            _spread(df).select(
+                F.col(id_col).alias("doc_id"),
+                F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
+            )
         )
-    )
     # Signatures: one explode + groupBy over the cached arrays, one md5 per
     # shingle, k universal-hash permutations (exact int64).  Docs with zero
     # shingles never reach banding (explode drops them), so no degenerate
@@ -330,6 +335,7 @@ def ngram_jaccard_pairs_prefix(
     n: int = 4,
     threshold_num: int = 2,
     threshold_den: int = 5,
+    docsets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT threshold-Jaccard self-join via prefix filtering (the
     PPJoin-family candidate bound: Bayardo et al. WWW'07, Chaudhuri et al.
@@ -352,12 +358,13 @@ def ngram_jaccard_pairs_prefix(
     bound the wrong way and silently drop a true pair.
     """
     t = threshold_num / threshold_den
-    docsets = _track_persist(
-        _spread(df).select(
-            F.col(id_col).alias("doc_id"),
-            F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
+    if docsets is None:
+        docsets = _track_persist(
+            _spread(df).select(
+                F.col(id_col).alias("doc_id"),
+                F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
+            )
         )
-    )
     # Candidate stages run on the xxhash64 of each shingle, not the string:
     # the shingle table is the biggest thing shuffled here (twice for the
     # windows, twice for the self-join), and an int64 shuffles ~3x fewer

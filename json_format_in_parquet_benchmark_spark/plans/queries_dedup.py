@@ -764,12 +764,26 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs_prefix,
     )
 
+    from ..functions.text import shingles_spark, tokens_spark
+    from ..operators.dedup import _spread, _track_persist
+
     docs = load_table(spark, sf_dir, "documents")
+    # Shingle the corpus ONCE (the dominant scan-side cost) and hand the
+    # same persisted sets to both arms.
+    docsets = _track_persist(
+        _spread(docs).select(
+            F.col("doc_id"),
+            F.expr(
+                shingles_spark(tokens_spark("text"), MINHASH_SHINGLE)
+            ).alias("shset"),
+        )
+    )
     truth = ngram_jaccard_pairs_prefix(
         docs, "text", "doc_id",
         n=MINHASH_SHINGLE, threshold_num=1, threshold_den=2,
+        docsets=docsets,
     ).select("doc_a", "doc_b", "jaccard")
-    found = minhash_lsh_pairs(docs, "text", "doc_id").select(
+    found = minhash_lsh_pairs(docs, "text", "doc_id", docsets=docsets).select(
         F.col("doc_a").alias("fa"), F.col("doc_b").alias("fb")
     )
     banded = truth.join(

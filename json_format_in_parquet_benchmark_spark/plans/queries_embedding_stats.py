@@ -164,7 +164,11 @@ def _pca_oracle() -> str:
   GROUP BY cf.r
 ),
 d{t} AS (
-  SELECT CAST(POWER(10, GREATEST(length(CAST(MAX(ABS(w)) AS VARCHAR)) - 6, 0))
+  -- exact 10^k as a HUGEINT for ANY k: parse '1' || k zeros (POWER()
+  -- returns a double, exact only through 1e22 -- not enough headroom
+  -- at large row counts)
+  SELECT CAST('1' || repeat('0',
+              GREATEST(length(CAST(MAX(ABS(w)) AS VARCHAR)) - 6, 0))
               AS HUGEINT) AS dd
   FROM w{t}
 ),

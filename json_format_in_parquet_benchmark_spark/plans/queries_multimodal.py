@@ -19,6 +19,12 @@ from ..operators.multimodal import (
     resize_images,
     sample_frames,
 )
+from ..functions.windows import (
+    pack_shard_duck,
+    pack_shard_spark,
+    rank_cut_duck,
+    rank_cut_spark,
+)
 from ..tables import load_table
 from .registry import register
 
@@ -172,9 +178,8 @@ SHARD_BYTE_BUDGET = 5_000
     + f""",
 packed AS (
   SELECT kind, media_id, payload_bytes,
-         CAST(FLOOR((SUM(payload_bytes) OVER (PARTITION BY kind
-                 ORDER BY media_id ROWS UNBOUNDED PRECEDING)
-               - payload_bytes) / {SHARD_BYTE_BUDGET}.0) AS BIGINT) AS shard
+         {pack_shard_duck("kind", "media_id", "payload_bytes", SHARD_BYTE_BUDGET)}
+           AS shard
   FROM media
 )
 SELECT kind, shard,
@@ -208,17 +213,9 @@ def multimodal_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.octet_length("payload").cast("bigint").alias("payload_bytes"),
     )
-    w = (
-        Window.partitionBy("kind")
-        .orderBy("media_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     packed = media.withColumn(
         "shard",
-        F.floor(
-            (F.sum("payload_bytes").over(w) - F.col("payload_bytes"))
-            / float(SHARD_BYTE_BUDGET)
-        ).cast("bigint"),
+        pack_shard_spark("kind", "media_id", "payload_bytes", SHARD_BYTE_BUDGET),
     )
     return (
         packed.groupBy("kind", "shard")
@@ -248,10 +245,8 @@ ranked AS (
 ),
 cuts AS (
   SELECT kind,
-         MAX(CASE WHEN rn = CAST(FLOOR(0.10 * (n - 1)) AS BIGINT)
-                  THEN payload_bytes END) AS lo,
-         MAX(CASE WHEN rn = CAST(FLOOR(0.90 * (n - 1)) AS BIGINT)
-                  THEN payload_bytes END) AS hi
+         MAX({rank_cut_duck("rn", "n", 0.10, "payload_bytes")}) AS lo,
+         MAX({rank_cut_duck("rn", "n", 0.90, "payload_bytes")}) AS hi
   FROM ranked GROUP BY kind
 ),
 kept AS (
@@ -261,9 +256,8 @@ kept AS (
 ),
 packed AS (
   SELECT kind, media_id, payload_bytes, fingerprint,
-         CAST(FLOOR((SUM(payload_bytes) OVER (PARTITION BY kind
-                 ORDER BY media_id ROWS UNBOUNDED PRECEDING)
-               - payload_bytes) / {SHARD_BYTE_BUDGET}.0) AS BIGINT) AS shard
+         {pack_shard_duck("kind", "media_id", "payload_bytes", SHARD_BYTE_BUDGET)}
+           AS shard
   FROM kept
 )
 SELECT kind, shard,
@@ -301,35 +295,15 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn", F.row_number().over(w_rank) - 1
     ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("kind")))
     cuts = ranked.groupBy("kind").agg(
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.floor(0.10 * (F.col("n") - 1)).cast("bigint"),
-                F.col("payload_bytes"),
-            )
-        ).alias("lo"),
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.floor(0.90 * (F.col("n") - 1)).cast("bigint"),
-                F.col("payload_bytes"),
-            )
-        ).alias("hi"),
+        F.max(rank_cut_spark("rn", "n", 0.10, "payload_bytes")).alias("lo"),
+        F.max(rank_cut_spark("rn", "n", 0.90, "payload_bytes")).alias("hi"),
     )
     kept = feats.join(F.broadcast(cuts), "kind").where(
         F.col("payload_bytes").between(F.col("lo"), F.col("hi"))
     )
-    w_pack = (
-        Window.partitionBy("kind")
-        .orderBy("media_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     packed = kept.withColumn(
         "shard",
-        F.floor(
-            (F.sum("payload_bytes").over(w_pack) - F.col("payload_bytes"))
-            / float(SHARD_BYTE_BUDGET)
-        ).cast("bigint"),
+        pack_shard_spark("kind", "media_id", "payload_bytes", SHARD_BYTE_BUDGET),
     )
     return (
         packed.groupBy("kind", "shard")

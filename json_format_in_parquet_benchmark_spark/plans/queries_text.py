@@ -16,6 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64_sql_duckdb
+from ..functions.windows import (
+    pack_shard_duck,
+    pack_shard_spark,
+    rank_cut_duck,
+    rank_cut_spark,
+)
 from ..functions.text import (
     BPE_TOKEN_RE,
     stopword_count_duckdb,
@@ -402,9 +408,8 @@ WITH sized AS (
 ),
 packed AS (
   SELECT lang, doc_id, n_tokens,
-         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS UNBOUNDED PRECEDING) - n_tokens)
-              / {SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard
+         {pack_shard_duck("lang", "doc_id", "n_tokens", SHARD_TOKEN_BUDGET)}
+           AS shard
   FROM sized
 )
 SELECT lang, shard,
@@ -424,27 +429,15 @@ GROUP BY lang, shard
     tags=("text", "pipeline", "window"),
 )
 def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "lang",
         "doc_id",
         F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     packed = sized.withColumn(
         "shard",
-        # floor, not cast: Spark's double->bigint cast truncates while
-        # DuckDB's ROUNDS, so both engines spell the floor explicitly.
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-            / F.lit(SHARD_TOKEN_BUDGET)
-        ).cast("bigint"),
+        pack_shard_spark("lang", "doc_id", "n_tokens", SHARD_TOKEN_BUDGET),
     )
     return packed.groupBy("lang", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1092,7 +1085,7 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_adaptive_length_filter",
-    oracle="""
+    oracle=f"""
 WITH ranked AS (
   SELECT lang, doc_id, n_chars,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1
@@ -1103,10 +1096,8 @@ WITH ranked AS (
 cuts AS (
   SELECT lang,
          CAST(MAX(n) AS BIGINT) AS n_docs,
-         MAX(CASE WHEN rn = CAST(FLOOR(0.05 * (n - 1)) AS BIGINT)
-                  THEN n_chars END) AS lo_cut,
-         MAX(CASE WHEN rn = CAST(FLOOR(0.95 * (n - 1)) AS BIGINT)
-                  THEN n_chars END) AS hi_cut
+         MAX({rank_cut_duck("rn", "n", 0.05, "n_chars")}) AS lo_cut,
+         MAX({rank_cut_duck("rn", "n", 0.95, "n_chars")}) AS hi_cut
   FROM ranked GROUP BY lang
 )
 SELECT r.lang, c.n_docs, c.lo_cut, c.hi_cut,
@@ -1143,20 +1134,8 @@ def text_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
     cuts = ranked.groupBy("lang").agg(
         F.max("n").cast("bigint").alias("n_docs"),
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.floor(0.05 * (F.col("n") - 1)).cast("bigint"),
-                F.col("n_chars"),
-            )
-        ).alias("lo_cut"),
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.floor(0.95 * (F.col("n") - 1)).cast("bigint"),
-                F.col("n_chars"),
-            )
-        ).alias("hi_cut"),
+        F.max(rank_cut_spark("rn", "n", 0.05, "n_chars")).alias("lo_cut"),
+        F.max(rank_cut_spark("rn", "n", 0.95, "n_chars")).alias("hi_cut"),
     )
     joined = ranked.join(F.broadcast(cuts), "lang")
     kept = F.col("n_chars").between(F.col("lo_cut"), F.col("hi_cut"))

@@ -22,7 +22,10 @@ pair (Q21) -- so Catalyst faces the same optimization problems.
 
 Cross-engine exactness follows the registry rules: money is quantized to
 integer cents from exact decimal sums (or via round() on identical IEEE
-doubles), never compared as raw float sums.
+doubles), never compared as raw float sums.  Quantities go through
+round() before any BIGINT cast: a bare double->BIGINT cast ROUNDS in
+DuckDB but TRUNCATES in Spark, a divergence invisible on integral data
+and fatal the day the generator emits a fractional quantity.
 
 Scale notes (100 TB): every query here shuffles the fact table at most once
 on a natural key; all dimension joins are broadcast-hinted; the Q21
@@ -181,7 +184,7 @@ WITH lines AS (
          CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
          {rev} AS rev_cents,
          CAST(round(p.p_retailprice * 100.0) AS BIGINT)
-           * CAST(l.l_quantity AS BIGINT) AS cost_cents
+           * CAST(round(l.l_quantity) AS BIGINT) AS cost_cents
   FROM lineitem l
   JOIN orders o   ON o.o_orderkey = l.l_orderkey
   JOIN part p     ON p.p_partkey = l.l_partkey
@@ -227,7 +230,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_REV_CENTS_S).alias("rev_cents"),
             (
                 F.expr("cast(round(p_retailprice * 100.0) as bigint)")
-                * F.col("l_quantity").cast("bigint")
+                * F.expr("cast(round(l_quantity) as bigint)")
             ).alias("cost_cents"),
         )
     )
@@ -468,7 +471,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH sp AS (
   SELECT l.l_partkey, l.l_suppkey,
-         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
   FROM lineitem l
   JOIN part p ON p.p_partkey = l.l_partkey
   WHERE p.p_name LIKE 'small%'
@@ -515,7 +518,11 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+        .agg(
+            F.sum(F.expr("cast(round(l_quantity) as bigint)"))
+            .cast("bigint")
+            .alias("qty")
+        )
     )
     tot = sp.groupBy(F.col("l_partkey").alias("tk")).agg(
         F.sum("qty").cast("bigint").alias("total_qty")
