@@ -161,6 +161,7 @@ _EVIDENCE_PRIORITY = (
     "sketch_histogram_rollup",
     "graph_kcore_word",
     "events_heatmap_dow_hour",
+    "stream_late_data_dropped",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

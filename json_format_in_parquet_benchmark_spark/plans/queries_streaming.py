@@ -41,6 +41,7 @@ from ..streaming.events_stream import (
     sessionize_batch,
     sessionize_stream,
     tumbling_event_counts,
+    tumbling_event_counts_simple,
 )
 from ..tables import load_table
 from .registry import register
@@ -769,5 +770,101 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("start_us div 1000").alias("start_ms"),
         F.expr("end_us div 1000").alias("end_ms"),
+        "n_events",
+    )
+
+
+LATE_Q3_US = 1_706_000_000_000_000  # 2024-01-23 UTC: newest-slice cut
+
+
+def _staged_events_late_first(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as THREE parquet files in reverse-chronological arrival
+    order (newest slice first, oldest last) so the final micro-batch is
+    entirely LATE data arriving after the watermark is in force -- the
+    arrival pattern that exercises watermark-based dropping
+    deterministically."""
+    import shutil
+
+    tag = "late_" + (os.path.basename(sf_dir.rstrip("/")) or "sf")
+    if tag in _STAGED:
+        return _STAGED[tag]
+    out_dir = os.path.join(_STAGE_ROOT, tag)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    # THREE batches, not two: the late-row filter uses the watermark in
+    # force DURING the previous batch (a two-batch lag -- verified
+    # empirically: with two files, batch 2's filter watermark is still 0
+    # and numRowsDroppedByWatermark stays 0), so the newest slice arrives
+    # first to SET the watermark, an on-time middle slice burns the lag
+    # batch, and only the third, oldest slice lands beyond the now-active
+    # filter and is dropped.
+    preds = [
+        f"unix_micros(ts) >= {LATE_Q3_US}",                    # newest: sets wm
+        f"unix_micros(ts) >= {SPLIT_US}"
+        f" and unix_micros(ts) < {LATE_Q3_US}",                # on time
+        f"unix_micros(ts) < {SPLIT_US}",                       # late: dropped
+    ]
+    for i, pred in enumerate(preds):
+        tmp = os.path.join(_STAGE_ROOT, f"{tag}_half{i}")
+        ev.where(F.expr(pred)).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(out_dir, f"batch-{i:03d}.parquet")
+        shutil.copy(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    _STAGED[tag] = out_dir
+    return out_dir
+
+
+@register(
+    "stream_late_data_dropped",
+    oracle=f"""
+WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events),
+ontime AS (
+  SELECT ts, event_type FROM events WHERE epoch_us(ts) >= {SPLIT_US}
+),
+w AS (
+  SELECT date_trunc('hour', ts) AS ws,
+         event_type,
+         COUNT(*) AS n_events
+  FROM ontime GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, n_events
+FROM w, wm
+WHERE epoch_ms(ws + INTERVAL 1 HOUR) <= wm.wm_ms
+""",
+    doc="Watermark late-data dropping, measured exactly: the stream "
+    "arrives as three micro-batches in reverse-chronological order -- "
+    "newest slice first (sets the watermark to global-max minus 1h), "
+    "an on-time middle slice (absorbs the one-batch lag in the "
+    "late-row filter watermark), then the entire older half, which "
+    "now lands weeks beyond the active filter watermark and is "
+    "DROPPED (numRowsDroppedByWatermark > 0).  The append-mode sink "
+    "therefore holds exactly the on-time slices' finalized windows, "
+    "which is what the oracle computes: events at or after the split "
+    "aggregated and trimmed at the final watermark.  The result "
+    "provably differs from the all-data aggregate by the dropped "
+    "half -- the state-bounding guarantee an unbounded pipeline "
+    "relies on, pinned by value.",
+    tags=("streaming", "watermark", "late-data", "stateful"),
+)
+def stream_late_data_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events_dir = _staged_events_late_first(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = tumbling_event_counts_simple(stream, "1 hour", watermark="1 hour")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sink = _run_to_memory(agg, f"late_drop_{tag}", "append")
+    from pyspark.sql import functions as F
+
+    return sink.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
         "n_events",
     )

@@ -272,3 +272,19 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def tumbling_event_counts_simple(
+    events: DataFrame, window_dur: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Count-only tumbling windows per event_type (no value column -- for
+    streams staged with a pruned schema)."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window_dur).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n_events"
+        )
+    )

@@ -272,3 +272,59 @@ def test_stream_sliding_matches_batch_minus_open(spark, sf_dir):
     got = {tuple(r) for r in stream_out.collect()}
     want = {tuple(r) for r in expected.collect()}
     assert got == want
+
+
+def test_late_data_actually_dropped_by_watermark(spark, sf_dir):
+    """stream_late_data_dropped's whole point is that the final batch's
+    rows are dropped by the watermark filter -- pin the drop METRIC, not
+    just the sink values (a staging regression that merged batches would
+    keep the oracle green only by accident)."""
+    import tempfile
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        _staged_events_late_first,
+    )
+    from json_format_in_parquet_benchmark_spark.streaming.events_stream import (
+        tumbling_event_counts_simple,
+    )
+
+    d = _staged_events_late_first(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = tumbling_event_counts_simple(stream, "1 hour", watermark="1 hour")
+    ckpt = tempfile.mkdtemp(prefix="jfipb_late_pin_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    assert len(progress) >= 3, f"expected 3 micro-batches, got {len(progress)}"
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p["stateOperators"]
+    )
+    # The final (oldest) slice must be overwhelmingly dropped by the
+    # filter watermark (the drop METRIC undercounts rows pre-combined by
+    # the partial aggregate before the state operator, so assert the bulk,
+    # not equality), and -- the real guarantee -- state must NOT grow when
+    # the late batch lands.
+    last = progress[-1]
+    last_input = last["numInputRows"]
+    assert last_input > 0
+    assert dropped > last_input // 2, (dropped, last_input)
+    state_after_late = sum(
+        op.get("numRowsTotal", 0) for op in last["stateOperators"]
+    )
+    prev_state = sum(
+        op.get("numRowsTotal", 0) for op in progress[-2]["stateOperators"]
+    )
+    assert state_after_late <= prev_state, (state_after_late, prev_state)
