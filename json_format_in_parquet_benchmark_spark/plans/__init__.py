@@ -162,6 +162,7 @@ _EVIDENCE_PRIORITY = (
     "graph_kcore_word",
     "events_heatmap_dow_hour",
     "stream_late_data_dropped",
+    "orders_seasonality_index",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

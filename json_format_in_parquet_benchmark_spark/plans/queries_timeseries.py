@@ -517,3 +517,70 @@ def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+WITH m AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+         CAST(MONTH(o_orderdate) AS BIGINT) AS mth,
+         CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS month_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders
+  GROUP BY yr, mth
+),
+y AS (
+  SELECT yr, CAST(SUM(month_cents) AS BIGINT) AS year_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_months
+  FROM m GROUP BY yr
+)
+SELECT m.yr, m.mth, m.month_cents, m.n_orders,
+       CAST(m.month_cents AS DOUBLE) * y.n_months
+         / CAST(y.year_cents AS DOUBLE) AS seasonal_index
+FROM m JOIN y ON y.yr = m.yr
+ORDER BY m.yr, m.mth
+""",
+    doc="Classical-decomposition seasonality indices: each month's revenue "
+    "share of its year, scaled by the number of observed months so a "
+    "flat year indexes to 1.0 (partial first/last years use their own "
+    "month count rather than assuming 12).  All mass stays in exact "
+    "integer cents until one final IEEE division per row -- no "
+    "cross-row float sums, so the indices are bit-identical "
+    "cross-engine.  Emitted per (year, month) rather than averaged "
+    "across years: the average would be an order-sensitive float sum, "
+    "and downstream consumers (deseasonalizing a forecast) want the "
+    "per-year matrix anyway.  Two tiny aggregates; scale-trivial.",
+    tags=("timeseries", "seasonality", "aggregation"),
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mth"),
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100.0) as bigint)"))
+        .cast("bigint")
+        .alias("month_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    y = m.groupBy(F.col("yr").alias("yy")).agg(
+        F.sum("month_cents").cast("bigint").alias("year_cents"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    return (
+        m.join(F.broadcast(y), m.yr == F.col("yy"))
+        .select(
+            "yr",
+            "mth",
+            "month_cents",
+            "n_orders",
+            (
+                F.col("month_cents").cast("double")
+                * F.col("n_months")
+                / F.col("year_cents").cast("double")
+            ).alias("seasonal_index"),
+        )
+        .orderBy("yr", "mth")
+    )
