@@ -232,3 +232,120 @@ def chunk_audio(
         schema="media_id long, chunk_idx long, start_sample long,"
         " n_samples long, energy_q long",
     )
+
+
+PHASH_BITS = 48  # 4 bands x 12 bits; 48 bits keep every band mask exact int64
+PHASH_BANDS = 4
+PHASH_BAND_WIDTH = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAMMING = 3  # bands > max_hamming => full-recall banding (pigeonhole)
+
+
+def _phash_content(payload: bytes) -> tuple[int, int]:
+    """STUB perceptual hash: SimHash over the decoded content's 4-grams.
+
+    A real deployment decodes pixels and computes a DCT pHash here; without
+    imaging libraries the deterministic stand-in hashes the decoded content's
+    overlapping 4-char shingles (with multiplicity) through the repo's
+    portable 60-bit md5 hash and takes the sign of each bit-sum — the same
+    locality property (similar content => small Hamming distance) computed
+    from the payload alone, so the distributed blocking around it is honest.
+
+    Returns (phash, n_grams).
+    """
+    import numpy as np
+
+    text = bytes(payload).decode("utf-8")
+    grams = (
+        [text[i : i + 4] for i in range(len(text) - 3)] if len(text) >= 4 else [text]
+    )
+    hs = np.array(
+        [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) for g in grams],
+        dtype=np.uint64,
+    )
+    bits = (hs[:, None] >> np.arange(PHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+    sums = bits.sum(axis=0, dtype=np.int64)
+    n = len(grams)
+    ph = 0
+    for j in range(PHASH_BITS):
+        if 2 * int(sums[j]) - n >= 0:
+            ph |= 1 << j
+    return ph, n
+
+
+def phash_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual-hash stage over the binary payload."""
+    src = media.select("media_id", "kind", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_phash_content(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "phash": [f[0] for f in feats],
+                    "n_grams": [f[1] for f in feats],
+                }
+            )
+
+    return src.mapInPandas(
+        batches, schema="media_id long, kind string, phash long, n_grams long"
+    )
+
+
+def phash_nearest_neighbor(feats: DataFrame) -> DataFrame:
+    """Per-media nearest banded candidate by Hamming(phash), else null.
+
+    Candidates are pairs agreeing on at least one of the 4 contiguous 12-bit
+    signature bands (Manku multi-index SimHash — the identical blocking to
+    operators/dedup.py:simhash_pairs, so every pair within Hamming <=
+    PHASH_MAX_HAMMING is guaranteed a candidate, plus chance band collisions
+    beyond the radius).  The equi-join runs on (band_idx, band_val) buckets —
+    occupancy-bounded, never all-pairs — and each media keeps its
+    (hamming, partner)-minimal candidate via one struct-min aggregate.  A
+    LEFT join back to the signatures keeps isolated media in the result with
+    null neighbor columns.
+    """
+    feats = feats.persist()
+    mask = (1 << PHASH_BAND_WIDTH) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.expr(f"shiftright(phash, {b * PHASH_BAND_WIDTH}) & {mask}").alias(
+                "band_val"
+            ),
+        )
+        for b in range(PHASH_BANDS)
+    ]
+    banded = feats.select(
+        "media_id", "phash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "media_id",
+        "phash",
+        F.col("bb.band_idx").alias("band_idx"),
+        F.col("bb.band_val").alias("band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") != F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id"),
+            F.expr("cast(bit_count(a.phash ^ b.phash) as int)").alias("hamming"),
+            F.col("b.media_id").alias("partner"),
+        )
+        .groupBy("media_id")
+        .agg(F.min(F.struct("hamming", "partner")).alias("nn"))
+    )
+    return feats.join(cand, "media_id", "left").select(
+        "media_id",
+        "kind",
+        "phash",
+        "n_grams",
+        F.col("nn.partner").alias("nn_media"),
+        F.col("nn.hamming").alias("nn_hamming"),
+    )

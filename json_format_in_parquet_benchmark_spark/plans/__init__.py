@@ -163,6 +163,10 @@ _EVIDENCE_PRIORITY = (
     "events_heatmap_dow_hour",
     "stream_late_data_dropped",
     "orders_seasonality_index",
+    # Round-3 final batch (never driver-checked)
+    "multimodal_phash_neardup",
+    "join_bloom_prefilter",
+    "dq_fd_audit",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -321,3 +321,86 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind", "shard")
     )
+
+
+def _phash_oracle() -> str:
+    from ..operators.multimodal import PHASH_BAND_WIDTH, PHASH_BANDS, PHASH_BITS
+
+    sum_cols = ",\n         ".join(
+        f"SUM((hv >> {j}) & 1) AS b{j}" for j in range(PHASH_BITS)
+    )
+    ph_expr = "\n           + ".join(
+        f"CASE WHEN 2 * b{j} - n >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(PHASH_BITS)
+    )
+    mask = (1 << PHASH_BAND_WIDTH) - 1
+    band_match = "\n     OR ".join(
+        f"((pa.phash >> {b * PHASH_BAND_WIDTH}) & {mask})"
+        f" = ((pb.phash >> {b * PHASH_BAND_WIDTH}) & {mask})"
+        for b in range(PHASH_BANDS)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         CASE WHEN len(text) >= 4
+              THEN list_transform(range(1, len(text) - 2), i -> substr(text, i, 4))
+              ELSE [text] END AS grams
+  FROM documents
+),
+e AS (SELECT media_id, unnest(grams) AS gram FROM g),
+h AS (SELECT media_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM e),
+bsum AS (
+  SELECT media_id, COUNT(*) AS n,
+         {sum_cols}
+  FROM h GROUP BY 1
+),
+ph AS (
+  SELECT media_id, CAST(n AS BIGINT) AS n_grams,
+         CAST({ph_expr} AS BIGINT) AS phash
+  FROM bsum
+),
+cand AS (
+  SELECT pa.media_id AS media_id,
+         bit_count(xor(pa.phash, pb.phash)) AS hamming,
+         pb.media_id AS partner
+  FROM ph pa JOIN ph pb ON pa.media_id <> pb.media_id
+  WHERE {band_match}
+),
+nn AS (
+  SELECT media_id, hamming, partner,
+         ROW_NUMBER() OVER (PARTITION BY media_id
+                            ORDER BY hamming, partner) AS rk
+  FROM cand
+)
+SELECT g.media_id, g.kind, ph.phash, ph.n_grams,
+       nn.partner AS nn_media, CAST(nn.hamming AS INT) AS nn_hamming
+FROM ph
+JOIN g ON g.media_id = ph.media_id
+LEFT JOIN nn ON nn.media_id = ph.media_id AND nn.rk = 1
+"""
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=_phash_oracle(),
+    doc="Perceptual-hash near-duplicate detection for media: an "
+    "Arrow-batched Python stage computes a 48-bit perceptual signature "
+    "from each binary payload (stub: content-4-gram SimHash standing in "
+    "for a DCT pHash -- same locality property, deterministic, so the "
+    "oracle reproduces it exactly; operators/multimodal.py:"
+    "_phash_content is the one-function swap point for a real pixel "
+    "hash), then each media row finds its Hamming-nearest banded "
+    "candidate via the Manku 4x12-bit multi-index blocking -- an "
+    "equi-join on (band_idx, band_val) buckets whose cost follows "
+    "bucket occupancy, never all-pairs, with full recall inside "
+    "Hamming <= 3 by pigeonhole.  LEFT join keeps isolated media with "
+    "null neighbor columns, so the result is a complete per-media "
+    "near-dup audit -- the image/audio twin of text SimHash dedup that "
+    "a multimodal 100 TB curation pass runs before training.",
+    tags=("multimodal", "dedup", "simhash", "mapInPandas"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import phash_features, phash_nearest_neighbor
+
+    return phash_nearest_neighbor(phash_features(_media(spark, sf_dir)))

@@ -2625,3 +2625,171 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("customers_at_risk_lt_10"),
     )
+
+
+BLOOM_M_BITS = 1 << 17  # filter size in bits (2048 int64 words, ~16 KiB)
+BLOOM_K = 3  # salted portable hashes per key
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+    doc="Runtime Bloom-filter semi-join reduction: the filtered dimension "
+    "side (urgent orders) folds its join keys into a 128 Ki-bit Bloom "
+    f"filter ({BLOOM_K} salted portable md5 hashes per key); the DISTINCT "
+    "bit positions -- bounded by the filter size, NOT by the dimension "
+    "row count -- are collected and embedded as a 2048-word int64 array "
+    "literal, and the fact table drops non-matching rows in its scan "
+    "stage BEFORE the join and its exchange.  Bloom filters admit no "
+    "false negatives and the real (broadcast) join then removes the "
+    "false positives, so the result is exactly the plain join -- the "
+    "oracle states it that way -- while the plan ships only "
+    "~FP-rate-inflated matching rows through the shuffle; at 100 TB this "
+    "is the explicit, engine-portable form of the sideways information "
+    "passing Spark's own runtime bloom filters (AQE) apply, with the "
+    "repo's cross-engine md5 hashing so the filter is reproducible "
+    "anywhere.",
+    tags=("relational", "join", "bloom", "runtime-filter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderdate"
+    )
+
+    def positions(key_expr: str) -> list[str]:
+        return [
+            f"({hash64_sql_spark(key_expr, salt=f'bloom{i}:')} % {BLOOM_M_BITS})"
+            for i in range(BLOOM_K)
+        ]
+
+    # Build: distinct bit positions (<= BLOOM_M_BITS of them, independent of
+    # dimension cardinality), folded into int64 words driver-side.
+    pos_rows = (
+        urgent.select(
+            F.explode(
+                F.array(*[F.expr(p) for p in positions("cast(o_orderkey as string)")])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M_BITS // 64)
+    for r in pos_rows:
+        words[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
+    # int64 two's-complement for literals with bit 63 set
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    warr = F.array(*[F.lit(w).cast("bigint") for w in words])
+
+    probe = li.withColumn("_bw", warr)
+    cond = None
+    for p in positions("cast(l_orderkey as string)"):
+        hit = F.expr(
+            f"(shiftright(element_at(_bw, cast(({p}) >> 6 as int) + 1),"
+            f" cast(({p}) & 63 as int)) & 1) = 1"
+        )
+        cond = hit if cond is None else cond & hit
+    prefiltered = probe.where(cond).drop("_bw")
+
+    joined = prefiltered.join(
+        F.broadcast(urgent), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "order_month"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2))"
+            " * (1 - cast(l_discount as decimal(18,2)))) as double)"
+        ).alias("revenue"),
+    )
+
+
+_FD_CANDIDATES = (
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("documents.lang->source", "documents", "lang", "source"),
+)
+
+
+def _fd_audit_oracle() -> str:
+    arms = []
+    for fd, table, lhs, rhs in _FD_CANDIDATES:
+        arms.append(f"""
+SELECT '{fd}' AS fd,
+       CAST(SUM(rows_g) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(rows_g) - SUM(max_rhs) AS BIGINT) AS g3_rows_to_fix,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS INT) AS holds
+FROM (
+  SELECT {lhs}, SUM(c) AS rows_g, COUNT(*) AS n_rhs, MAX(c) AS max_rhs
+  FROM (SELECT {lhs}, {rhs}, COUNT(*) AS c FROM {table} GROUP BY 1, 2)
+  GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(arms)
+
+
+@register(
+    "dq_fd_audit",
+    oracle=_fd_audit_oracle(),
+    doc="Approximate functional-dependency audit (the profiling side of "
+    "schema discovery): for each candidate FD X -> Y the suite reports "
+    "group counts, the number of X-groups seeing more than one Y, and "
+    "the exact g3 repair cost (minimum rows to delete for the FD to "
+    "hold = rows minus the sum of each group's modal-Y count -- the "
+    "standard approximate-FD error measure).  Each FD is two cascaded "
+    "hash aggregates -- (X, Y) counts, then per-X stats -- both "
+    "map-side combined, so one FD costs one shuffle of at most "
+    "|distinct(X, Y)| rows regardless of table size; candidates over "
+    "the same table still share the scan via Spark's plan-level scan "
+    "reuse.  Catches silent key violations and denormalization drift "
+    "(a column that SHOULD be determined but isn't) before a corpus "
+    "refresh propagates them.",
+    tags=("quality", "profiling", "aggregation"),
+)
+def dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for fd, table, lhs, rhs in _FD_CANDIDATES:
+        df = load_table(spark, sf_dir, table)
+        pair = df.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("c"))
+        grp = pair.groupBy(lhs).agg(
+            F.sum("c").alias("rows_g"),
+            F.count(F.lit(1)).alias("n_rhs"),
+            F.max("c").alias("max_rhs"),
+        )
+        arm = grp.agg(
+            F.lit(fd).alias("fd"),
+            F.sum("rows_g").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("bigint")).cast("bigint").alias(
+                "n_violating_groups"
+            ),
+            (F.sum("rows_g") - F.sum("max_rhs")).cast("bigint").alias(
+                "g3_rows_to_fix"
+            ),
+            (F.sum((F.col("n_rhs") > 1).cast("bigint")) == 0)
+            .cast("int")
+            .alias("holds"),
+        ).select(
+            "fd", "n_rows", "n_groups", "n_violating_groups", "g3_rows_to_fix", "holds"
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out

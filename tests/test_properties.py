@@ -819,3 +819,58 @@ def test_fuzzy_block_join_complete_on_corpus(spark, sf_dir):
     }
     assert blocked == brute
     assert brute  # nonempty on the testdata
+
+
+def test_phash_nn_matches_bruteforce_within_radius(spark, sf_dir):
+    """Full-recall pin for the banded pHash blocking: wherever the
+    brute-force nearest Hamming neighbor is within PHASH_MAX_HAMMING, the
+    banded plan must have found a neighbor at that exact distance
+    (pigeonhole over 4 bands and Hamming <= 3 guarantees it)."""
+    from json_format_in_parquet_benchmark_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        media_table,
+        phash_features,
+        phash_nearest_neighbor,
+    )
+
+    media = media_table(load_table(spark, sf_dir, "documents"))
+    feats = phash_features(media)
+    nn = {
+        r["media_id"]: r["nn_hamming"]
+        for r in phash_nearest_neighbor(feats).collect()
+    }
+    sigs = [(r["media_id"], r["phash"]) for r in feats.collect()]
+    checked = 0
+    for i, (mid, ph) in enumerate(sigs):
+        best = min(
+            (bin(ph ^ other).count("1") for j, (_, other) in enumerate(sigs) if j != i),
+            default=None,
+        )
+        if best is not None and best <= PHASH_MAX_HAMMING:
+            assert nn[mid] == best, (mid, nn[mid], best)
+            checked += 1
+    assert checked > 0, "corpus produced no within-radius pair; test is vacuous"
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
+    """The Bloom pre-filter may only ever DROP non-matching fact rows: the
+    bloom-prefiltered join must keep exactly the rows of the plain join."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_relational import (
+        join_bloom_prefilter,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    plain = (
+        li.join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()[0]["n"]
+    )
+    bloomed = (
+        join_bloom_prefilter(spark, sf_dir).agg(F.sum("n_items")).collect()[0][0]
+    )
+    assert bloomed == plain
