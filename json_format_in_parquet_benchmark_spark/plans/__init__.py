@@ -167,6 +167,9 @@ _EVIDENCE_PRIORITY = (
     "multimodal_phash_neardup",
     "join_bloom_prefilter",
     "dq_fd_audit",
+    "text_classifier_score",
+    "sample_language_temperature",
+    "text_chunk_overlap",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -2690,11 +2690,14 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = [0] * (BLOOM_M_BITS // 64)
     for r in pos_rows:
         words[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
-    # int64 two's-complement for literals with bit 63 set
+    # int64 two's-complement for values with bit 63 set
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    warr = F.array(*[F.lit(w).cast("bigint") for w in words])
+    # Materialize the word array as DATA in a broadcast single-row frame
+    # (a 2048-element array LITERAL re-evaluates per probe row and blows
+    # the codegen method limit -- measured 10x slower).
+    words_df = spark.createDataFrame([(words,)], schema="_bw array<bigint>")
 
-    probe = li.withColumn("_bw", warr)
+    probe = li.crossJoin(F.broadcast(words_df))
     cond = None
     for p in positions("cast(l_orderkey as string)"):
         hit = F.expr(

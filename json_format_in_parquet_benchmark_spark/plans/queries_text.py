@@ -1288,3 +1288,257 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint"),
     )
     return ranked.where(F.col("rnk") <= BPE_TOP_PAIRS).orderBy("rnk")
+
+
+CLF_DIM = 4096  # hashed feature buckets
+CLF_W_MOD = 100  # weights in [-50, 49]
+
+
+def _clf_weight_duck(bucket_expr: str) -> str:
+    return (
+        f"(({hash64_sql_duckdb(f'CAST({bucket_expr} AS VARCHAR)', salt='clfw:')})"
+        f" % {CLF_W_MOD}) - 50"
+    )
+
+
+@register(
+    "text_classifier_score",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_D}) AS tok FROM documents),
+w AS (
+  SELECT doc_id,
+         {_clf_weight_duck(f"({hash64_sql_duckdb('tok')}) % {CLF_DIM}")} AS w
+  FROM tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS logit_sum,
+       CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mean_logit,
+       CAST(SUM(w) >= 0 AS INT) AS keep
+FROM w GROUP BY doc_id
+""",
+    doc="Model-based quality filtering in the fastText serving shape "
+    "(the DCLM / FineWeb-Edu classifier-filter stage): each token hashes "
+    f"into one of {CLF_DIM} feature buckets and the document's logit is "
+    "the sum of its buckets' weights, served on the Spark side from a "
+    f"{CLF_DIM}-element int64 weight-array LITERAL via element_at -- the "
+    "broadcast-model pattern, zero joins, so scoring is one explode + "
+    "one map-side-combined aggregate regardless of corpus size.  The "
+    "weight table here is md5-derived (a deterministic stand-in for "
+    "trained weights, so the DuckDB oracle recomputes each weight "
+    "arithmetically and the comparison is exact); a real model swaps "
+    "the array contents only.  Integer logits end-to-end; the one "
+    "double division (mean logit) has identical operands cross-engine.",
+    tags=("text", "quality", "classifier"),
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from ..functions.hashing import hash64_sql_spark
+
+    weights = [
+        (int(hashlib.md5(f"clfw:{j}".encode()).hexdigest()[:15], 16) % CLF_W_MOD)
+        - 50
+        for j in range(CLF_DIM)
+    ]
+    # Materialized as DATA in a broadcast single-row frame, not a literal
+    # expression: a 4096-element array literal re-evaluates per row and
+    # falls out of codegen (measured several times slower).
+    wdf = spark.createDataFrame([(weights,)], schema="_clf_w array<bigint>")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("tok"))
+        .crossJoin(F.broadcast(wdf))
+        .withColumn("bucket", F.expr(f"({hash64_sql_spark('tok')}) % {CLF_DIM}"))
+    )
+    scored = tok.withColumn(
+        "w", F.element_at(F.col("_clf_w"), F.col("bucket").cast("int") + 1)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("logit_sum"),
+        (F.sum("w").cast("double") / F.count(F.lit(1))).alias("mean_logit"),
+        (F.sum("w") >= 0).cast("int").alias("keep"),
+    )
+
+
+LTEMP_BUDGET = 200  # total docs to draw across languages
+LTEMP_SCALE = 10**12  # alpha=0.5 via exact floor(sqrt(n * 1e12)) integers
+
+
+@register(
+    "sample_language_temperature",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+scaled AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1e12)) AS BIGINT) AS s
+  FROM counts
+),
+alloc AS (
+  SELECT lang, n_docs, s,
+         ({LTEMP_BUDGET} * s) // (SELECT SUM(s) FROM scaled) AS alloc
+  FROM scaled
+),
+ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {hash64_sql_duckdb('CAST(doc_id AS VARCHAR)', salt='ltemp:')},
+                    doc_id) AS rn
+  FROM documents
+),
+kept AS (
+  SELECT r.lang, r.doc_id
+  FROM ranked r JOIN alloc a ON a.lang = r.lang
+  WHERE r.rn <= a.alloc
+)
+SELECT a.lang,
+       a.n_docs,
+       CAST(a.alloc AS BIGINT) AS alloc,
+       COUNT(k.doc_id) AS n_kept,
+       CAST(COALESCE(SUM(k.doc_id % 1000000007), 0) AS BIGINT) AS kept_checksum
+FROM alloc a LEFT JOIN kept k ON k.lang = a.lang
+GROUP BY a.lang, a.n_docs, a.alloc
+""",
+    doc="Temperature-scaled multilingual sampling (the mT5/XLM-R "
+    "alpha-sampling staple, alpha = 0.5): each language's draw budget is "
+    "proportional to sqrt of its document share, computed EXACTLY as "
+    "floor(sqrt(n * 1e12)) integers (IEEE sqrt is correctly rounded, so "
+    "both engines floor the same value; the normalization is one integer "
+    "floor-division over the summed scale) -- no float accumulation "
+    "order anywhere.  Membership is the portable-hash rank within each "
+    "language, so the sample is deterministic, stable under appends "
+    "outside the kept prefix, and reproducible cross-engine; the kept "
+    "checksum pins exact membership.  One aggregate for counts (5 rows, "
+    "broadcast back), one per-lang window for ranks; at extreme "
+    "cardinality the rank window swaps for a hash-threshold filter with "
+    "the same key.",
+    tags=("text", "sampling", "multilingual"),
+)
+def sample_language_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash64_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = counts.withColumn(
+        "s",
+        F.expr("cast(floor(sqrt(cast(n_docs as double) * 1e12)) as bigint)"),
+    )
+    total_s = scaled.agg(F.sum("s").alias("ts"))
+    alloc = scaled.crossJoin(F.broadcast(total_s)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"cast(({LTEMP_BUDGET} * s) div ts as bigint)").alias("alloc"),
+    )
+    h = hash64_sql_spark("cast(doc_id as string)", salt="ltemp:")
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(F.expr(h), F.col("doc_id"))
+        )
+        .alias("rn"),
+    )
+    kept = ranked.join(F.broadcast(alloc.select("lang", "alloc")), "lang").where(
+        F.col("rn") <= F.col("alloc")
+    )
+    agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("doc_id") % 1000000007).cast("bigint").alias("kept_checksum"),
+    )
+    return alloc.join(agg, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "alloc",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("kept_checksum"), F.lit(0))
+        .cast("bigint")
+        .alias("kept_checksum"),
+    )
+
+
+CHUNK_W = 16  # tokens per training chunk
+CHUNK_STRIDE = 12  # tokens between chunk starts (overlap = W - stride)
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_D} AS toks, len({_TOKS_D}) AS n FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= {CHUNK_W} THEN 1
+              ELSE 1 + (n - {CHUNK_W} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+         END AS n_chunks
+  FROM t WHERE n > 0
+),
+fanned AS (
+  SELECT doc_id, toks, n, unnest(range(n_chunks)) AS i FROM sized
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST({CHUNK_W}, n - i * {CHUNK_STRIDE}) AS BIGINT) AS n_tok,
+       CAST(list_sum(list_transform(
+              list_slice(toks, i * {CHUNK_STRIDE} + 1, i * {CHUNK_STRIDE} + {CHUNK_W}),
+              x -> ({hash64_sql_duckdb('x')}) % 1000000007)) AS BIGINT)
+         AS chunk_checksum
+FROM fanned
+""",
+    doc="Context-window chunking with stride (the long-document -> "
+    f"training-sequence fan-out): {CHUNK_W}-token windows every "
+    f"{CHUNK_STRIDE} tokens ({CHUNK_W - CHUNK_STRIDE}-token overlap so no "
+    "boundary context is lost), the standard preprocessing for "
+    "fixed-context-length model training.  Pure per-row fan-out -- "
+    "explode over the chunk count, slice, and an exact per-chunk token "
+    "checksum that pins CONTENT, not just boundaries -- no shuffle at "
+    "any point, so the shape is embarrassingly parallel at 100 TB.  "
+    "Chunk-count and boundary arithmetic is all positive integer floor "
+    "division, identical cross-engine.",
+    tags=("text", "chunking", "pipeline"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(_TOKS_S).alias("toks"),
+        F.expr(f"size({_TOKS_S})").alias("n"),
+    ).where(F.col("n") > 0)
+    sized = t.withColumn(
+        "n_chunks",
+        F.expr(
+            f"case when n <= {CHUNK_W} then 1"
+            f" else 1 + cast((n - {CHUNK_W} + {CHUNK_STRIDE} - 1) / {CHUNK_STRIDE} as int)"
+            " end"
+        ),
+    )
+    fanned = sized.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("i"),
+    )
+    h = hash64_sql_spark("x")
+    return fanned.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_idx"),
+        (F.col("i") * CHUNK_STRIDE).cast("bigint").alias("start_tok"),
+        F.expr(f"cast(least({CHUNK_W}, n - i * {CHUNK_STRIDE}) as bigint)").alias(
+            "n_tok"
+        ),
+        F.expr(
+            f"cast(aggregate(transform(slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_W}),"
+            f" x -> ({h}) % 1000000007), cast(0 as bigint), (acc, v) -> acc + v)"
+            " as bigint)"
+        ).alias("chunk_checksum"),
+    )
