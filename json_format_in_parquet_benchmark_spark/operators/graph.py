@@ -97,3 +97,45 @@ def pagerank(
             )
         )
     return ranks
+
+
+def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection over symmetric
+    ``edges`` (src, dst): labels start as node ids; each superstep every
+    node adopts the most frequent label among its neighbors, ties broken
+    by the SMALLEST label -- fully deterministic, so a fixed iteration
+    count unrolls into an exact cross-engine oracle (the classic LPA of
+    Raghavan et al. 2007, with the deterministic tie rule replacing the
+    random one).
+
+    Each superstep is two map-side-combined aggregations -- (node,
+    neighbor-label) counts, then an argmax per node expressed as
+    max(struct(count, -label)) so the tie rule rides the struct order --
+    on the cached edge list; label state is |V| rows.  Same 100 TB
+    contract as :func:`pagerank`: edges scanned once per superstep, no
+    driver-side graph state.
+    """
+    from .dedup import _track_persist
+
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    edges = _track_persist(edges.repartition(par, "src"))
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node").cast("bigint")
+    )
+    for _ in range(n_iters):
+        counts = (
+            labels.join(edges, labels.node == edges.src)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("neg_label"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg_label")).cast("bigint").alias("label"))
+        )
+    return labels

@@ -170,6 +170,7 @@ _EVIDENCE_PRIORITY = (
     "text_classifier_score",
     "sample_language_temperature",
     "text_chunk_overlap",
+    "graph_communities_trading",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -423,3 +423,101 @@ def graph_kcore_word(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KCORE_TOP)
         .select(F.col("node").alias("token"), "deg")
     )
+
+
+LPA_ITERS = 3
+LPA_TOP = 25
+
+
+def label_prop_cte_chain(iters: int) -> tuple[str, str]:
+    """Unrolled deterministic-LPA CTE chain, generic over the graph: the
+    caller supplies a symmetric ``edges`` (src, dst) CTE first.  Mirrors
+    operators/graph.py:label_propagation superstep for superstep."""
+    parts = [
+        "lnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)",
+        "l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM lnodes)",
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM {prev} l JOIN edges e ON e.src = l.node
+  GROUP BY e.dst, l.label
+),
+p{i} AS (
+  SELECT node, label,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+  FROM c{i}
+),
+l{i} AS (SELECT node, CAST(label AS BIGINT) AS label FROM p{i} WHERE rn = 1)"""
+        )
+        prev = f"l{i}"
+    return ",\n".join(parts), prev
+
+
+def _communities_oracle() -> str:
+    chain, fin = label_prop_cte_chain(LPA_ITERS)
+    return (
+        """WITH eraw AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey * 2 + 1 AS a, o.o_custkey * 2 AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM eraw
+ UNION ALL SELECT b AS src, a AS dst FROM eraw),
+"""
+        + chain
+        + f"""
+SELECT label AS community,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(node % 1000000007) AS BIGINT) AS member_checksum
+FROM {fin}
+GROUP BY label
+ORDER BY n_nodes DESC, community
+LIMIT {LPA_TOP}
+"""
+    )
+
+
+@register(
+    "graph_communities_trading",
+    oracle=_communities_oracle(),
+    doc="Label-propagation community detection over the supplier<->"
+    "customer trading network (deterministic synchronous LPA, "
+    f"{LPA_ITERS} supersteps, smallest-label tie rule): the classic "
+    "near-linear community algorithm, here with the random tie-break "
+    "replaced by a total order so the unrolled DuckDB oracle matches "
+    "exactly, membership checksums included.  Completes the graph "
+    "family (components, PageRank, k-core, triangles) with its "
+    "community layer; each superstep is two map-side-combined "
+    "aggregates over the cached edge list (operators/graph.py:"
+    "label_propagation), so the 100 TB shape is |E|-linear per "
+    "superstep with |V|-row state and no driver-side graph.",
+    tags=("graph", "communities", "iterative"),
+)
+def graph_communities_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("a"),
+            (F.col("o_custkey") * 2).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = label_propagation(edges, n_iters=LPA_ITERS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("node") % 1000000007).cast("bigint").alias("member_checksum"),
+        )
+        .orderBy(F.col("n_nodes").desc(), F.col("community"))
+        .limit(LPA_TOP)
+    )
