@@ -306,7 +306,9 @@ def phash_nearest_neighbor(feats: DataFrame) -> DataFrame:
     LEFT join back to the signatures keeps isolated media in the result with
     null neighbor columns.
     """
-    feats = feats.persist()
+    from .dedup import _track_persist
+
+    feats = _track_persist(feats)
     mask = (1 << PHASH_BAND_WIDTH) - 1
     band_structs = [
         F.struct(

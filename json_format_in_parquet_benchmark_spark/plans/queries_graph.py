@@ -494,6 +494,7 @@ LIMIT {LPA_TOP}
     "label_propagation), so the 100 TB shape is |E|-linear per "
     "superstep with |V|-row state and no driver-side graph.",
     tags=("graph", "communities", "iterative"),
+    bench=True,
 )
 def graph_communities_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation

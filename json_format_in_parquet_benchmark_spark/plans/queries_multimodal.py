@@ -399,6 +399,7 @@ LEFT JOIN nn ON nn.media_id = ph.media_id AND nn.rk = 1
     "near-dup audit -- the image/audio twin of text SimHash dedup that "
     "a multimodal 100 TB curation pass runs before training.",
     tags=("multimodal", "dedup", "simhash", "mapInPandas"),
+    bench=True,
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import phash_features, phash_nearest_neighbor

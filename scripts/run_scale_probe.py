@@ -37,7 +37,15 @@ from json_format_in_parquet_benchmark_spark.operators import dedup
 from json_format_in_parquet_benchmark_spark.operators.semantic import (
     semantic_dup_flags_fast,
 )
-from json_format_in_parquet_benchmark_spark.operators.graph import pagerank
+from json_format_in_parquet_benchmark_spark.operators.graph import (
+    label_propagation,
+    pagerank,
+)
+from json_format_in_parquet_benchmark_spark.operators.multimodal import (
+    media_table,
+    phash_features,
+    phash_nearest_neighbor,
+)
 from json_format_in_parquet_benchmark_spark.operators.similarity import (
     ivf_assign_fast,
     pq_topk,
@@ -251,8 +259,22 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(edges_path)
         )
-        r["pagerank_3iter"] = timed_l("pagerank_3iter", 
+        r["pagerank_3iter"] = timed_l("pagerank_3iter",
             lambda: pagerank(spark.read.parquet(edges_path)).count()
+        )
+        # LPA communities: same synthetic graph, 3 supersteps of two
+        # map-side-combined aggregates each -- |E|-linear like PageRank.
+        r["label_prop_3iter"] = timed_l("label_prop_3iter",
+            lambda: label_propagation(spark.read.parquet(edges_path)).count()
+        )
+        # Perceptual-hash near-dup: Arrow-batched Python pHash stage +
+        # banded Hamming join.  The Python md5 kernel dominates and is
+        # per-row, so growth must be ~linear; the banded self-join rides
+        # bucket occupancy like simhash.
+        r["phash_neardup"] = timed_l("phash_neardup",
+            lambda: phash_nearest_neighbor(
+                phash_features(media_table(docs))
+            ).count()
         )
         results[n] = r
         for op, (secs, rows) in r.items():
