@@ -356,6 +356,17 @@ LIMIT {KCORE_TOP}
 def graph_kcore_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens_spark
 
+    # The peeled plan's EXPLAIN STRING is enormous (lineage compounds per
+    # peel round) and spark.sql.maxPlanStringLength is effectively
+    # unbounded by default, so AQE's per-stage plan-change logging
+    # (AdaptiveSparkPlanExec.onUpdatePlan -> explainString) can OOM a
+    # small-heap vanilla driver JVM while building a DEBUG STRING.  Cap it
+    # at runtime -- truncates diagnostics only, never results -- the same
+    # repin-at-runtime pattern tables.load_table uses for the session
+    # timezone, because the external driver's session config is not ours
+    # to set.
+    spark.conf.set("spark.sql.maxPlanStringLength", str(1_000_000))
+
     toks = tokens_spark("text")
     docs = load_table(spark, sf_dir, "documents").where(
         F.expr(f"size({toks}) >= 2")

