@@ -171,6 +171,7 @@ _EVIDENCE_PRIORITY = (
     "sample_language_temperature",
     "text_chunk_overlap",
     "graph_communities_trading",
+    "profile_table_columns",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

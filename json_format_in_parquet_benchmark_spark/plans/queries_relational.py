@@ -2796,3 +2796,104 @@ def dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+# (table, column, kind) spec shared by the Spark builder and the DuckDB
+# oracle so the two sides cannot drift.  kind drives the min/max string
+# rendering: decimal-cast doubles ("123.40") and fixed-pattern timestamps
+# are bit-identical cross-engine; bare double->string is NOT.
+_PROFILE_SPEC = (
+    ("orders", (
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    )),
+    ("documents", (
+        ("doc_id", "bigint"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    )),
+)
+
+
+def _profile_minmax_duck(agg: str, col: str, kind: str) -> str:
+    if kind == "double":
+        return f"CAST(CAST({agg}({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "timestamp":
+        return f"strftime({agg}({col}), '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({agg}({col}) AS VARCHAR)"
+
+
+def _profile_oracle() -> str:
+    ctes, arms = [], []
+    for tbl, cols in _PROFILE_SPEC:
+        stats = ["COUNT(*) AS _n"]
+        for c, kind in cols:
+            stats.append(f"COUNT(*) - COUNT({c}) AS {c}__nulls")
+            stats.append(f"COUNT(DISTINCT {c}) AS {c}__nd")
+            stats.append(f"{_profile_minmax_duck('MIN', c, kind)} AS {c}__min")
+            stats.append(f"{_profile_minmax_duck('MAX', c, kind)} AS {c}__max")
+        ctes.append(f"prof_{tbl} AS (SELECT {', '.join(stats)} FROM {tbl})")
+        for c, _ in cols:
+            arms.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS col, CAST(_n AS BIGINT) AS n_rows,"
+                f" CAST({c}__nulls AS BIGINT) AS n_nulls,"
+                f" CAST({c}__nd AS BIGINT) AS n_distinct,"
+                f" {c}__min AS min_v, {c}__max AS max_v FROM prof_{tbl}"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(arms)
+
+
+@register(
+    "profile_table_columns",
+    oracle=_profile_oracle(),
+    doc="Deequ-ColumnProfiler-style dataset profile (the ANALYZE TABLE "
+    "statistics layer a warehouse maintains and Catalyst's CBO consumes): "
+    "per column -- row count, null count, exact distinct count, and "
+    "type-aware min/max rendered to strings (decimal-cast doubles and "
+    "fixed-pattern timestamps; a bare double->string cast formats "
+    "differently across engines).  ALL of a table's per-column stats "
+    "fold into ONE aggregate scan (deequ's stats-per-table-not-per-"
+    "column trick), then unpivot to one row per column, so profiling a "
+    "100 TB table costs one pass regardless of how many columns are "
+    "profiled; at scale the exact COUNT(DISTINCT ...) slots swap for "
+    "the repo's mergeable HLL registers with the same output shape.",
+    tags=("quality", "profiling", "aggregation"),
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def minmax(agg, c, kind):
+        if kind == "double":
+            return F.expr(f"cast(cast({agg}({c}) as decimal(18,2)) as string)")
+        if kind == "timestamp":
+            return F.expr(f"date_format({agg}({c}), 'yyyy-MM-dd HH:mm:ss')")
+        return F.expr(f"cast({agg}({c}) as string)")
+
+    out = None
+    for tbl, cols in _PROFILE_SPEC:
+        df = load_table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c, kind in cols:
+            aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
+            aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+            aggs.append(minmax("min", c, kind).alias(f"{c}__min"))
+            aggs.append(minmax("max", c, kind).alias(f"{c}__max"))
+        row = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(tbl).alias("tbl"),
+                F.lit(c).alias("col"),
+                F.col("_n").cast("bigint").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+            )
+            for c, _ in cols
+        ]
+        prof = row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+        out = prof if out is None else out.unionByName(prof)
+    return out
