@@ -284,16 +284,27 @@ def ngram_jaccard_pairs(
     n: int = 4,
     threshold: float = 0.4,
     df_cap: int = 50,
+    candidates: str = "prefix",
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a document-frequency-capped
-    inverted index.
+    """N-gram Jaccard near-dup pairs with the DF-capped OUTPUT contract.
 
-    Shingles appearing in more than ``df_cap`` docs are stop-shingles
-    dropped from CANDIDATE generation only (bounding the posting-list
-    self-join to df_cap^2 rows per shingle); surviving candidate pairs are
-    verified with the exact Jaccard over the FULL shingle sets, so scores
-    are exact and only pairs sharing nothing but stop-shingles are
-    (deliberately) out of scope.
+    Output contract (unchanged since round 1, mirrored by the oracle):
+    pairs with exact full-set Jaccard >= ``threshold`` that share at least
+    one shingle appearing in at most ``df_cap`` documents — pairs whose
+    every common shingle is boilerplate (> ``df_cap`` docs) are
+    deliberately out of scope.
+
+    ``candidates`` selects the physical candidate generator:
+
+    - ``"prefix"`` (default): the PPJoin prefix-filter bound
+      (:func:`ngram_jaccard_pairs_prefix`) — provably a superset of all
+      Jaccard >= t pairs, hence of this contract's output — then the
+      DF-cap scope filter is applied to the few verified pairs with two
+      broadcast-pruned scans of the shingle table.  The scale probe
+      measured the old posting-list self-join at 7.2x per 10x data vs
+      5.9x for the prefix bound, so prefix is the default at scale.
+    - ``"index"``: the original DF-capped inverted-index self-join, kept
+      as the measured comparison arm (scripts/run_scale_probe.py).
     """
     docsets = _track_persist(
         _spread(df).select(
@@ -308,6 +319,42 @@ def ngram_jaccard_pairs(
         .where(F.col("df") > df_cap)
         .select("sh")
     )
+    if candidates == "prefix":
+        from fractions import Fraction
+
+        # Exact rational threshold so the prefix length's ceil(t*|S|) is
+        # integer arithmetic (Fraction("0.4") == 2/5 exactly; a float
+        # 0.4*|S| can round the bound the wrong way).
+        frac = Fraction(str(threshold))
+        pairs = ngram_jaccard_pairs_prefix(
+            df,
+            text_col,
+            id_col,
+            n=n,
+            threshold_num=frac.numerator,
+            threshold_den=frac.denominator,
+            docsets=docsets,
+        )
+        if df_cap is None:
+            return pairs
+        # Scope filter: keep only pairs sharing >= 1 non-stop shingle.
+        # The verified pair set is tiny (it is the dedup OUTPUT), so both
+        # joins below broadcast it and the big shingle table is scanned
+        # twice with a broadcast-hash prune — no extra big-table shuffle
+        # beyond the `hot` aggregation the contract itself requires.
+        keys = pairs.select("doc_a", "doc_b")
+        idx = sh.join(F.broadcast(hot), "sh", "left_anti")
+        ra = idx.select(F.col("doc_id").alias("doc_a"), "sh")
+        rb = idx.select(F.col("doc_id").alias("doc_b"), "sh")
+        shared_rare = (
+            ra.join(F.broadcast(keys), "doc_a")
+            .join(rb, ["doc_b", "sh"])
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return pairs.join(shared_rare, ["doc_a", "doc_b"], "left_semi")
+    if candidates != "index":
+        raise ValueError(f"unknown candidate strategy {candidates!r}")
     idx = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = idx.alias("a")
     b = idx.alias("b")
@@ -598,7 +645,7 @@ def connected_components(
     # -- one cheap aggregate per round instead of a change-detection join.
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # One round = one aggregation: min over (own label ∪ labels arriving
         # over edges).  Union + groupBy-min replaces the former
         # groupBy + left-join pair -- same fixpoint, one fewer stage per
@@ -607,12 +654,21 @@ def connected_components(
         propagated = both.join(labels, both.s == labels.node).select(
             F.col("d").alias("node"), "label"
         )
-        new_labels = (
+        round_df = (
             labels.unionByName(propagated)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
         )
+        if (it + 1) % 5 == 0:
+            # Every 5th round, truncate lineage instead of only caching:
+            # the per-round persists bound RECOMPUTATION but the logical
+            # plan still deepens every round, and analyzer/optimizer time
+            # grows with it on long-diameter graphs.  eager=True both
+            # materializes (so the convergence sum below reads the
+            # checkpointed RDD) and serves as this round's cache.
+            new_labels = round_df.localCheckpoint(eager=True)
+        else:
+            new_labels = round_df.persist()
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels

@@ -31,9 +31,33 @@ RANK_SCALE = 10**12  # integer grid PageRank mass lives on
 DAMP_NUM, DAMP_DEN = 85, 100  # damping factor 0.85 as an exact rational
 
 
+CHECKPOINT_EVERY = 5  # truncate iterative lineage every k supersteps
+
+
+def _maybe_checkpoint(df: DataFrame, step: int, total: int, every: int) -> DataFrame:
+    """Truncate the evolving state frame's lineage every ``every`` steps.
+
+    Fixed 3-round loops carry a small plan, but at the 10-20 rounds a
+    100x graph needs, each superstep re-analyzes and re-optimizes the
+    whole accumulated chain — optimizer time and plan size grow
+    superlinearly with depth (the label_prop 2.8x step at 500k in
+    results/scale_probe.txt).  ``localCheckpoint(eager=False)``
+    materializes the RDD at the next action and cuts the logical plan
+    back to a leaf; non-eager so no extra job is spawned.  Local (not
+    reliable) checkpointing is the right trade here: state is |V| rows,
+    rebuilt from scratch in minutes if an executor dies; a production
+    run on preemptible nodes would use rdd.checkpoint to HDFS instead —
+    same call site, one flag of difference.
+    """
+    if every and (step + 1) % every == 0 and (step + 1) < total:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
 def pagerank(
     edges: DataFrame,
     n_iters: int = 3,
+    checkpoint_every: int = CHECKPOINT_EVERY,
 ) -> DataFrame:
     """Integer-grid PageRank over directed ``edges`` (columns src, dst).
 
@@ -73,7 +97,7 @@ def pagerank(
     ranks = nodes.withColumn(
         "rank_q", F.lit(RANK_SCALE // n_nodes).cast("bigint")
     )
-    for _ in range(n_iters):
+    for it in range(n_iters):
         contribs = (
             ranks.join(deg, ranks.node == deg.src, "inner")
             .join(edges, "src")
@@ -96,10 +120,15 @@ def pagerank(
                 ).alias("rank_q"),
             )
         )
+        ranks = _maybe_checkpoint(ranks, it, n_iters, checkpoint_every)
     return ranks
 
 
-def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 3,
+    checkpoint_every: int = CHECKPOINT_EVERY,
+) -> DataFrame:
     """Synchronous label-propagation community detection over symmetric
     ``edges`` (src, dst): labels start as node ids; each superstep every
     node adopts the most frequent label among its neighbors, ties broken
@@ -123,7 +152,7 @@ def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node").cast("bigint")
     )
-    for _ in range(n_iters):
+    for it in range(n_iters):
         counts = (
             labels.join(edges, labels.node == edges.src)
             .groupBy(F.col("dst").alias("n2"), "label")
@@ -138,4 +167,5 @@ def label_propagation(edges: DataFrame, n_iters: int = 3) -> DataFrame:
             )
             .select("node", (-F.col("m.neg_label")).cast("bigint").alias("label"))
         )
+        labels = _maybe_checkpoint(labels, it, n_iters, checkpoint_every)
     return labels

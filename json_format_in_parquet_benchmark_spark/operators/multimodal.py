@@ -254,12 +254,29 @@ def _phash_content(payload: bytes) -> tuple[int, int]:
     """
     import numpy as np
 
-    text = bytes(payload).decode("utf-8")
+    # surrogateescape keeps the decode deterministic AND total: the
+    # text-derived stub media is pure UTF-8 (identical result), while a
+    # real binary blob maps each undecodable byte to a stable surrogate
+    # instead of raising UnicodeDecodeError -- the stage is the documented
+    # swap point for a pixel-DCT pHash and must not fail closed on the
+    # first genuine media payload.
+    text = bytes(payload).decode("utf-8", errors="surrogateescape")
     grams = (
         [text[i : i + 4] for i in range(len(text) - 3)] if len(text) >= 4 else [text]
     )
     hs = np.array(
-        [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) for g in grams],
+        [
+            # surrogateescape round-trips the lossless decode above: grams
+            # from binary payloads re-encode to their original bytes
+            # instead of raising UnicodeEncodeError on lone surrogates.
+            int(
+                hashlib.md5(g.encode("utf-8", errors="surrogateescape")).hexdigest()[
+                    :15
+                ],
+                16,
+            )
+            for g in grams
+        ],
         dtype=np.uint64,
     )
     bits = (hs[:, None] >> np.arange(PHASH_BITS, dtype=np.uint64)) & np.uint64(1)

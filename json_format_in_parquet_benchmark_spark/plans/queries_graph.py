@@ -364,7 +364,11 @@ def graph_kcore_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at runtime -- truncates diagnostics only, never results -- the same
     # repin-at-runtime pattern tables.load_table uses for the session
     # timezone, because the external driver's session config is not ours
-    # to set.
+    # to set.  Deliberately NOT restored on exit: this builder returns a
+    # LAZY plan, and the OOM it guards against fires at execution time
+    # (AQE onUpdatePlan -> explainString during the consumer's collect),
+    # long after a try/finally here would have undone the cap.  The cap is
+    # session-wide by design; it shortens explain/diagnostic text only.
     spark.conf.set("spark.sql.maxPlanStringLength", str(1_000_000))
 
     toks = tokens_spark("text")

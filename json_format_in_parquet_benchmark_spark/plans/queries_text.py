@@ -1542,3 +1542,139 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("chunk_checksum"),
     )
+
+
+BPE_MERGE_ROUNDS = 8
+
+
+def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """Unrolled CTE chain replaying the exact BPE merge loop.
+
+    Words are encoded as '<c1><c2>...' symbol strings; one merge round =
+    weighted adjacent-pair count -> deterministic argmax (count desc,
+    then left/right symbol) -> leftmost non-overlapping replace of
+    '<l><r>' with '<lr>' (string replace IS greedy left-to-right BPE
+    application in both engines).
+    """
+    ctes = [
+        f"""vocab0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS enc,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_TOKS_D}) AS w FROM documents) GROUP BY w
+)"""
+    ]
+    finals = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""pairs{r} AS (
+  SELECT s[i] AS lft, s[i + 1] AS rgt, CAST(SUM(c) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(enc, '<>'), '><') AS s, c FROM vocab{p}) t,
+       unnest(range(1, len(s))) u(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""best{r} AS (
+  SELECT lft, rgt, pair_count FROM pairs{r}
+  ORDER BY pair_count DESC, lft, rgt LIMIT 1
+)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""vocab{r} AS MATERIALIZED (
+  SELECT replace(enc, '<' || b.lft || '><' || b.rgt || '>',
+                 '<' || b.lft || b.rgt || '>') AS enc, c
+  FROM vocab{p}, best{r} b
+)"""
+            )
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_round, lft, rgt,"
+            f" lft || rgt AS merged, pair_count FROM best{r}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY merge_round"
+    )
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    doc=f"Multi-round BPE tokenizer TRAINING (the actual trainer loop, "
+    f"extending text_bpe_pair_counts' single argmax): {BPE_MERGE_ROUNDS} "
+    "merge rounds over the corpus word-frequency table, each round = "
+    "weighted adjacent-symbol-pair count -> deterministic argmax (count "
+    "desc, symbol tiebreak) -> greedy leftmost merge applied to every "
+    "vocabulary word; emits the learned merge table.  The Spark loop is "
+    "the production shape: the CORPUS is reduced once to (word, count) "
+    "-- the only corpus-size-dependent shuffle -- then every round runs "
+    "on the vocabulary table (MBs at 100 TB), collecting exactly ONE "
+    "argmax row per round to the driver so the merge literal feeds the "
+    "next round's replace without a growing broadcast-join chain; the "
+    "evolving vocab is persisted per round so lineage never re-derives "
+    "prior merges.  Greedy leftmost non-overlapping string replace on "
+    "the '<sym>' encoding is exactly BPE merge application, and both "
+    "engines' replace() scans leftmost non-overlapping, so the merge "
+    "table is bit-identical cross-engine.",
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _track_persist(
+        docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.regexp_replace("w", "(.)", "<$1>").alias("enc"),
+            "c",
+        )
+    )
+    merges = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        syms = vocab.select(
+            F.split(F.expr("trim(BOTH '<>' FROM enc)"), "><").alias("s"), "c"
+        )
+        pairs = (
+            syms.where(F.size("s") >= 2)
+            .select(
+                "c",
+                F.explode(F.expr("sequence(1, size(s) - 1)")).alias("i"),
+                "s",
+            )
+            .select(
+                F.expr("element_at(s, i)").alias("lft"),
+                F.expr("element_at(s, i + 1)").alias("rgt"),
+                "c",
+            )
+            .groupBy("lft", "rgt")
+            .agg(F.sum("c").cast("bigint").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("lft"), F.col("rgt")
+        ).first()
+        if best is None:  # fully merged vocabulary -- stop early
+            break
+        lft, rgt, pc = best["lft"], best["rgt"], best["pair_count"]
+        merges.append((r, lft, rgt, lft + rgt, pc))
+        if r < BPE_MERGE_ROUNDS:
+            vocab = _track_persist(
+                vocab.select(
+                    F.replace(
+                        F.col("enc"),
+                        F.lit(f"<{lft}><{rgt}>"),
+                        F.lit(f"<{lft}{rgt}>"),
+                    ).alias("enc"),
+                    "c",
+                )
+            )
+    return spark.createDataFrame(
+        merges,
+        "merge_round bigint, lft string, rgt string, merged string,"
+        " pair_count bigint",
+    ).orderBy("merge_round")

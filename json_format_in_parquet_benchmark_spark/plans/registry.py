@@ -68,12 +68,18 @@ def register(
             # measured iterations stay warm via Spark's CacheManager.
             from ..operators import dedup as _cache_reg
 
-            _cache_reg.release_caches(except_owner=name)
+            prev_owner = _cache_reg._CACHE_OWNER[0]
+            if not prev_owner:
+                # Only the OUTERMOST build evicts other queries' caches;
+                # a registered query invoked from inside another (composed
+                # pipelines call sibling builders) must not free its
+                # caller's persisted intermediates mid-build.
+                _cache_reg.release_caches(except_owner=name)
             _cache_reg._CACHE_OWNER[0] = name
             try:
                 return fn(spark, sf_dir)
             finally:
-                _cache_reg._CACHE_OWNER[0] = ""
+                _cache_reg._CACHE_OWNER[0] = prev_owner
 
         REGISTRY[name] = Query(
             name=name, fn=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags, bench=bench

@@ -187,10 +187,20 @@ def main() -> None:
                     driver_max_edges=0,
                 ).count()
             )
-        r["ngram_jaccard"] = timed_l("ngram_jaccard", 
+        # Default path since round 4: prefix-bound candidates + DF-cap
+        # scope filter (the production route).
+        r["ngram_jaccard"] = timed_l("ngram_jaccard",
             lambda: dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count()
         )
-        r["ngram_prefix"] = timed_l("ngram_prefix", 
+        # Comparison arm: the original DF-capped inverted-index self-join
+        # (measured 7.2x per 10x data at 500k, the reason prefix became
+        # the default).
+        r["ngram_index_capped"] = timed_l("ngram_index_capped",
+            lambda: dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", candidates="index"
+            ).count()
+        )
+        r["ngram_prefix"] = timed_l("ngram_prefix",
             lambda: dedup.ngram_jaccard_pairs_prefix(
                 docs, "text", "doc_id"
             ).count()
@@ -266,6 +276,20 @@ def main() -> None:
         # map-side-combined aggregates each -- |E|-linear like PageRank.
         r["label_prop_3iter"] = timed_l("label_prop_3iter",
             lambda: label_propagation(spark.read.parquet(edges_path)).count()
+        )
+        # Deep-iteration arms (round-4 verdict task): 10 supersteps with
+        # lineage checkpointing every 5 -- per-iteration cost must stay
+        # ~flat vs the 3-iter arms (without localCheckpoint the analyzer/
+        # optimizer cost compounds with plan depth).
+        r["pagerank_10iter"] = timed_l("pagerank_10iter",
+            lambda: pagerank(
+                spark.read.parquet(edges_path), n_iters=10
+            ).count()
+        )
+        r["label_prop_10iter"] = timed_l("label_prop_10iter",
+            lambda: label_propagation(
+                spark.read.parquet(edges_path), n_iters=10
+            ).count()
         )
         # Perceptual-hash near-dup: Arrow-batched Python pHash stage +
         # banded Hamming join.  The Python md5 kernel dominates and is
