@@ -841,3 +841,93 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def substring_dup_spans(
+    df: DataFrame, text_col: str, id_col: str, anchor_len: int = 40
+) -> DataFrame:
+    """Exact-substring duplicate spans at suffix-array granularity (the
+    Lee et al. 2022 remove-duplicate-substring policy, distributed).
+
+    Every ``anchor_len``-char window of every document is reduced to a
+    60-bit hash; windows whose content occurs in >= 2 DISTINCT documents
+    mark their start positions, and per document the marked
+    [pos, pos+L) intervals merge into maximal spans via gaps-and-islands
+    (running-max window).  Output per doc: span count, duplicated chars
+    (what the policy removes), total chars, kept chars.
+
+    100 TB shape: the map stage emits only (doc_id, pos, int64 hash) --
+    gram strings never outlive the scan projection -- the >=2-docs
+    reduction and the semi-join back are one shuffle each on the hash,
+    and island merging is one window shuffle on doc_id.  Equivalent to
+    the suffix-array pass for all spans >= anchor_len, with no global
+    sort of the corpus.  Within-document repeats are out of scope
+    (cross-document contamination policy).
+    """
+    from ..functions.hashing import hash64_sql_spark
+
+    L = anchor_len
+    docs = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        F.col(text_col).alias("_t"),
+    )
+    grams = (
+        docs.where(F.col("n_chars") >= L)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.expr(f"sequence(1L, n_chars - {L} + 1)")).alias("pos"),
+            "_t",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "pos",
+            F.expr(hash64_sql_spark(f"substring(_t, cast(pos as int), {L})")).alias(
+                "gh"
+            ),
+        )
+    )
+    dupg = (
+        grams.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dupg, "gh", "left_semi").select("doc_id", "n_chars", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = hits.withColumn(
+        "prev_max", F.max(F.col("pos") + L - 1).over(w_prev)
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("pos") > F.col("prev_max") + 1),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island_id", F.sum("new_island").over(w_run))
+    spans = islands.groupBy("doc_id", "island_id").agg(
+        F.min("n_chars").alias("n_chars"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + L - 1).alias("e"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
+        F.min("n_chars").cast("bigint").alias("n_chars"),
+        (F.min("n_chars") - F.sum(F.col("e") - F.col("s") + 1))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )

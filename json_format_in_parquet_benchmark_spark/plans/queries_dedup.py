@@ -897,69 +897,9 @@ FROM spans GROUP BY doc_id
     bench=True,
 )
 def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.dedup import substring_dup_spans
 
-    from ..functions.hashing import hash64_sql_spark
-    from ..operators.dedup import _spread
-
-    L = SUBSTR_L
-    docs = _spread(load_table(spark, sf_dir, "documents"))
-    grams = (
-        docs.where(F.col("n_chars") >= L)
-        .select(
-            "doc_id",
-            "n_chars",
-            F.explode(F.expr(f"sequence(1L, n_chars - {L} + 1)")).alias("pos"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            "n_chars",
-            "pos",
-            F.expr(
-                hash64_sql_spark(f"substring(text, cast(pos as int), {L})")
-            ).alias("gh"),
-        )
-    )
-    dupg = (
-        grams.select("doc_id", "gh")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("ndocs"))
-        .where(F.col("ndocs") >= 2)
-        .select("gh")
-    )
-    hits = grams.join(dupg, "gh", "left_semi").select("doc_id", "n_chars", "pos")
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    marked = hits.withColumn(
-        "prev_max", F.max(F.col("pos") + L - 1).over(w_prev)
-    ).withColumn(
-        "new_island",
-        F.when(
-            F.col("prev_max").isNull() | (F.col("pos") > F.col("prev_max") + 1),
-            1,
-        ).otherwise(0),
-    )
-    islands = marked.withColumn("island_id", F.sum("new_island").over(w_run))
-    spans = islands.groupBy("doc_id", "island_id").agg(
-        F.min("n_chars").alias("n_chars"),
-        F.min("pos").alias("s"),
-        (F.max("pos") + L - 1).alias("e"),
-    )
-    return spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
-        F.min("n_chars").cast("bigint").alias("n_chars"),
-        (F.min("n_chars") - F.sum(F.col("e") - F.col("s") + 1))
-        .cast("bigint")
-        .alias("kept_chars"),
+    return substring_dup_spans(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        anchor_len=SUBSTR_L,
     )

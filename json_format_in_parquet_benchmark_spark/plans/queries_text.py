@@ -1601,42 +1601,22 @@ def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
     )
 
 
-@register(
-    "text_bpe_train_merges",
-    oracle=_bpe_train_oracle(),
-    doc=f"Multi-round BPE tokenizer TRAINING (the actual trainer loop, "
-    f"extending text_bpe_pair_counts' single argmax): {BPE_MERGE_ROUNDS} "
-    "merge rounds over the corpus word-frequency table, each round = "
-    "weighted adjacent-symbol-pair count -> deterministic argmax (count "
-    "desc, symbol tiebreak) -> greedy leftmost merge applied to every "
-    "vocabulary word; emits the learned merge table.  The Spark loop is "
-    "the production shape: the CORPUS is reduced once to (word, count) "
-    "-- the only corpus-size-dependent shuffle -- then every round runs "
-    "on the vocabulary table (MBs at 100 TB), collecting exactly ONE "
-    "argmax row per round to the driver so the merge literal feeds the "
-    "next round's replace without a growing broadcast-join chain; the "
-    "evolving vocab is persisted per round so lineage never re-derives "
-    "prior merges.  Greedy leftmost non-overlapping string replace on "
-    "the '<sym>' encoding is exactly BPE merge application, and both "
-    "engines' replace() scans leftmost non-overlapping, so the merge "
-    "table is bit-identical cross-engine.",
-    tags=("text", "tokenizer", "bpe", "iterative"),
-)
-def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_train_merges(words: DataFrame, rounds: int = BPE_MERGE_ROUNDS) -> DataFrame:
+    """Run the BPE merge loop over a (w, c) word-frequency DataFrame.
+
+    Separated from the registry query so tests can drive it on crafted
+    corpora against a pure-Python reference trainer."""
     from ..operators.dedup import _track_persist
 
-    docs = load_table(spark, sf_dir, "documents")
+    spark = words.sparkSession
     vocab = _track_persist(
-        docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .select(
+        words.select(
             F.regexp_replace("w", "(.)", "<$1>").alias("enc"),
-            "c",
+            F.col("c").cast("bigint").alias("c"),
         )
     )
     merges = []
-    for r in range(1, BPE_MERGE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         syms = vocab.select(
             F.split(F.expr("trim(BOTH '<>' FROM enc)"), "><").alias("s"), "c"
         )
@@ -1662,7 +1642,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         lft, rgt, pc = best["lft"], best["rgt"], best["pair_count"]
         merges.append((r, lft, rgt, lft + rgt, pc))
-        if r < BPE_MERGE_ROUNDS:
+        if r < rounds:
             vocab = _track_persist(
                 vocab.select(
                     F.replace(
@@ -1678,3 +1658,34 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_round bigint, lft string, rgt string, merged string,"
         " pair_count bigint",
     ).orderBy("merge_round")
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    doc=f"Multi-round BPE tokenizer TRAINING (the actual trainer loop, "
+    f"extending text_bpe_pair_counts' single argmax): {BPE_MERGE_ROUNDS} "
+    "merge rounds over the corpus word-frequency table, each round = "
+    "weighted adjacent-symbol-pair count -> deterministic argmax (count "
+    "desc, symbol tiebreak) -> greedy leftmost merge applied to every "
+    "vocabulary word; emits the learned merge table.  The Spark loop is "
+    "the production shape: the CORPUS is reduced once to (word, count) "
+    "-- the only corpus-size-dependent shuffle -- then every round runs "
+    "on the vocabulary table (MBs at 100 TB), collecting exactly ONE "
+    "argmax row per round to the driver so the merge literal feeds the "
+    "next round's replace without a growing broadcast-join chain; the "
+    "evolving vocab is persisted per round so lineage never re-derives "
+    "prior merges.  Greedy leftmost non-overlapping string replace on "
+    "the '<sym>' encoding is exactly BPE merge application, and both "
+    "engines' replace() scans leftmost non-overlapping, so the merge "
+    "table is bit-identical cross-engine.",
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return bpe_train_merges(words, rounds=BPE_MERGE_ROUNDS)

@@ -205,6 +205,14 @@ def main() -> None:
                 docs, "text", "doc_id"
             ).count()
         )
+        # Exact-substring spans (round 4): position fan-out is |chars| rows
+        # of (doc_id, pos, int64) -- growth must stay ~linear in corpus
+        # bytes (two hash shuffles + one doc_id window).
+        r["substring_spans"] = timed_l("substring_spans",
+            lambda: dedup.substring_dup_spans(
+                docs, "text", "doc_id"
+            ).count()
+        )
         r["embedding_near_dup"] = timed_l("embedding_near_dup", 
             lambda: dedup.embedding_near_dup_pairs(
                 embs, "embedding", "vec_id", n_planes=n_planes

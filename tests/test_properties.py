@@ -874,3 +874,102 @@ def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
         join_bloom_prefilter(spark, sf_dir).agg(F.sum("n_items")).collect()[0][0]
     )
     assert bloomed == plain
+
+
+def test_substring_spans_on_planted_passages(spark):
+    """Exact-substring dedup invariants on a crafted corpus: a passage
+    shared by two docs (at different offsets) yields exactly one maximal
+    span of exactly the passage length in each; a string repeated only
+    WITHIN one doc is not flagged (cross-doc policy); a doc with a
+    disjoint alphabet is absent."""
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    L = 10
+    passage = "zyxwvutsrqponmlkjihgfedcb"  # 25 chars, disjoint from junk
+    docs = spark.createDataFrame(
+        [
+            (0, "0123456789012345" + passage + "5432109876"),
+            (1, "ABCDEFGHIJKLMNOP" + passage + "QRSTUVWXYZABCD"),
+            (2, "aabb" * 12),  # shares nothing cross-doc
+            (3, "@@##$$%%&&**" * 4),  # internal repeats only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in substring_dup_spans(docs, "text", "doc_id", anchor_len=L).collect()
+    }
+    assert set(rows) == {0, 1}, f"only the passage-sharing docs flag: {rows}"
+    for d in (0, 1):
+        assert rows[d]["n_dup_spans"] == 1
+        # every L-window inside the 25-char passage is shared, so the
+        # merged island is exactly the passage
+        assert rows[d]["dup_chars"] == len(passage)
+        assert rows[d]["kept_chars"] == rows[d]["n_chars"] - len(passage)
+
+
+def test_bpe_trainer_matches_python_reference(spark):
+    """The distributed BPE loop must reproduce a straightforward in-memory
+    BPE trainer (greedy leftmost merge, argmax by count then pair order)
+    on a crafted word-frequency table, including the 'aaaa' overlap case
+    where leftmost non-overlapping application is what defines BPE."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_text import (
+        bpe_train_merges,
+    )
+
+    words = {"aaaa": 3, "aaab": 2, "abab": 4, "banana": 5, "bb": 1}
+    rounds = 5
+
+    # pure-Python reference
+    vocab = {tuple(w): c for w, c in words.items()}
+    expect = []
+    for r in range(1, rounds + 1):
+        counts: dict = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (lft, rgt), pc = best
+        expect.append((r, lft, rgt, lft + rgt, pc))
+        new_vocab: dict = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+
+    wdf = spark.createDataFrame(list(words.items()), "w string, c long")
+    got = [
+        (r["merge_round"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(wdf, rounds=rounds).collect()
+    ]
+    assert got == expect, f"\nspark: {got}\nref:   {expect}"
+
+
+def test_clip_pairing_separates_pos_from_neg(spark, sf_dir):
+    """The CLIP-stub alignment gate must genuinely discriminate: positive
+    (media, own-caption) pairs score near 1 and every one clears the 3/4
+    gate; mismatched pairs average far below."""
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+
+    rows = REGISTRY["multimodal_clip_pairing"].fn(spark, sf_dir).collect()
+    pos = [r for r in rows if r["pair_type"] == "pos"]
+    neg = [r for r in rows if r["pair_type"] == "neg"]
+    assert pos and neg
+    assert all(r["aligned"] == 1 for r in pos)
+    mean_pos = sum(r["cos_sim"] for r in pos) / len(pos)
+    mean_neg = sum(r["cos_sim"] for r in neg) / len(neg)
+    assert mean_pos > 0.9
+    assert mean_neg < mean_pos - 0.25, (mean_pos, mean_neg)
