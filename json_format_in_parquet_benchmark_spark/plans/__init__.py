@@ -44,6 +44,7 @@ _EVIDENCE_PRIORITY = (
     "text_bpe_train_merges",
     "dedup_substring_exact",
     "multimodal_clip_pairing",
+    "search_hybrid_rrf",
     "q18_large_volume_customers",
     "sample_domain_cap",
     "profile_length_histogram",

@@ -140,3 +140,144 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score") > 0)
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_K)
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+HYBRID_QUERY_VEC = 0  # vec_id whose embedding plays the semantic query
+
+
+def _hybrid_oracle() -> str:
+    from ..functions.vectors import cosine_duckdb
+
+    cos = cosine_duckdb("e.embedding", "q.embedding")
+    return f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_D}) AS BIGINT) AS dl,
+         {", ".join(_tf_sql(spark_side=False))}
+  FROM documents
+  WHERE len({_TOKS_D}) > 0
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         {", ".join(f"CAST(COUNT(*) FILTER (tf{i} > 0) AS BIGINT) AS df{i}" for i in range(len(QUERY_TERMS)))}
+  FROM tf
+), lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY ({_SCORE}) DESC, doc_id)
+              AS BIGINT) AS rank_lex
+  FROM tf CROSS JOIN stats
+), vec AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY {cos} DESC, e.vec_id)
+              AS BIGINT) AS rank_vec
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings
+              WHERE vec_id = {HYBRID_QUERY_VEC}) q
+), fused AS (
+  SELECT l.doc_id, l.rank_lex, v.rank_vec,
+         CAST({2 * RRF_K} + l.rank_lex + v.rank_vec AS BIGINT) AS rrf_num,
+         CAST(({RRF_K} + l.rank_lex) * ({RRF_K} + v.rank_vec) AS BIGINT)
+           AS rrf_den
+  FROM lex l JOIN vec v USING (doc_id)
+)
+SELECT doc_id, rank_lex, rank_vec, rrf_num, rrf_den,
+       CAST(rrf_num AS DOUBLE) / CAST(rrf_den AS DOUBLE) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=_hybrid_oracle(),
+    doc="Hybrid retrieval with reciprocal-rank fusion -- the standard "
+    "RAG-stack ranker combining the lexical and semantic arms this "
+    "engine already serves: the BM25 arm ranks every document by the "
+    "odds-idf score (full ranking, zero scores last, doc_id tiebreak), "
+    "the vector arm ranks every document by exact cosine against a "
+    f"fixed probe embedding (vec_id {HYBRID_QUERY_VEC}; documents and "
+    "embeddings are 1:1 by id), and RRF fuses them as 1/(k+r_lex) + "
+    f"1/(k+r_vec) with k={RRF_K}.  Exactness: both ranks order by "
+    "bit-identical doubles with integer tiebreaks, and the fused score "
+    "is computed as ONE exact integer fraction (num=2k+r1+r2, "
+    "den=(k+r1)(k+r2)) with a single double division of identical "
+    "operands -- no float summation of reciprocals.  100 TB shape: each "
+    "arm is the already-verified retrieval plan (map-side scoring, "
+    "top-k via TakeOrdered); fusing full corpus rankings is the EVAL "
+    "construction -- a production serving path fuses each arm's top-k "
+    "candidate lists (thousands of rows), where the global ranking "
+    "windows are driver-scale.",
+    tags=("search", "similarity", "rrf", "hybrid"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.selectExpr(
+        "doc_id",
+        f"cast(size({_TOKS_S}) as bigint) as dl",
+        *_tf_sql(spark_side=True),
+    ).where(F.col("dl") > 0)
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.expr(f"count_if(tf{i} > 0)").alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    lex = (
+        tf.join(F.broadcast(stats))
+        .select("doc_id", F.expr(_SCORE).alias("score"))
+        .withColumn(
+            "rank_lex",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("qvec")
+    )
+    vec = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(cosine_spark("embedding", "qvec")).alias("cos_sim"),
+        )
+        .withColumn(
+            "rank_vec",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_vec")
+    )
+    k = RRF_K
+    fused = lex.join(vec, "doc_id").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        (F.lit(2 * k) + F.col("rank_lex") + F.col("rank_vec"))
+        .cast("bigint")
+        .alias("rrf_num"),
+        ((F.lit(k) + F.col("rank_lex")) * (F.lit(k) + F.col("rank_vec")))
+        .cast("bigint")
+        .alias("rrf_den"),
+    )
+    return (
+        fused.withColumn(
+            "rrf_score",
+            F.col("rrf_num").cast("double") / F.col("rrf_den").cast("double"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
