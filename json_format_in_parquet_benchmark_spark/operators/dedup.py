@@ -338,17 +338,38 @@ def ngram_jaccard_pairs(
         if df_cap is None:
             return pairs
         # Scope filter: keep only pairs sharing >= 1 non-stop shingle.
-        # The verified pair set is tiny (it is the dedup OUTPUT), so both
-        # joins below broadcast it and the big shingle table is scanned
-        # twice with a broadcast-hash prune — no extra big-table shuffle
-        # beyond the `hot` aggregation the contract itself requires.
+        # Evaluated on the CANDIDATE PAIRS' shingle intersections, never
+        # on the full (doc, shingle) table: the verified pair set is tiny
+        # (it is the dedup OUTPUT), so re-deriving each pair's shared
+        # shingles via array_intersect over broadcast-pruned docsets costs
+        # |pairs| * |intersection| rows.  The first cut of this filter
+        # joined the full exploded rare-shingle table against itself
+        # keyed by pair — at 500k docs AQE measured the 19M-row string
+        # side under the 32MB broadcast threshold by COMPRESSED size and
+        # OOM'd building the hash relation (the known broadcast-
+        # conversion trap, results/bench_notes.md).
         keys = pairs.select("doc_a", "doc_b")
-        idx = sh.join(F.broadcast(hot), "sh", "left_anti")
-        ra = idx.select(F.col("doc_id").alias("doc_a"), "sh")
-        rb = idx.select(F.col("doc_id").alias("doc_b"), "sh")
+        da = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"))
+        # Prune the b-side to docs that appear in some pair BEFORE the
+        # pair join, so both join inputs are |pairs|-bounded (docsets
+        # rows carry whole shingle arrays — never shuffle the full table
+        # for a filter over the output).
+        db = docsets.join(
+            F.broadcast(keys.select(F.col("doc_b").alias("doc_id")).distinct()),
+            "doc_id",
+            "left_semi",
+        ).select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"))
+        cand_sh = (
+            da.join(F.broadcast(keys), "doc_a")
+            .join(db, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.explode(F.expr("array_intersect(sha, shb)")).alias("sh"),
+            )
+        )
         shared_rare = (
-            ra.join(F.broadcast(keys), "doc_a")
-            .join(rb, ["doc_b", "sh"])
+            cand_sh.join(F.broadcast(hot), "sh", "left_anti")
             .select("doc_a", "doc_b")
             .distinct()
         )

@@ -45,6 +45,7 @@ _EVIDENCE_PRIORITY = (
     "dedup_substring_exact",
     "multimodal_clip_pairing",
     "search_hybrid_rrf",
+    "text_bpe_encode_corpus",
     "q18_large_volume_customers",
     "sample_domain_cap",
     "profile_length_histogram",

@@ -1547,23 +1547,27 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGE_ROUNDS = 8
 
 
-def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
-    """Unrolled CTE chain replaying the exact BPE merge loop.
+def _bpe_cte_chain(rounds: int, final_vocab: bool = False) -> list[str]:
+    """CTE list replaying the exact BPE merge loop (shared by the trainer
+    and the encoder oracles).
 
     Words are encoded as '<c1><c2>...' symbol strings; one merge round =
     weighted adjacent-pair count -> deterministic argmax (count desc,
     then left/right symbol) -> leftmost non-overlapping replace of
     '<l><r>' with '<lr>' (string replace IS greedy left-to-right BPE
-    application in both engines).
+    application in both engines).  Every vocab CTE carries the original
+    word ``w`` so consumers can map word -> merged symbols.  With
+    ``final_vocab`` the chain also applies the LAST round's merge,
+    yielding vocab{rounds} (what a tokenizer APPLIES; the trainer only
+    reads best{rounds}).
     """
     ctes = [
         f"""vocab0 AS MATERIALIZED (
-  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS enc,
+  SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS enc,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM (SELECT unnest({_TOKS_D}) AS w FROM documents) GROUP BY w
 )"""
     ]
-    finals = []
     for r in range(1, rounds + 1):
         p = r - 1
         ctes.append(
@@ -1580,18 +1584,24 @@ def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
   ORDER BY pair_count DESC, lft, rgt LIMIT 1
 )"""
         )
-        if r < rounds:
+        if r < rounds or final_vocab:
             ctes.append(
                 f"""vocab{r} AS MATERIALIZED (
-  SELECT replace(enc, '<' || b.lft || '><' || b.rgt || '>',
+  SELECT w, replace(enc, '<' || b.lft || '><' || b.rgt || '>',
                  '<' || b.lft || b.rgt || '>') AS enc, c
   FROM vocab{p}, best{r} b
 )"""
             )
-        finals.append(
-            f"SELECT CAST({r} AS BIGINT) AS merge_round, lft, rgt,"
-            f" lft || rgt AS merged, pair_count FROM best{r}"
-        )
+    return ctes
+
+
+def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    ctes = _bpe_cte_chain(rounds)
+    finals = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, lft, rgt,"
+        f" lft || rgt AS merged, pair_count FROM best{r}"
+        for r in range(1, rounds + 1)
+    ]
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -1689,3 +1699,73 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     return bpe_train_merges(words, rounds=BPE_MERGE_ROUNDS)
+
+
+def _bpe_encode_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    ctes = _bpe_cte_chain(rounds, final_vocab=True)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+wtok AS (
+  SELECT w,
+         CAST(len(string_split(trim(enc, '<>'), '><')) AS BIGINT) AS n_syms
+  FROM vocab{rounds}
+),
+tok AS (SELECT doc_id, unnest({_TOKS_D}) AS w FROM documents)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wt.n_syms) AS BIGINT) AS n_bpe_tokens
+FROM tok t JOIN wtok wt USING (w)
+GROUP BY t.doc_id
+"""
+    )
+
+
+@register(
+    "text_bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    doc="Tokenizer APPLICATION -- the downstream half of "
+    f"text_bpe_train_merges: train the {BPE_MERGE_ROUNDS}-merge BPE "
+    "table, apply the learned merges (in order, greedy leftmost) to the "
+    "vocabulary, and tokenize the corpus by mapping each word to its "
+    "merged symbol count; emits per-document word and BPE-token counts "
+    "-- the number every shard-packing / context-budget stage actually "
+    "consumes.  100 TB shape: training reduces the corpus once to the "
+    "vocabulary; ENCODING is a broadcast join of the corpus's exploded "
+    "words against the tiny word->n_syms table plus one groupBy doc -- "
+    "the corpus is never re-scanned per merge round, exactly how "
+    "production tokenizer-application jobs are laid out.",
+    tags=("text", "tokenizer", "bpe"),
+)
+def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
+    words = _track_persist(
+        tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    merges = [
+        (r["lft"], r["rgt"])
+        for r in bpe_train_merges(words, rounds=BPE_MERGE_ROUNDS)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    enc = F.regexp_replace("w", "(.)", "<$1>")
+    for lft, rgt in merges:
+        enc = F.replace(enc, F.lit(f"<{lft}><{rgt}>"), F.lit(f"<{lft}{rgt}>"))
+    wtok = words.select("w", enc.alias("enc")).select(
+        "w",
+        F.size(F.split(F.expr("trim(BOTH '<>' FROM enc)"), "><"))
+        .cast("bigint")
+        .alias("n_syms"),
+    )
+    return (
+        tok.join(F.broadcast(wtok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
