@@ -326,14 +326,20 @@ def ngram_jaccard_pairs(
         # integer arithmetic (Fraction("0.4") == 2/5 exactly; a float
         # 0.4*|S| can round the bound the wrong way).
         frac = Fraction(str(threshold))
-        pairs = ngram_jaccard_pairs_prefix(
-            df,
-            text_col,
-            id_col,
-            n=n,
-            threshold_num=frac.numerator,
-            threshold_den=frac.denominator,
-            docsets=docsets,
+        # PERSIST the verified pairs: the scope filter below consumes them
+        # three times (broadcast keys, b-side prune, final semi-join) and
+        # an unpersisted plan re-runs the whole prefix candidate+verify
+        # chain per consumer (measured 2.8s -> 7.7s at 50k docs).
+        pairs = _track_persist(
+            ngram_jaccard_pairs_prefix(
+                df,
+                text_col,
+                id_col,
+                n=n,
+                threshold_num=frac.numerator,
+                threshold_den=frac.denominator,
+                docsets=docsets,
+            )
         )
         if df_cap is None:
             return pairs
