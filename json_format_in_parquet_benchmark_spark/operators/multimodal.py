@@ -387,14 +387,21 @@ def _clip_media_vector(payload: bytes) -> dict[int, int]:
     LOSSY view of the content (what makes positive-pair cosine < 1 and the
     alignment threshold meaningful); it is hash-deterministic so the
     DuckDB oracle replays it exactly.
+
+    ONE md5 per gram: bucket rides the low bits (h % DIM), sign the next
+    bit (h div DIM), dropout the bits above those (h div 2*DIM) -- three
+    independent-enough fields of the same 60-bit hash, so the dropout
+    decision costs no second hash (measured: hashing dominates this
+    stage; a salted second md5 doubled its cost).
     """
     text = bytes(payload).decode("utf-8", errors="surrogateescape")
     vec: dict[int, int] = {}
+    md5 = hashlib.md5
     for i in range(len(text) - 3):
         g = text[i : i + 4].encode("utf-8", errors="surrogateescape")
-        if int(hashlib.md5(b"drop:" + g).hexdigest()[:15], 16) % CLIP_DROP_MOD == 0:
+        h = int(md5(g).hexdigest()[:15], 16)
+        if (h // (2 * CLIP_DIM)) % CLIP_DROP_MOD == 0:
             continue
-        h = int(hashlib.md5(g).hexdigest()[:15], 16)
         bucket = h % CLIP_DIM
         sign = 1 if (h // CLIP_DIM) % 2 == 0 else -1
         vec[bucket] = vec.get(bucket, 0) + sign

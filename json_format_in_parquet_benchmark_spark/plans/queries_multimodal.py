@@ -241,11 +241,10 @@ def _clip_aligned_ids_cte() -> str:
     from ..operators.multimodal import CLIP_DIM, CLIP_DROP_MOD
 
     h = hash64_sql_duckdb("g")
-    hd = hash64_sql_duckdb("g", salt="drop:")
     n2, d2 = CLIP_CURATE_NUM**2, CLIP_CURATE_DEN**2
     return f"""
 grams_c AS MATERIALIZED (
-  SELECT doc_id, {h} AS h, {hd} AS hd
+  SELECT doc_id, {h} AS h
   FROM (
     SELECT doc_id, substr(text, CAST(i AS INT), 4) AS g
     FROM documents, unnest(range(1, length(text) - 2)) t(i)
@@ -260,7 +259,8 @@ tvec_c AS (
 mvec_c AS (
   SELECT doc_id AS media_id, h % {CLIP_DIM} AS bucket,
          CAST(SUM(1 - 2 * ((h // {CLIP_DIM}) % 2)) AS BIGINT) AS mval
-  FROM grams_c WHERE hd % {CLIP_DROP_MOD} <> 0 GROUP BY 1, 2
+  FROM grams_c WHERE (h // {2 * CLIP_DIM}) % {CLIP_DROP_MOD} <> 0
+  GROUP BY 1, 2
 ),
 tn2 AS (SELECT doc_id, CAST(SUM(tval * tval) AS BIGINT) AS t_norm2
         FROM tvec_c GROUP BY 1),
@@ -363,11 +363,16 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Caption-alignment gate: positive-pair CLIP-stub cosine >= 19/20.
     # Same towers as multimodal_clip_pairing, pos pairs only (text_doc ==
     # media_id), so the dot is a co-keyed join on (id, bucket).
+    from ..operators.dedup import _track_persist
     from ..operators.multimodal import clip_media_embeddings
 
     docs = load_table(spark, sf_dir, "documents").where(F.length("text") >= 4)
-    tvec = _clip_text_vectors(docs)
-    mvec = clip_media_embeddings(_media(spark, sf_dir))
+    # Each tower feeds BOTH its norm aggregate and the dot product;
+    # unpersisted, the gram hashing (and the Python media stage) re-runs
+    # per consumer -- measured 0.7s -> 6.9s on the sf0.1 bench before
+    # these persists.
+    tvec = _track_persist(_clip_text_vectors(docs))
+    mvec = _track_persist(clip_media_embeddings(_media(spark, sf_dir)))
     tnorm = tvec.groupBy("doc_id").agg(
         F.sum(F.col("tval") * F.col("tval")).cast("bigint").alias("t_norm2")
     )
@@ -522,14 +527,13 @@ def _clip_pairing_oracle() -> str:
     from ..operators.multimodal import CLIP_DIM, CLIP_DROP_MOD
 
     h = hash64_sql_duckdb("g")
-    hd = hash64_sql_duckdb("g", salt="drop:")
     tn, td = CLIP_COS_NUM, CLIP_COS_DEN
     return f"""
 WITH docs4 AS MATERIALIZED (
   SELECT doc_id, text FROM documents WHERE length(text) >= 4
 ),
 grams AS MATERIALIZED (
-  SELECT doc_id, {h} AS h, {hd} AS hd
+  SELECT doc_id, {h} AS h
   FROM (
     SELECT doc_id, substr(text, CAST(i AS INT), 4) AS g
     FROM docs4, unnest(range(1, length(text) - 2)) t(i)
@@ -543,7 +547,7 @@ tvec AS MATERIALIZED (
 mvec AS MATERIALIZED (
   SELECT doc_id AS media_id, h % {CLIP_DIM} AS bucket,
          CAST(SUM(1 - 2 * ((h // {CLIP_DIM}) % 2)) AS BIGINT) AS mval
-  FROM grams WHERE hd % {CLIP_DROP_MOD} <> 0 GROUP BY 1, 2
+  FROM grams WHERE (h // {2 * CLIP_DIM}) % {CLIP_DROP_MOD} <> 0 GROUP BY 1, 2
 ),
 tn_ AS (SELECT doc_id, CAST(SUM(tval * tval) AS BIGINT) AS t_norm2
         FROM tvec GROUP BY 1),
