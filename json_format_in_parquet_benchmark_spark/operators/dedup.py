@@ -891,6 +891,24 @@ def substring_dup_spans(
     sort of the corpus.  Within-document repeats are out of scope
     (cross-document contamination policy).
     """
+    spans = substring_dup_islands(df, text_col, id_col, anchor_len)
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
+        F.min("n_chars").cast("bigint").alias("n_chars"),
+        (F.min("n_chars") - F.sum(F.col("e") - F.col("s") + 1))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+def substring_dup_islands(
+    df: DataFrame, text_col: str, id_col: str, anchor_len: int = 40
+) -> DataFrame:
+    """The maximal cross-document duplicated spans themselves:
+    (doc_id, n_chars, s, e) per merged island (1-based char positions,
+    inclusive).  Shared by the span-census and the remove-policy
+    operators -- see :func:`substring_dup_spans` for the algorithm."""
     from ..functions.hashing import hash64_sql_spark
 
     L = anchor_len
@@ -945,16 +963,55 @@ def substring_dup_spans(
         ).otherwise(0),
     )
     islands = marked.withColumn("island_id", F.sum("new_island").over(w_run))
-    spans = islands.groupBy("doc_id", "island_id").agg(
+    return islands.groupBy("doc_id", "island_id").agg(
         F.min("n_chars").alias("n_chars"),
-        F.min("pos").alias("s"),
-        (F.max("pos") + L - 1).alias("e"),
+        F.min("pos").cast("bigint").alias("s"),
+        (F.max("pos") + L - 1).cast("bigint").alias("e"),
+    ).select("doc_id", "n_chars", "s", "e")
+
+
+def substring_remove(
+    df: DataFrame, text_col: str, id_col: str, anchor_len: int = 40
+) -> DataFrame:
+    """APPLY the remove-duplicate-substring policy: every maximal
+    cross-document duplicated span (:func:`substring_dup_islands`) is cut
+    out of its document and the remaining pieces are concatenated in
+    order -- the actual corpus-cleaning transform, not just the census.
+
+    The reassembly is one ``aggregate`` fold over each doc's sorted
+    island array (accumulator = (next-copy position, built string)):
+    islands are disjoint with >= 1-char gaps by construction, so every
+    slice length is non-negative and the fold is a single JVM expression
+    -- no Python, no explode of the text.  Docs with no duplicated span
+    pass through verbatim.  Emits (doc_id, kept_chars, kept_hash) --
+    the md5 pins the exact cleaned text.
+    """
+    spans = substring_dup_islands(df, text_col, id_col, anchor_len)
+    isl = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("islands")
     )
-    return spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
-        F.min("n_chars").cast("bigint").alias("n_chars"),
-        (F.min("n_chars") - F.sum(F.col("e") - F.col("s") + 1))
-        .cast("bigint")
-        .alias("kept_chars"),
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+    )
+    kept = F.expr(
+        "case when islands is null then _t else"
+        " aggregate(islands,"
+        "   struct(cast(1 as bigint) as pos, cast('' as string) as acc),"
+        "   (st, i) -> struct(i.e + cast(1 as bigint),"
+        "     concat(st.acc,"
+        "       substring(_t, cast(st.pos as int), cast(i.s - st.pos as int)))),"
+        "   st -> concat(st.acc,"
+        "     substring(_t, cast(st.pos as int),"
+        "       cast(n_chars - st.pos + 1 as int)))) end"
+    )
+    return (
+        docs.join(isl, "doc_id", "left")
+        .select("doc_id", kept.alias("_kept"))
+        .select(
+            "doc_id",
+            F.length("_kept").cast("bigint").alias("kept_chars"),
+            F.md5("_kept").alias("kept_hash"),
+        )
     )

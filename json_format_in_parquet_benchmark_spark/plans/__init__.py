@@ -46,6 +46,7 @@ _EVIDENCE_PRIORITY = (
     "multimodal_clip_pairing",
     "search_hybrid_rrf",
     "text_bpe_encode_corpus",
+    "dedup_substring_remove",
     "q18_large_volume_customers",
     "sample_domain_cap",
     "profile_length_histogram",

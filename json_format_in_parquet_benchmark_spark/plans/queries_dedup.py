@@ -903,3 +903,102 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
         anchor_len=SUBSTR_L,
     )
+
+
+def _substring_remove_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+
+    L = SUBSTR_L
+    gh = hash64_sql_duckdb(f"substr(text, CAST(pos AS INT), {L})")
+    prev_max = (
+        f"MAX(pos + {L} - 1) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+WITH pos_ AS (
+  SELECT doc_id, text, n_chars,
+         CAST(unnest(range(1, n_chars - {L} + 2)) AS BIGINT) AS pos
+  FROM documents WHERE n_chars >= {L}
+),
+grams AS (
+  SELECT doc_id, pos, {gh} AS gh FROM pos_
+),
+dupg AS (
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM grams)
+  GROUP BY gh HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams g SEMI JOIN dupg d ON g.gh = d.gh
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN {prev_max} IS NULL OR pos > {prev_max} + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM marked
+),
+isl AS MATERIALIZED (
+  SELECT doc_id, island_id, MIN(pos) AS s, MAX(pos) + {L} - 1 AS e
+  FROM islands GROUP BY 1, 2
+),
+pieces AS (
+  SELECT i.doc_id, i.s AS ord,
+         substr(d.text, CAST(i.prev_e + 1 AS INT),
+                CAST(i.s - i.prev_e - 1 AS INT)) AS piece
+  FROM (
+    SELECT doc_id, s, e,
+           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+             AS prev_e
+    FROM isl
+  ) i JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT m.doc_id, d.n_chars + 1 AS ord,
+         substr(d.text, CAST(m.max_e + 1 AS INT)) AS piece
+  FROM (SELECT doc_id, MAX(e) AS max_e FROM isl GROUP BY doc_id) m
+  JOIN documents d USING (doc_id)
+),
+cleaned AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS kept
+  FROM pieces GROUP BY doc_id
+)
+SELECT doc_id, CAST(length(kept) AS BIGINT) AS kept_chars,
+       md5(kept) AS kept_hash
+FROM cleaned
+UNION ALL
+SELECT doc_id, CAST(length(text) AS BIGINT), md5(text)
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM isl)
+"""
+
+
+@register(
+    "dedup_substring_remove",
+    oracle=_substring_remove_oracle(),
+    doc="The remove-duplicate-substring policy APPLIED (the second half "
+    "of dedup_substring_exact's census): every maximal cross-document "
+    f"duplicated span (>= {SUBSTR_L}-char sensitivity) is cut from its "
+    "document and the remainder reassembled in order -- the actual "
+    "pretraining-corpus cleaning transform of Lee et al. 2022.  The "
+    "reassembly is ONE aggregate fold over each doc's sorted island "
+    "array (islands are disjoint with >= 1-char gaps by construction, "
+    "so slice lengths are provably non-negative), entirely JVM-side; "
+    "untouched documents pass through verbatim.  The md5 of the "
+    "cleaned text pins the transform exactly -- the oracle rebuilds "
+    "every cleaned document independently via ordered string_agg of "
+    "the gap pieces.  Same 100 TB shape as the census plus one "
+    "|islands| collect_list per affected doc (spans per doc are few "
+    "by construction).",
+    tags=("dedup", "substring", "contamination", "pipeline"),
+)
+def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import substring_remove
+
+    return substring_remove(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        anchor_len=SUBSTR_L,
+    )
