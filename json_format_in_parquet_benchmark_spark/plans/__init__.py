@@ -38,7 +38,7 @@ from . import queries_pipeline  # noqa: E402,F401
 # (k-core peel, MinHash recall harness, pretrain pipeline) placed past the
 # 50-query window so the driver's time-budgeted pass stays fast; they roll
 # into the round-5 sample.  Queries already driver-checked fall through
-# after this tuple in their prior order.  All 189 oracled queries stay
+# after this tuple in their prior order.  All 193 oracled queries stay
 # green under the local typed parity gate regardless of order.
 _EVIDENCE_PRIORITY = (
     "text_bpe_train_merges",

@@ -973,3 +973,31 @@ def test_clip_pairing_separates_pos_from_neg(spark, sf_dir):
     mean_neg = sum(r["cos_sim"] for r in neg) / len(neg)
     assert mean_pos > 0.9
     assert mean_neg < mean_pos - 0.25, (mean_pos, mean_neg)
+
+
+def test_substring_census_agrees_with_remove(spark, sf_dir):
+    """Cross-operator invariant: the span census's kept_chars must equal
+    the remove transform's actual cleaned-text length for every flagged
+    doc, and unflagged docs must pass through at full length."""
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+
+    census = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_substring_exact"].fn(spark, sf_dir).collect()
+    }
+    removed = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_substring_remove"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert set(removed) == set(docs)
+    for d, row in removed.items():
+        if d in census:
+            assert row["kept_chars"] == census[d]["kept_chars"], d
+        else:
+            assert row["kept_chars"] == docs[d], d
