@@ -47,6 +47,7 @@ _EVIDENCE_PRIORITY = (
     "search_hybrid_rrf",
     "text_bpe_encode_corpus",
     "dedup_substring_remove",
+    "similarity_ivf_append",
     "q18_large_volume_customers",
     "sample_domain_cap",
     "profile_length_histogram",

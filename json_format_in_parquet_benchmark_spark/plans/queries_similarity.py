@@ -86,10 +86,13 @@ def _centroids_duckdb_literal() -> str:
     return "[" + ", ".join("[" + ", ".join(repr(x) for x in w) + "]" for w in cells) + "]"
 
 
-# Shared by similarity_topk_ivf and similarity_ivf_partitioned: the
-# partitioned variant serves the corpus from the on-disk cell layout but is
-# defined to produce the identical result set.
-_IVF_ORACLE = f"""
+# Shared by similarity_topk_ivf / similarity_ivf_partitioned /
+# similarity_ivf_append: the physical variants serve the corpus from
+# different layouts (in-memory, cell-partitioned disk, incrementally
+# appended) but are all defined to produce the one logical IVF result
+# for their query slice.
+def _ivf_oracle(q_lo: int, q_hi: int) -> str:
+    return f"""
 WITH cellranked AS (
   SELECT vec_id, cell, d,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
@@ -101,7 +104,7 @@ WITH cellranked AS (
 ),
 corpus_cells AS (SELECT vec_id AS neighbor_id, cell FROM cellranked WHERE rn = 1),
 probes AS (SELECT vec_id AS query_id, cell FROM cellranked
-           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+           WHERE vec_id >= {q_lo} AND vec_id < {q_hi} AND rn <= {N_PROBE}),
 scored AS (
   SELECT p.query_id, cc.neighbor_id, {cosine_duckdb("a.embedding", "b.embedding")} AS cos_sim
   FROM probes p
@@ -118,6 +121,9 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+_IVF_ORACLE = _ivf_oracle(0, N_QUERIES)
 
 
 @register(
@@ -788,3 +794,81 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
     ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
     return _recall_by_query(truth, approx)
+
+
+IVF_APPEND_MOD = 10  # hash slice: ~10% of vectors arrive as the new batch
+_IVF_APPEND_SINK: dict[str, str] = {}
+
+
+def ivf_append_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build the cell-partitioned IVF index from the BASE 90% of vectors,
+    then APPEND the arriving 10% batch into the same hive layout
+    (``mode("append")`` + ``partitionBy("cell")``) -- the incremental
+    index-maintenance operation: only the batch's cells' directories gain
+    files, nothing existing is rewritten, no rebuild.  Memoized per
+    sf_dir; split membership is hash-deterministic so the layout is
+    reproducible."""
+    import os
+    import tempfile
+
+    from ..functions.hashing import hash64_sql_spark
+    from ..operators.similarity import ivf_assign
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    if tag in _IVF_APPEND_SINK:
+        return _IVF_APPEND_SINK[tag]
+    out = os.path.join(tempfile.gettempdir(), "jfipb_ivf_append", tag)
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = (
+        F.expr(f"{hash64_sql_spark('cast(vec_id as string)', salt='ivfapp:')}")
+        % IVF_APPEND_MOD
+        == IVF_APPEND_MOD - 1
+    )
+    for arriving, mode in ((False, "overwrite"), (True, "append")):
+        part = emb.where(is_batch if arriving else ~is_batch)
+        assign = ivf_assign(part, "embedding", "vec_id", N_CELLS, DIM)
+        (
+            part.select("vec_id", "embedding")
+            .join(assign, "vec_id")
+            .write.mode(mode)
+            .partitionBy("cell")
+            .parquet(out)
+        )
+    _IVF_APPEND_SINK[tag] = out
+    return out
+
+
+@register(
+    "similarity_ivf_append",
+    oracle=_ivf_oracle(N_QUERIES, 2 * N_QUERIES),
+    doc="Incremental ANN index MAINTENANCE: the cell-partitioned IVF "
+    "layout is built from a hash-deterministic 90% base, then the "
+    "arriving 10% batch is assigned to cells and APPENDED into the "
+    "same hive layout (append mode writes new files only into the "
+    "batch's cell directories -- no rebuild, nothing rewritten; "
+    "tests/test_properties.py pins that every pre-append file "
+    "survives).  A probe search over the updated index must equal the "
+    "one-shot IVF definition over the FULL corpus -- the oracle states "
+    "exactly that, proving incremental maintenance is lossless.  This "
+    "is the production shape for a continuously growing vector corpus "
+    "at 100 TB: index updates are per-cell file appends, searches keep "
+    "reading only probed cells' directories.  Queries are the second "
+    f"{N_QUERIES}-vector slice so results are disjoint from the other "
+    "IVF queries.",
+    tags=("similarity", "ivf", "sink", "incremental"),
+)
+def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < 2 * N_QUERIES)
+    )
+    back = spark.read.parquet(ivf_append_path(spark, sf_dir))
+    assigned = back.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    out = topk_ivf(
+        emb, queries, "embedding", "vec_id",
+        k=TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, dim=DIM,
+        assigned=assigned,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )

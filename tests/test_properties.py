@@ -1001,3 +1001,63 @@ def test_substring_census_agrees_with_remove(spark, sf_dir):
             assert row["kept_chars"] == census[d]["kept_chars"], d
         else:
             assert row["kept_chars"] == docs[d], d
+
+
+def test_ivf_append_never_rewrites_base_files(spark, sf_dir, tmp_path_factory):
+    """Incremental IVF maintenance contract: appending the batch into the
+    hive layout adds files only -- every file written for the base index
+    is still present (same path, same size) after the append."""
+    import glob
+    import os
+    import shutil
+
+    from json_format_in_parquet_benchmark_spark.plans import (
+        queries_similarity as qs,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    qs._IVF_APPEND_SINK.pop(tag, None)
+    out = os.path.join(str(tmp_path_factory.mktemp("ivfapp")), "idx")
+
+    # replicate ivf_append_path's two writes with a hook between them
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.functions.hashing import (
+        hash64_sql_spark,
+    )
+    from json_format_in_parquet_benchmark_spark.operators.similarity import (
+        ivf_assign,
+    )
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = (
+        F.expr(hash64_sql_spark("cast(vec_id as string)", salt="ivfapp:"))
+        % qs.IVF_APPEND_MOD
+        == qs.IVF_APPEND_MOD - 1
+    )
+    for arriving, mode in ((False, "overwrite"), (True, "append")):
+        part = emb.where(is_batch if arriving else ~is_batch)
+        assign = ivf_assign(part, "embedding", "vec_id", qs.N_CELLS, qs.DIM)
+        (
+            part.select("vec_id", "embedding")
+            .join(assign, "vec_id")
+            .write.mode(mode)
+            .partitionBy("cell")
+            .parquet(out)
+        )
+        if not arriving:
+            base_files = {
+                p: os.path.getsize(p)
+                for p in glob.glob(os.path.join(out, "**", "*.parquet"),
+                                   recursive=True)
+            }
+    after = {
+        p: os.path.getsize(p)
+        for p in glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
+    }
+    assert base_files
+    for p, sz in base_files.items():
+        assert p in after and after[p] == sz, f"base file rewritten: {p}"
+    assert len(after) > len(base_files), "append added no files"
+    shutil.rmtree(out, ignore_errors=True)
