@@ -48,6 +48,7 @@ _EVIDENCE_PRIORITY = (
     "text_bpe_encode_corpus",
     "dedup_substring_remove",
     "similarity_ivf_append",
+    "search_rerank_proximity",
     "q18_large_volume_customers",
     "sample_domain_cap",
     "profile_length_histogram",

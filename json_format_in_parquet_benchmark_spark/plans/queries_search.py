@@ -281,3 +281,150 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(TOP_K)
     )
+
+
+def _rerank_oracle() -> str:
+    cand = f"""
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY ({_SCORE}) DESC, doc_id)
+              AS BIGINT) AS rank_bm25
+  FROM tf CROSS JOIN stats
+  QUALIFY ({_SCORE}) > 0 AND rank_bm25 <= {TOP_K}
+"""
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_D}) AS BIGINT) AS dl,
+         {", ".join(_tf_sql(spark_side=False))}
+  FROM documents
+  WHERE len({_TOKS_D}) > 0
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         {", ".join(f"CAST(COUNT(*) FILTER (tf{i} > 0) AS BIGINT) AS df{i}" for i in range(len(QUERY_TERMS)))}
+  FROM tf
+), cand AS ({cand}),
+occ AS (
+  SELECT d.doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS term
+  FROM (SELECT doc_id, {_TOKS_D} AS toks FROM documents
+        SEMI JOIN cand USING (doc_id)) d,
+       unnest(range(1, len(toks) + 1)) u(i)
+  WHERE toks[u.i] IN ({terms})
+),
+feats AS (
+  SELECT o.doc_id,
+         CAST(COUNT(DISTINCT o.term) AS BIGINT) AS n_terms_matched,
+         CAST(MIN(p.gap) AS BIGINT) AS min_dist
+  FROM occ o
+  LEFT JOIN (
+    SELECT a.doc_id, MIN(ABS(a.pos - b.pos)) AS gap
+    FROM occ a JOIN occ b
+      ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.doc_id
+  ) p USING (doc_id)
+  GROUP BY o.doc_id
+)
+SELECT c.doc_id, c.rank_bm25, f.n_terms_matched, f.min_dist,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY f.n_terms_matched DESC,
+                  COALESCE(f.min_dist, 1000000000),
+                  c.rank_bm25) AS BIGINT) AS rerank_rank
+FROM cand c JOIN feats f USING (doc_id)
+ORDER BY rerank_rank
+"""
+
+
+@register(
+    "search_rerank_proximity",
+    oracle=_rerank_oracle(),
+    doc="The RERANK stage of a retrieve-then-rerank stack: the BM25 "
+    f"top-{TOP_K} candidates are re-scored by term-proximity features "
+    "-- distinct query terms matched (more is better) and the minimum "
+    "token-position gap between occurrences of DIFFERENT query terms "
+    "(the MinDist proximity feature of Tao & Zhai 2007; smaller is "
+    "better), with the first-stage rank as the tiebreak.  All features "
+    "are exact integers; single-term docs sort after paired ones via "
+    "a sentinel.  100 TB shape: position extraction runs ONLY on the "
+    "candidate set (semi-join prune before the explode -- the corpus "
+    "is never position-exploded), and the pairwise gap join is within "
+    "doc over a handful of matched occurrences.  This is exactly how "
+    "a cross-encoder rerank deploys: cheap first stage over "
+    "everything, expensive features over k docs.",
+    tags=("search", "rerank", "proximity"),
+)
+def search_rerank_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.selectExpr(
+        "doc_id",
+        f"cast(size({_TOKS_S}) as bigint) as dl",
+        *_tf_sql(spark_side=True),
+    ).where(F.col("dl") > 0)
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.expr(f"count_if(tf{i} > 0)").alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    cand = (
+        tf.join(F.broadcast(stats))
+        .select("doc_id", F.expr(_SCORE).alias("score"))
+        .where(F.col("score") > 0)
+        .withColumn(
+            "rank_bm25",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("bigint"),
+        )
+        .where(F.col("rank_bm25") <= TOP_K)
+        .select("doc_id", "rank_bm25")
+    )
+    terms_arr = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    occ = (
+        docs.join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+        .select("doc_id", F.posexplode(F.expr(_TOKS_S)).alias("p0", "term"))
+        .where(F.expr(f"term in ({terms_arr})"))
+        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "term")
+    )
+    a = occ.alias("a")
+    b = occ.alias("b")
+    gaps = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.abs(F.col("a.pos") - F.col("b.pos"))).alias("gap"))
+    )
+    feats = (
+        occ.join(gaps, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").cast("bigint").alias("n_terms_matched"),
+            F.min("gap").cast("bigint").alias("min_dist"),
+        )
+    )
+    return (
+        cand.join(feats, "doc_id")
+        .withColumn(
+            "rerank_rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc("n_terms_matched"),
+                    F.coalesce(F.col("min_dist"), F.lit(1_000_000_000)),
+                    F.asc("rank_bm25"),
+                )
+            )
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_bm25", "n_terms_matched", "min_dist", "rerank_rank")
+        .orderBy("rerank_rank")
+    )
