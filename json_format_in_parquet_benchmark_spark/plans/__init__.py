@@ -49,6 +49,7 @@ _EVIDENCE_PRIORITY = (
     "dedup_substring_remove",
     "similarity_ivf_append",
     "search_rerank_proximity",
+    "aqp_sampled_revenue",
     "q18_large_volume_customers",
     "sample_domain_cap",
     "profile_length_histogram",

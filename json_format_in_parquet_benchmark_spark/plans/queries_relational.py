@@ -2897,3 +2897,91 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof = row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+AQP_SAMPLE_MOD = 64  # 1-in-64 deterministic hash sample (p = 1/64)
+
+
+def _aqp_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+
+    h = hash64_sql_duckdb(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+        salt="aqp:",
+    )
+    m = AQP_SAMPLE_MOD
+    rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))"
+    return f"""
+WITH scanned AS (
+  SELECT {rev} AS rev, ({h}) % {m} = 0 AS sampled FROM lineitem
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(COUNT(*) FILTER (sampled) AS BIGINT) AS n_sampled,
+         SUM(rev) AS true_dec,
+         COALESCE(SUM(rev) FILTER (sampled), 0) * {m} AS est_dec
+  FROM scanned
+)
+SELECT n_total, n_sampled,
+       CAST(true_dec AS DOUBLE) AS true_revenue,
+       CAST(est_dec AS DOUBLE) AS est_revenue,
+       CAST(ABS(est_dec - true_dec) AS DOUBLE)
+         / CAST(true_dec AS DOUBLE) * 100 AS rel_err_pct
+FROM agg
+"""
+
+
+@register(
+    "aqp_sampled_revenue",
+    oracle=_aqp_oracle(),
+    doc="Approximate query processing with a measured error bound: total "
+    "lineitem revenue estimated from a deterministic 1-in-"
+    f"{AQP_SAMPLE_MOD} hash sample (Horvitz-Thompson estimator: sample "
+    f"sum x {AQP_SAMPLE_MOD}), computed alongside the exact answer in "
+    "the SAME single scan so the query reports its own true relative "
+    "error -- the AQP evaluation harness shape.  Every sum is exact "
+    "decimal; the estimator scale-up and the error difference stay in "
+    "the decimal domain, and the one double division has identical "
+    "operands cross-engine.  Hash-deterministic membership means the "
+    "estimate is reproducible across runs, cluster sizes and engines "
+    "(unlike TABLESAMPLE).  100 TB shape: ONE map-side-combined "
+    "conditional aggregation pass, no shuffle beyond the final 1-row "
+    "combine; a production AQP system persists the sample slice at "
+    "write time and scans 1/64th the bytes -- membership here is the "
+    "same hash predicate it would use.",
+    tags=("aqp", "sampling", "aggregation"),
+)
+def aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    h = hash64_sql_spark(
+        "concat(cast(l_orderkey as string), ':', cast(l_linenumber as string))",
+        salt="aqp:",
+    )
+    m = AQP_SAMPLE_MOD
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "cast(l_extendedprice * (1 - l_discount) as decimal(38,4))"
+        ).alias("rev"),
+        (F.expr(h) % m == 0).alias("sampled"),
+    )
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.expr("count_if(sampled)").cast("bigint").alias("n_sampled"),
+        F.sum("rev").alias("true_dec"),
+        (
+            F.coalesce(F.expr("sum(case when sampled then rev end)"), F.lit(0))
+            * m
+        ).alias("est_dec"),
+    )
+    return agg.select(
+        "n_total",
+        "n_sampled",
+        F.col("true_dec").cast("double").alias("true_revenue"),
+        F.col("est_dec").cast("double").alias("est_revenue"),
+        (
+            F.abs(F.col("est_dec") - F.col("true_dec")).cast("double")
+            / F.col("true_dec").cast("double")
+            * 100
+        ).alias("rel_err_pct"),
+    )
