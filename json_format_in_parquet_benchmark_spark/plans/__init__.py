@@ -50,6 +50,7 @@ _EVIDENCE_PRIORITY = (
     "similarity_ivf_append",
     "search_rerank_proximity",
     "aqp_sampled_revenue",
+    "scd2_customer_priority",
     "q18_large_volume_customers",
     "sample_domain_cap",
     "profile_length_histogram",

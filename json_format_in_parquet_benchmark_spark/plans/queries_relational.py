@@ -2985,3 +2985,69 @@ def aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100
         ).alias("rel_err_pct"),
     )
+
+
+@register(
+    "scd2_customer_priority",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey,
+         o_orderpriority AS seg,
+         epoch_us(o_orderdate) AS ts_us,
+         LAG(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_seg
+  FROM orders
+),
+changes AS (
+  SELECT o_custkey, seg, ts_us FROM ordered
+  WHERE prev_seg IS NULL OR seg <> prev_seg
+)
+SELECT o_custkey, seg,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       CAST(ts_us AS BIGINT) AS valid_from_us,
+       CAST(LEAD(ts_us) OVER w AS BIGINT) AS valid_to_us,
+       CAST(LEAD(ts_us) OVER w IS NULL AS INT) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us, seg)
+""",
+    doc="Slowly-changing-dimension TYPE 2 build -- the temporal "
+    "dimension-versioning transform every warehouse load runs: each "
+    "customer's order stream is treated as the change log of their "
+    "priority attribute, consecutive duplicates collapse (a new "
+    "version only when the value CHANGES), and each surviving version "
+    "gets [valid_from, valid_to) effectivity plus a current flag via "
+    "one LEAD window -- the classic log-to-dimension derivation.  "
+    "Timestamps compare in the integer micros domain (the repo's "
+    "cross-engine timestamp rule).  100 TB shape: two windows over "
+    "the same (custkey, time) order -- ONE shuffle on the dimension "
+    "key, no self-joins; the change-collapse runs on the log before "
+    "any dimension table is materialized.",
+    tags=("relational", "scd2", "window", "temporal"),
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_log = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("seg"),
+            # o_orderdate reads as TIMESTAMP_NTZ; with the session pinned
+            # UTC the NTZ->LTZ cast preserves wall-clock == epoch micros
+            # (the events.ts recipe), matching DuckDB's epoch_us exactly.
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+            F.lag("o_orderpriority").over(w_log).alias("prev_seg"),
+        )
+    )
+    changes = ordered.where(
+        F.col("prev_seg").isNull() | (F.col("seg") != F.col("prev_seg"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ts_us", "seg")
+    return changes.select(
+        "o_custkey",
+        "seg",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("ts_us").cast("bigint").alias("valid_from_us"),
+        F.lead("ts_us").over(w).cast("bigint").alias("valid_to_us"),
+        F.lead("ts_us").over(w).isNull().cast("int").alias("is_current"),
+    )
