@@ -51,6 +51,8 @@ _EVIDENCE_PRIORITY = (
     "search_rerank_proximity",
     "aqp_sampled_revenue",
     "scd2_customer_priority",
+    "sink_backfill_partition",
+    "dq_fd_repair",
     "q18_large_volume_customers",
     "sample_domain_cap",
     "profile_length_histogram",

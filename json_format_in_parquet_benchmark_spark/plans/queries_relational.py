@@ -3051,3 +3051,83 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts_us").over(w).cast("bigint").alias("valid_to_us"),
         F.lead("ts_us").over(w).isNull().cast("int").alias("is_current"),
     )
+
+
+def _fd_repair_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+
+    h = hash64_sql_duckdb(
+        "CAST(o_custkey AS VARCHAR) || ':' || modal_rhs", salt="fdrep:"
+    )
+    return f"""
+WITH pair AS (
+  SELECT o_custkey, o_orderpriority AS rhs, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+modal AS (
+  SELECT o_custkey, rhs AS modal_rhs FROM pair
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY c DESC, rhs) = 1
+),
+repaired AS (
+  SELECT o.o_custkey, o.o_orderpriority, m.modal_rhs
+  FROM orders o JOIN modal m USING (o_custkey)
+)
+SELECT 'orders.o_custkey->o_orderpriority' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (o_orderpriority <> modal_rhs) AS BIGINT)
+         AS n_repaired,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+       CAST(SUM(({h}) % 1000000007) AS BIGINT) AS repair_checksum
+FROM repaired
+"""
+
+
+@register(
+    "dq_fd_repair",
+    oracle=_fd_repair_oracle(),
+    doc="Functional-dependency REPAIR (the transform half of "
+    "dq_fd_audit's census, the same audit->apply pattern as "
+    "dedup_substring_exact -> dedup_substring_remove): the violated FD "
+    "orders.o_custkey -> o_orderpriority is enforced by rewriting every "
+    "row's RHS to its group's MODAL value (ties to the smallest value "
+    "-- fully deterministic), the minimum-change repair whose row cost "
+    "is exactly the audit's g3 measure.  Emits rows repaired and a "
+    "per-assignment hash checksum that pins the exact repaired "
+    "relation, not just counts.  100 TB shape: modal values come from "
+    "the same two cascaded map-side-combined aggregates as the audit "
+    "(one shuffle of |distinct(X,Y)|), and the repair itself is a "
+    "broadcast join of the modal table (|distinct X| rows) against the "
+    "fact -- no second fact shuffle.",
+    tags=("quality", "repair", "aggregation"),
+)
+def dq_fd_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    orders = load_table(spark, sf_dir, "orders")
+    pair = orders.groupBy("o_custkey", F.col("o_orderpriority").alias("rhs")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("c"), F.asc("rhs"))
+    modal = (
+        pair.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", F.col("rhs").alias("modal_rhs"))
+    )
+    repaired = orders.select("o_custkey", "o_orderpriority").join(
+        F.broadcast(modal), "o_custkey"
+    )
+    h = hash64_sql_spark(
+        "concat(cast(o_custkey as string), ':', modal_rhs)", salt="fdrep:"
+    )
+    return repaired.agg(
+        F.lit("orders.o_custkey->o_orderpriority").alias("fd"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("count_if(o_orderpriority != modal_rhs)")
+        .cast("bigint")
+        .alias("n_repaired"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_groups"),
+        F.sum(F.expr(f"({h}) % 1000000007")).cast("bigint").alias(
+            "repair_checksum"
+        ),
+    )

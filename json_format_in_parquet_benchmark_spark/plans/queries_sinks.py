@@ -575,3 +575,63 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("event_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@register(
+    "sink_backfill_partition",
+    oracle="""
+WITH target AS (
+  SELECT strftime(MIN(date_trunc('day', ts)), '%Y-%m-%d') AS d FROM events
+)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))
+                + CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d')
+                            = (SELECT d FROM target)
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+    doc="Idempotent partition BACKFILL -- the daily-pipeline repair "
+    "operation: events are written hive-partitioned by day, then ONE "
+    "day (the earliest) is re-derived with corrected values (each "
+    "row's value + 1 simulates the fix) and rewritten via DYNAMIC "
+    "partition overwrite -- only the target day's directory is "
+    "replaced, every other partition's files are untouched "
+    "(tests/test_properties.py pins the file-level claim).  The "
+    "read-back per-day aggregate must equal the source table with the "
+    "correction applied, proving the backfill replaced exactly the "
+    "intended slice and nothing else.  The overwrite-mode conf is set "
+    "scoped and restored (the driver's session is not ours to "
+    "mutate).  At 100 TB this is the nightly operation that makes "
+    "reprocessing affordable: cost is one partition, not one table.",
+    tags=("sink", "partitioning", "backfill", "idempotent"),
+)
+def sink_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = os.path.join(_SINK_ROOT, f"events_backfill_{tag}")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    events.write.mode("overwrite").partitionBy("day").parquet(out)
+    target = events.agg(F.min("day")).first()[0]
+    corrected = (
+        events.where(F.col("day") == target)
+        .withColumn(
+            "value",
+            F.expr("cast(cast(value as decimal(18,2)) + 1 as double)"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+            "total_value"
+        ),
+    )

@@ -1061,3 +1061,45 @@ def test_ivf_append_never_rewrites_base_files(spark, sf_dir, tmp_path_factory):
         assert p in after and after[p] == sz, f"base file rewritten: {p}"
     assert len(after) > len(base_files), "append added no files"
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_backfill_touches_only_target_partition(spark, sf_dir, tmp_path_factory):
+    """Dynamic-partition-overwrite backfill contract: only the target
+    day's directory is rewritten -- every other partition's files
+    survive the backfill byte-identically (same paths, same sizes)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    out = os.path.join(str(tmp_path_factory.mktemp("backfill")), "events")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    events.write.mode("overwrite").partitionBy("day").parquet(out)
+    snapshot = {
+        p: os.path.getsize(p)
+        for p in glob.glob(os.path.join(out, "day=*", "*.parquet"))
+    }
+    target = events.agg(F.min("day")).first()[0]
+    corrected = events.where(F.col("day") == target).withColumn(
+        "value", F.expr("cast(cast(value as decimal(18,2)) + 1 as double)")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = {
+        p: os.path.getsize(p)
+        for p in glob.glob(os.path.join(out, "day=*", "*.parquet"))
+    }
+    untouched = {p for p in snapshot if f"day={target}" not in p}
+    assert untouched
+    for p in untouched:
+        assert p in after and after[p] == snapshot[p], f"rewritten: {p}"
+    changed = {p for p in snapshot if f"day={target}" in p}
+    assert changed and not (changed & set(after)), "target day not rewritten"
