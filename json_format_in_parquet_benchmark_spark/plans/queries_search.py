@@ -356,6 +356,8 @@ ORDER BY rerank_rank
 def search_rerank_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..operators.dedup import _track_persist
+
     docs = load_table(spark, sf_dir, "documents")
     tf = docs.selectExpr(
         "doc_id",
@@ -385,8 +387,12 @@ def search_rerank_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank_bm25") <= TOP_K)
         .select("doc_id", "rank_bm25")
     )
+    # cand fans out to the occ semi-join AND the final join; occ fans out
+    # to both self-join sides AND the feature aggregate -- persist both so
+    # the BM25 chain / position explode run once, not per consumer.
+    cand = _track_persist(cand)
     terms_arr = ", ".join(f"'{t}'" for t in QUERY_TERMS)
-    occ = (
+    occ = _track_persist(
         docs.join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
         .select("doc_id", F.posexplode(F.expr(_TOKS_S)).alias("p0", "term"))
         .where(F.expr(f"term in ({terms_arr})"))
