@@ -53,6 +53,7 @@ _EVIDENCE_PRIORITY = (
     "scd2_customer_priority",
     "sink_backfill_partition",
     "dq_fd_repair",
+    "pipeline_contamination_sweep",
     "q18_large_volume_customers",
     "sample_domain_cap",
     "profile_length_histogram",

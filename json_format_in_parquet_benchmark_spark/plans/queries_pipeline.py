@@ -308,3 +308,223 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+def _contamination_sweep_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+    from ..functions.text import shingles_duckdb
+    from .queries_dedup import SUBSTR_L
+    from .queries_text import (
+        DECON_BENCH_PCT,
+        DECON_DF_CAP,
+        DECON_MIN_SHARED,
+        DECON_N,
+    )
+
+    toks = tokens_duckdb("text")
+    grams4 = shingles_duckdb(toks, DECON_N)
+    is_bench = (
+        f"({hash64_sql_duckdb('CAST(doc_id AS VARCHAR)', salt='bench:')})"
+        f" % 100 < {DECON_BENCH_PCT}"
+    )
+    L = SUBSTR_L
+    gh = hash64_sql_duckdb(f"substr(text, CAST(pos AS INT), {L})")
+    prev_max = (
+        f"MAX(pos + {L} - 1) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+WITH train0 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE NOT ({is_bench})
+),
+s1 AS MATERIALIZED (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(array_to_string(
+             list_sort(list_distinct({toks})), ' '))
+           ORDER BY doc_id) AS dn
+  FROM train0
+),
+dup_docs AS (SELECT doc_id, text FROM s1 WHERE dn > 1),
+surv1 AS MATERIALIZED (SELECT doc_id, text FROM s1 WHERE dn = 1),
+bench_grams AS (
+  SELECT doc_id AS bench_doc, unnest({grams4}) AS g
+  FROM documents WHERE ({is_bench})
+),
+capped AS (
+  SELECT bench_doc, g FROM bench_grams
+  WHERE g NOT IN (
+    SELECT g FROM bench_grams GROUP BY g HAVING COUNT(*) > {DECON_DF_CAP}
+  )
+),
+train_g AS (
+  SELECT doc_id, unnest({grams4}) AS g FROM surv1
+),
+cont AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t.doc_id, c.bench_doc FROM train_g t JOIN capped c ON c.g = t.g
+    GROUP BY t.doc_id, c.bench_doc
+    HAVING COUNT(*) >= {DECON_MIN_SHARED}
+  )
+),
+surv2 AS MATERIALIZED (
+  SELECT s.doc_id, s.text, length(s.text) AS n_chars
+  FROM surv1 s ANTI JOIN cont c ON s.doc_id = c.doc_id
+),
+pos_ AS (
+  SELECT doc_id, text,
+         CAST(unnest(range(1, n_chars - {L} + 2)) AS BIGINT) AS pos
+  FROM surv2 WHERE n_chars >= {L}
+),
+grams_s AS (SELECT doc_id, pos, {gh} AS gh FROM pos_),
+dupg AS (
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM grams_s)
+  GROUP BY gh HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams_s g SEMI JOIN dupg d ON g.gh = d.gh
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN {prev_max} IS NULL OR pos > {prev_max} + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, island_id, MIN(pos) AS s, MAX(pos) + {L} - 1 AS e
+  FROM islands GROUP BY 1, 2
+),
+perdoc AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT 'dropped_dup' AS outcome,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_checksum,
+       CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS chars_removed
+FROM dup_docs
+UNION ALL
+SELECT 'dropped_contaminated',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(s.doc_id), 0) AS BIGINT),
+       CAST(COALESCE(SUM(length(s.text)), 0) AS BIGINT)
+FROM surv1 s SEMI JOIN cont c ON s.doc_id = c.doc_id
+UNION ALL
+SELECT 'cleaned',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+       CAST(COALESCE(SUM(dup_chars), 0) AS BIGINT)
+FROM perdoc
+UNION ALL
+SELECT 'clean',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(s.doc_id), 0) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM surv2 s ANTI JOIN perdoc p ON s.doc_id = p.doc_id
+"""
+
+
+@register(
+    "pipeline_contamination_sweep",
+    oracle=_contamination_sweep_oracle(),
+    doc="Composed CONTAMINATION pipeline -- the fourth flagship "
+    "composition (near-dup, quality/pretrain and multimodal curation "
+    "being the others), the release-hygiene sweep run before any "
+    "corpus ships: the hash-held-out benchmark slice is excluded, then "
+    "(1) exact tokenset duplicates drop (lowest-id representative "
+    "kept), (2) survivors sharing >= 2 rare 4-gram shingles with ANY "
+    "benchmark doc drop (the text_decontaminate gate, broadcast "
+    "DF-capped bench index), (3) survivors with cross-document "
+    "duplicated substrings (>= 40-char spans among the survivors "
+    "themselves) are span-CLEANED (dedup_substring_exact's census).  "
+    "Emits the four-outcome disposition ledger -- docs, id checksums "
+    "pinning every per-doc decision, and chars removed (whole docs "
+    "for drops, merged spans for cleans).  Each stage is an "
+    "already-verified operator; the composition is sequential-"
+    "dependent (span census runs on post-drop survivors only) and "
+    "still one Catalyst plan per stage family with broadcast drop "
+    "lists -- the clean-corpus pattern applied to contamination.",
+    tags=("pipeline", "dedup", "decontamination", "substring"),
+)
+def pipeline_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash64_sql_spark
+    from ..functions.text import shingles_spark
+    from ..operators.dedup import _track_persist, substring_dup_spans
+    from .queries_dedup import SUBSTR_L
+    from .queries_text import (
+        DECON_BENCH_PCT,
+        DECON_DF_CAP,
+        DECON_MIN_SHARED,
+        DECON_N,
+    )
+
+    toks = tokens_spark("text")
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = (
+        f"({hash64_sql_spark('cast(doc_id as string)', salt='bench:')})"
+        f" % 100 < {DECON_BENCH_PCT}"
+    )
+    train0 = docs.where(~F.expr(is_bench)).select("doc_id", "text")
+    th = F.expr(f"md5(concat_ws(' ', array_sort(array_distinct({toks}))))")
+    s1 = train0.withColumn("th", th).withColumn(
+        "dn", F.row_number().over(Window.partitionBy("th").orderBy("doc_id"))
+    )
+    dup_docs = s1.where(F.col("dn") > 1).select("doc_id", "text")
+    surv1 = _track_persist(s1.where(F.col("dn") == 1).select("doc_id", "text"))
+    grams4 = shingles_spark(toks, DECON_N)
+    bench_grams = (
+        docs.where(F.expr(is_bench))
+        .select(F.col("doc_id").alias("bench_doc"), F.explode(F.expr(grams4)).alias("g"))
+    )
+    hot = (
+        bench_grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > DECON_DF_CAP)
+        .select("g")
+    )
+    capped = bench_grams.join(hot, "g", "left_anti")
+    train_g = surv1.select("doc_id", F.explode(F.expr(grams4)).alias("g"))
+    cont = _track_persist(
+        train_g.join(F.broadcast(capped), "g")
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= DECON_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    dropped_cont = surv1.join(F.broadcast(cont), "doc_id", "left_semi")
+    surv2 = _track_persist(
+        surv1.join(F.broadcast(cont), "doc_id", "left_anti")
+    )
+    perdoc = _track_persist(
+        substring_dup_spans(surv2, "text", "doc_id", anchor_len=SUBSTR_L)
+        .select("doc_id", "dup_chars")
+    )
+
+    def ledger(df: DataFrame, outcome: str, chars_col) -> DataFrame:
+        return df.agg(
+            F.lit(outcome).alias("outcome"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias(
+                "id_checksum"
+            ),
+            F.coalesce(F.sum(chars_col), F.lit(0)).cast("bigint").alias(
+                "chars_removed"
+            ),
+        ).select("outcome", "n_docs", "id_checksum", "chars_removed")
+
+    clean = surv2.join(perdoc, "doc_id", "left_anti")
+    return (
+        ledger(dup_docs, "dropped_dup", F.length("text"))
+        .unionByName(ledger(dropped_cont, "dropped_contaminated", F.length("text")))
+        .unionByName(ledger(perdoc, "cleaned", F.col("dup_chars")))
+        .unionByName(ledger(clean, "clean", F.lit(0)))
+    )
