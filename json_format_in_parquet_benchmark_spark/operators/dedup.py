@@ -582,6 +582,38 @@ def winnow_span_pairs(
     )
 
 
+def _local_checkpoint_rdd(df: DataFrame):
+    """Best-effort handle to the JVM RDD behind a ``localCheckpoint`` frame.
+
+    ``df.unpersist()`` is a NO-OP on a locally-checkpointed DataFrame: the
+    blocks belong to the checkpointed *internal* RDD, not the CacheManager,
+    so they stay pinned in the block manager until session end.  The
+    analyzed plan of such a frame is a ``LogicalRDD`` whose ``rdd()``
+    accessor is the checkpointed RDD; returns None if the Py4J surface
+    differs (caller then falls back to the bounded leak)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            return plan.rdd()
+    except Exception:
+        pass
+    return None
+
+
+def _free_checkpoint_rdd(jrdd) -> None:
+    """Release a locally-checkpointed RDD's blocks (non-blocking).
+
+    Local checkpoints are non-recomputable, so this is only safe once no
+    live lineage can reach the RDD -- i.e. after the NEXT checkpoint has
+    materialized and every intermediate frame has been unpersisted."""
+    if jrdd is None:
+        return
+    try:
+        jrdd.unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -672,6 +704,8 @@ def connected_components(
     # -- one cheap aggregate per round instead of a change-detection join.
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
+    prev_ckpt_rdd = None  # checkpoint k-1, freed when checkpoint k lands
+    pending_free = None
     for it in range(max_iter):
         # One round = one aggregation: min over (own label ∪ labels arriving
         # over edges).  Union + groupBy-min replaces the former
@@ -694,11 +728,25 @@ def connected_components(
             # materializes (so the convergence sum below reads the
             # checkpointed RDD) and serves as this round's cache.
             new_labels = round_df.localCheckpoint(eager=True)
+            # This checkpoint truncated all lineage back to the PREVIOUS
+            # one, so once the frame between them is unpersisted below,
+            # checkpoint k-1's pinned blocks are unreachable -- queue the
+            # free (unpersist() on the frame itself is a no-op for local
+            # checkpoints).  At most two checkpointed label frames (|V|
+            # rows each) are ever live; the final one stays pinned because
+            # the returned frame's lineage may still read it.
+            pending_free, prev_ckpt_rdd = (
+                prev_ckpt_rdd,
+                _local_checkpoint_rdd(new_labels),
+            )
         else:
             new_labels = round_df.persist()
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
+        if pending_free is not None:
+            _free_checkpoint_rdd(pending_free)
+            pending_free = None
         if new_sum == prev_sum:
             converged = True
             break

@@ -369,7 +369,14 @@ def graph_kcore_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (AQE onUpdatePlan -> explainString during the consumer's collect),
     # long after a try/finally here would have undone the cap.  The cap is
     # session-wide by design; it shortens explain/diagnostic text only.
-    spark.conf.set("spark.sql.maxPlanStringLength", str(1_000_000))
+    # Tighten-only: if the session owner already capped plan strings at or
+    # below 1M, respect their setting instead of clobbering shared conf.
+    try:
+        current = int(spark.conf.get("spark.sql.maxPlanStringLength"))
+    except Exception:
+        current = 1 << 31
+    if current > 1_000_000:
+        spark.conf.set("spark.sql.maxPlanStringLength", str(1_000_000))
 
     toks = tokens_spark("text")
     docs = load_table(spark, sf_dir, "documents").where(

@@ -807,14 +807,24 @@ def ivf_append_path(spark: SparkSession, sf_dir: str) -> str:
     index-maintenance operation: only the batch's cells' directories gain
     files, nothing existing is rewritten, no rebuild.  Memoized per
     sf_dir; split membership is hash-deterministic so the layout is
-    reproducible."""
+    reproducible.  The sink is keyed by a hash of the FULL resolved
+    sf_dir (two roots sharing a basename must not alias one layout) and
+    by pid (two concurrent processes on one machine must not interleave
+    the overwrite/append pair into the same directory mid-query)."""
+    import hashlib
     import os
     import tempfile
 
     from ..functions.hashing import hash64_sql_spark
     from ..operators.similarity import ivf_assign
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    resolved = os.path.abspath(sf_dir)
+    tag = (
+        (os.path.basename(resolved) or "sf")
+        + "-"
+        + hashlib.md5(resolved.encode()).hexdigest()[:10]
+        + f"-p{os.getpid()}"
+    )
     if tag in _IVF_APPEND_SINK:
         return _IVF_APPEND_SINK[tag]
     out = os.path.join(tempfile.gettempdir(), "jfipb_ivf_append", tag)

@@ -1585,11 +1585,18 @@ def _bpe_cte_chain(rounds: int, final_vocab: bool = False) -> list[str]:
 )"""
         )
         if r < rounds or final_vocab:
+            # LEFT JOIN ON TRUE + COALESCE, not a cross join: on a
+            # degenerate corpus with fewer than `rounds` distinct merges
+            # best{r} is EMPTY, and a cross join would empty vocab{r} (and
+            # every later vocab), zeroing the oracle while the Spark
+            # builder stops merging early and still tokenizes every word.
+            # With the left join an empty best{r} leaves enc unchanged --
+            # exactly the "no merge found this round" semantics.
             ctes.append(
                 f"""vocab{r} AS MATERIALIZED (
-  SELECT w, replace(enc, '<' || b.lft || '><' || b.rgt || '>',
-                 '<' || b.lft || b.rgt || '>') AS enc, c
-  FROM vocab{p}, best{r} b
+  SELECT w, COALESCE(replace(enc, '<' || b.lft || '><' || b.rgt || '>',
+                 '<' || b.lft || b.rgt || '>'), enc) AS enc, c
+  FROM vocab{p} LEFT JOIN best{r} b ON TRUE
 )"""
             )
     return ctes

@@ -207,6 +207,36 @@ def test_connected_components_on_known_graph(spark):
     assert distributed == got
 
 
+def test_connected_components_frees_stale_checkpoints(spark):
+    """A long-diameter chain drives the propagation loop through several
+    localCheckpoint rounds; the loop must release each stale checkpoint's
+    pinned blocks (plain unpersist() is a no-op on locally-checkpointed
+    frames), leaving at most the final checkpoint + the returned labels
+    frame pinned -- not one block set per 5 rounds."""
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        connected_components,
+        release_caches,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    release_caches()
+    base = jsc.getPersistentRDDs().size()
+
+    n = 42  # path graph: diameter 41 -> ~8 checkpoint rounds at every=5
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    out = connected_components(edges, driver_max_edges=0, max_iter=60)
+    got = {r.doc_id: r.cluster_rep for r in out.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+    # Live after the call: the returned labels frame (+ at most the final
+    # checkpoint it reads).  8 leaked checkpoints would show up here.
+    leaked = jsc.getPersistentRDDs().size() - base
+    assert leaked <= 3, f"stale checkpoint blocks still pinned: {leaked}"
+    release_caches()
+
+
 def test_kmeans_assignment_is_true_argmin(spark, sf_dir):
     """Every vector's assigned centroid is at least as close as every other
     centroid (Lloyd invariant), verified against numpy."""
@@ -958,6 +988,41 @@ def test_bpe_trainer_matches_python_reference(spark):
     assert got == expect, f"\nspark: {got}\nref:   {expect}"
 
 
+def test_bpe_oracle_degenerate_corpus_parity(spark, tmp_path):
+    """Regression: on a corpus with fewer distinct merges than
+    BPE_MERGE_ROUNDS, the DuckDB encode oracle's per-round vocab CTE must
+    NOT empty out (the old cross join against an empty best{r} zeroed the
+    oracle while the Spark builder stops merging early and still
+    tokenizes every word).  Both engines must agree on the 1-merge 'ab'
+    corpus."""
+    import duckdb
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_text import (
+        _bpe_encode_oracle,
+    )
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab", "en", "web", 5), (2, "ab", "en", "web", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+        for r in REGISTRY["text_bpe_encode_corpus"].fn(spark, str(tmp_path)).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(t) for t in con.execute(_bpe_encode_oracle()).fetchall())
+    assert want, "oracle must not be empty on a degenerate corpus"
+    assert got == want, f"\nspark:  {got}\noracle: {want}"
+
+
 def test_clip_pairing_separates_pos_from_neg(spark, sf_dir):
     """The CLIP-stub alignment gate must genuinely discriminate: positive
     (media, own-caption) pairs score near 1 and every one clears the 3/4
@@ -1015,8 +1080,7 @@ def test_ivf_append_never_rewrites_base_files(spark, sf_dir, tmp_path_factory):
         queries_similarity as qs,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    qs._IVF_APPEND_SINK.pop(tag, None)
+    qs._IVF_APPEND_SINK.clear()
     out = os.path.join(str(tmp_path_factory.mktemp("ivfapp")), "idx")
 
     # replicate ivf_append_path's two writes with a hook between them
