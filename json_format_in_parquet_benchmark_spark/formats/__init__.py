@@ -13,11 +13,16 @@ section 1.1) plus the name->format dispatch (O18,
 Unlike the reference (which excludes `variant` from its runnable set because
 its load is unimplemented!(), src/consts.rs:3 + variant.rs:130-132), all four
 formats here implement the full encode / decode / flush / load cycle.
+
+A fifth format extends past the reference: `jsonb_shredded` keeps the
+VariantType column but lets Spark 4.1's Parquet writer shred it NATIVELY
+(typed_value subcolumns + binary residual per the Parquet Variant shredding
+spec) -- the `variant` format's storage win without a user-declared schema.
 """
 
 from .base import JsonFormatBase
 from .plain_json import PlainJsonFormat
-from .jsonb_variant import JsonbVariantFormat
+from .jsonb_variant import JsonbShreddedVariantFormat, JsonbVariantFormat
 from .jsonc_tape import JsoncTapeFormat
 from .variant_shred import VariantShredFormat
 
@@ -26,6 +31,7 @@ FORMATS: dict[str, type[JsonFormatBase]] = {
     "jsonb": JsonbVariantFormat,
     "jsonc": JsoncTapeFormat,
     "variant": VariantShredFormat,
+    "jsonb_shredded": JsonbShreddedVariantFormat,
 }
 
 
@@ -43,6 +49,7 @@ __all__ = [
     "JsonFormatBase",
     "PlainJsonFormat",
     "JsonbVariantFormat",
+    "JsonbShreddedVariantFormat",
     "JsoncTapeFormat",
     "VariantShredFormat",
 ]

@@ -9,7 +9,7 @@ Parquet writer stores it as the Variant logical type.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import DOC_COL, JsonFormatBase
@@ -32,3 +32,67 @@ class JsonbVariantFormat(JsonFormatBase):
         return encoded.select(
             F.variant_get(F.col(VARIANT_COL), path, dtype).alias("value")
         )
+
+
+class JsonbShreddedVariantFormat(JsonbVariantFormat):
+    """jsonb with NATIVE Parquet variant shredding at the storage layer.
+
+    Same logical representation as ``jsonb`` (VariantType column), but the
+    Parquet writer is allowed to shred it: Spark 4.1's
+    ``spark.sql.variant.writeShredding.enabled`` +
+    ``spark.sql.variant.inferShreddingSchema`` store common typed paths as
+    real Parquet columns (typed_value) alongside the binary residual --
+    the Parquet Variant shredding spec, i.e. the reference's `variant`
+    format (src/format/variant.rs) realized INSIDE the file format rather
+    than as user-visible struct columns like ``VariantShredFormat``.
+    Readers prune to the shredded subcolumns via
+    ``spark.sql.variant.pushVariantIntoScan``; a query touching one path
+    reads one column chunk, not the whole document.
+
+    All three confs are scoped to the write/read call and restored -- the
+    external driver's session config is not ours to keep."""
+
+    name = "jsonb_shredded"
+
+    _WRITE_CONFS = {
+        "spark.sql.variant.writeShredding.enabled": "true",
+        "spark.sql.variant.inferShreddingSchema": "true",
+    }
+    _READ_CONFS = {"spark.sql.variant.allowReadingShredded": "true"}
+
+    @staticmethod
+    def _scoped(spark, settings):
+        saved = {}
+        for k, v in settings.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        return saved
+
+    @staticmethod
+    def _restore(spark, saved):
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+    def flush(self, encoded: DataFrame, path: str) -> None:
+        spark = encoded.sparkSession
+        saved = self._scoped(spark, self._WRITE_CONFS)
+        try:
+            super().flush(encoded, path)
+        finally:
+            self._restore(spark, saved)
+
+    def load(self, spark: SparkSession, path: str) -> DataFrame:
+        saved = self._scoped(spark, self._READ_CONFS)
+        try:
+            # Force reconstruction to a plain variant column at load so
+            # decode() sees the same logical shape as the jsonb format;
+            # the scan itself is what benefits from shredding.
+            return spark.read.parquet(path)
+        finally:
+            self._restore(spark, saved)

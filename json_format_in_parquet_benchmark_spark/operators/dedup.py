@@ -919,7 +919,11 @@ def embedding_near_dup_pairs(
 
 
 def substring_dup_spans(
-    df: DataFrame, text_col: str, id_col: str, anchor_len: int = 40
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    anchor_len: int = 40,
+    anchor_stride: int = 1,
 ) -> DataFrame:
     """Exact-substring duplicate spans at suffix-array granularity (the
     Lee et al. 2022 remove-duplicate-substring policy, distributed).
@@ -939,7 +943,7 @@ def substring_dup_spans(
     sort of the corpus.  Within-document repeats are out of scope
     (cross-document contamination policy).
     """
-    spans = substring_dup_islands(df, text_col, id_col, anchor_len)
+    spans = substring_dup_islands(df, text_col, id_col, anchor_len, anchor_stride)
     return spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
@@ -951,12 +955,31 @@ def substring_dup_spans(
 
 
 def substring_dup_islands(
-    df: DataFrame, text_col: str, id_col: str, anchor_len: int = 40
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    anchor_len: int = 40,
+    anchor_stride: int = 1,
 ) -> DataFrame:
     """The maximal cross-document duplicated spans themselves:
     (doc_id, n_chars, s, e) per merged island (1-based char positions,
     inclusive).  Shared by the span-census and the remove-policy
-    operators -- see :func:`substring_dup_spans` for the algorithm."""
+    operators -- see :func:`substring_dup_spans` for the algorithm.
+
+    ``anchor_stride`` > 1 is the 100 TB knob: instead of shuffling one
+    row per character position, keep only windows whose CONTENT hash
+    satisfies ``gh % stride == 0`` -- content-defined (mod-p) anchor
+    sampling, the Manber-1994 fingerprint selection.  Because selection
+    depends on window content alone, both copies of a duplicated passage
+    select exactly the same relative anchors regardless of byte offset,
+    so cross-document matching still works; the filter is map-side (no
+    extra shuffle) and cuts every downstream shuffle's volume by ~stride.
+    Trade-off (documented, probabilistic): a duplicated span only
+    surfaces if >= 1 of its windows is selected -- P(miss) =
+    (1 - 1/stride)^(span_len - anchor_len + 1), negligible for spans a
+    few strides longer than ``anchor_len`` -- and island boundaries are
+    anchor-granular, so span ends truncate by O(stride) expected chars.
+    stride=1 (default) is the exact census the oracle pins."""
     from ..functions.hashing import hash64_sql_spark
 
     L = anchor_len
@@ -982,6 +1005,11 @@ def substring_dup_islands(
             ),
         )
     )
+    if anchor_stride > 1:
+        # Content-defined sampling BEFORE any shuffle: gh is a pure
+        # function of the window's characters, so this filter keeps the
+        # same windows in every copy of a passage.
+        grams = grams.where(F.pmod(F.col("gh"), F.lit(anchor_stride)) == 0)
     dupg = (
         grams.select("doc_id", "gh")
         .distinct()

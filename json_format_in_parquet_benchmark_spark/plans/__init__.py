@@ -46,6 +46,8 @@ from . import queries_pipeline  # noqa: E402,F401
 # fall through to fast already-green queries.  All 200 oracled queries
 # stay green under the local typed parity gate regardless of order.
 _EVIDENCE_PRIORITY = (
+    # -- round-5 addition, never driver-sampled --
+    "format_roundtrip_jsonb_shredded",
     # -- streaming, never driver-sampled (stateful, watermark-dependent) --
     "stream_session_window",
     "stream_session_window_batch",
@@ -102,7 +104,6 @@ _EVIDENCE_PRIORITY = (
     "q6_forecast_revenue",
     "agg_rollup_region_nation",
     "join_broadcast_region_revenue",
-    "sort_topk_lineitems",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

@@ -119,6 +119,20 @@ def format_roundtrip_variant_shred(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "format_roundtrip_jsonb_shredded",
+    oracle=_CANON_ORACLE,
+    doc="Beyond-reference format: VariantType written with NATIVE Parquet "
+    "variant shredding (Spark 4.1 writeShredding + inferShreddingSchema; "
+    "typed_value subcolumns + binary residual per the Parquet Variant "
+    "spec) -> load -> to_json.  The reference's `variant` format's "
+    "storage layout realized inside the file format, no declared schema.",
+    tags=("format", "roundtrip", "variant", "shred"),
+)
+def format_roundtrip_jsonb_shredded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip_canon(spark, sf_dir, "jsonb_shredded")
+
+
+@register(
     "format_storage_metrics",
     oracle=None,  # filesystem sizes are writer-dependent; rows-only check
     doc="O23: per-format Parquet size + compression ratio over the events "

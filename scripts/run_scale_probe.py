@@ -110,9 +110,58 @@ def synth_embeddings(spark: SparkSession, n: int, out: str) -> None:
     )
 
 
-def timed_l(label: str, fn) -> tuple[float, int]:
+OPS: set[str] | None = None  # --ops filter; None = run everything
+
+
+def synth_zipf_events(spark: SparkSession, n: int, out: str, n_users: int) -> None:
+    """Deterministic zipf(s=1.2)-skewed events table via inverse-CDF on an
+    md5-uniform draw: P(user_id = r) ~ r^-1.2 over [1, n_users] (truncated
+    Pareto with tail index s-1 = 0.2), so the hottest key carries ~13% of
+    ALL rows -- a genuine straggler at any scale.  No RNG: u is the md5 of
+    the row id, identical across runs."""
+    alpha = 0.2  # s - 1
+    umin = n_users ** (-alpha)
+    u = "(cast(conv(substr(md5(cast(id as string)), 1, 15), 16, 10) as double) / 1152921504606846976.0)"
+    (
+        spark.range(n)
+        .selectExpr(
+            "id as event_id",
+            f"cast(pow({umin} + {u} * (1.0 - {umin}), -1.0 / {alpha}) as bigint) as user_id",
+            "cast(id % 1000 as double) / 100.0 as value",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+def _scoped_conf(spark: SparkSession, settings: dict[str, str]):
+    """Set session confs, returning a restore closure (None = was unset)."""
+    saved = {}
+    for k, v in settings.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+
+    def restore():
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+    return restore
+
+
+def timed_l(label: str, fn) -> tuple[float, int] | None:
     """timed() with the op name printed up front -- the long tiers need a
-    stderr marker saying which operator is currently running."""
+    stderr marker saying which operator is currently running.  Returns
+    None (arm skipped) when an --ops filter excludes the label, so big
+    single-op tiers (e.g. the 5M substring arm) don't pay for the rest."""
+    if OPS is not None and label not in OPS:
+        return None
     return timed(fn, label)
 
 
@@ -139,8 +188,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,50000,500000")
     ap.add_argument("--workdir", default="/tmp/jfipb_scale_probe")
+    ap.add_argument(
+        "--ops",
+        default="",
+        help="comma-separated arm labels to run (default: all)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    global OPS
+    OPS = set(filter(None, args.ops.split(","))) or None
 
     spark = get_spark("scale-probe")
     results: dict[int, dict[str, tuple[float, int]]] = {}
@@ -148,10 +204,16 @@ def main() -> None:
         docs_path = os.path.join(args.workdir, f"docs_{n}")
         embs_path = os.path.join(args.workdir, f"embs_{n}")
         n_emb = max(n * 2 // 5, 100)  # embeddings table is 2/5 of docs, like sf0.1
+        emb_ops = {
+            "embedding_near_dup", "ivf_topk", "semantic_dedup",
+            "gram_matrix", "pq_topk",
+        }
         synth_documents(spark, n, docs_path)
-        synth_embeddings(spark, n_emb, embs_path)
         docs = spark.read.parquet(docs_path)
-        embs = spark.read.parquet(embs_path)
+        embs = None
+        if OPS is None or OPS & emb_ops:
+            synth_embeddings(spark, n_emb, embs_path)
+            embs = spark.read.parquet(embs_path)
         # sign-LSH bucket count must grow with N to hold per-bucket occupancy
         # roughly constant (the knob a 100 TB deployment turns): ~2^13
         # buckets at 2k vectors up to 2^19 at 200k.
@@ -213,6 +275,15 @@ def main() -> None:
                 docs, "text", "doc_id"
             ).count()
         )
+        # The 100 TB arm: content-defined (gh % 8 == 0) anchor sampling --
+        # same spans at anchor granularity, ~8x less shuffled gram volume.
+        # Compare its per-10x growth AND its absolute time against the
+        # exact arm above; output rows differ only by sampling-miss spans.
+        r["substring_spans_stride8"] = timed_l("substring_spans_stride8",
+            lambda: dedup.substring_dup_spans(
+                docs, "text", "doc_id", anchor_stride=8
+            ).count()
+        )
         r["embedding_near_dup"] = timed_l("embedding_near_dup", 
             lambda: dedup.embedding_near_dup_pairs(
                 embs, "embedding", "vec_id", n_planes=n_planes
@@ -262,21 +333,26 @@ def main() -> None:
         )
         # PageRank: deterministic synthetic 4-regular symmetric graph over
         # n nodes; 3 supersteps.  Wall time should track |E| linearly.
+        graph_ops = {
+            "pagerank_3iter", "label_prop_3iter",
+            "pagerank_10iter", "label_prop_10iter",
+        }
         edges_path = os.path.join(args.workdir, f"edges_{n}")
-        eraw = spark.range(n).selectExpr(
-            "id as a",
-            f"(id * 7 + 1) % {n} as b",
-            f"(id * 13 + 3) % {n} as c",
-        )
-        (
-            eraw.selectExpr("a as src", "b as dst")
-            .union(eraw.selectExpr("b", "a"))
-            .union(eraw.selectExpr("a", "c"))
-            .union(eraw.selectExpr("c", "a"))
-            .repartition(spark.sparkContext.defaultParallelism)
-            .write.mode("overwrite")
-            .parquet(edges_path)
-        )
+        if OPS is None or OPS & graph_ops:
+            eraw = spark.range(n).selectExpr(
+                "id as a",
+                f"(id * 7 + 1) % {n} as b",
+                f"(id * 13 + 3) % {n} as c",
+            )
+            (
+                eraw.selectExpr("a as src", "b as dst")
+                .union(eraw.selectExpr("b", "a"))
+                .union(eraw.selectExpr("a", "c"))
+                .union(eraw.selectExpr("c", "a"))
+                .repartition(spark.sparkContext.defaultParallelism)
+                .write.mode("overwrite")
+                .parquet(edges_path)
+            )
         r["pagerank_3iter"] = timed_l("pagerank_3iter",
             lambda: pagerank(spark.read.parquet(edges_path)).count()
         )
@@ -308,6 +384,179 @@ def main() -> None:
                 phash_features(media_table(docs))
             ).count()
         )
+        # --- distributed-CC stress arm (round-5 verdict item 3) --------
+        # The driver union-find default is size-gated at 2M undirected
+        # edges; at 100 TB a near-dup pair graph can exceed it, so the
+        # min-label fallback needs a measured number at a tier where the
+        # gate would actually trip.  Synthetic 10-node components
+        # (ring + star chords, ~1.9 edges/node over 5*n nodes => ~10x the
+        # minhash pair graph) with KNOWN answer: every node's rep is its
+        # block start.  Star chords keep the diameter at 2, so the cost
+        # is per-round shuffle volume, not round count.
+        if n == max(sizes):
+            cce_path = os.path.join(args.workdir, f"cc_edges_{n}")
+
+            def _cc_big():
+                nn = n * 5
+                edges = spark.range(nn).selectExpr(
+                    "id as doc_a",
+                    "case when id % 10 < 9 then id + 1 else id - 9 end as doc_b",
+                ).union(
+                    spark.range(nn)
+                    .where("id % 10 >= 2")
+                    .selectExpr("id as doc_a", "id - id % 10 as doc_b")
+                )
+                (
+                    edges.repartition(spark.sparkContext.defaultParallelism)
+                    .write.mode("overwrite")
+                    .parquet(cce_path)
+                )
+                out = dedup.connected_components(
+                    spark.read.parquet(cce_path), driver_max_edges=0
+                )
+                # correctness spot-check rides the timing: every rep must
+                # be the component's block start
+                bad = out.where("cluster_rep != doc_id - doc_id % 10").count()
+                assert bad == 0, f"{bad} wrong component reps"
+                return out.count()
+
+            r["cc_distributed_bigraph"] = timed_l(
+                "cc_distributed_bigraph", _cc_big
+            )
+
+        # --- zipf skew-stress arms (round-5 verdict item 7) ------------
+        # Salting's worth is claimed by agg_salted_skew_user /
+        # join_salted_skew_events but testdata is uniform; these arms
+        # measure the claim on a zipf(1.2) corpus whose hottest key holds
+        # ~13% of ALL rows.  Broadcast is disabled for every join arm (the
+        # scenario is "dim too big to broadcast"); AQE skew-join is OFF
+        # for naive/salted (the case the salted plan exists for: engine
+        # skew handling unavailable) and ON for the _aqeskew arm (showing
+        # the engine path when it does apply).  The agg arms document the
+        # OTHER claim: for algebraic aggregates, map-side partial
+        # aggregation already collapses hot keys before the shuffle, so
+        # naive ~= salted and the plain groupBy plans are skew-safe.
+        zipf_ops = {
+            "zipf_join_naive", "zipf_join_naive_aqeskew", "zipf_join_salted",
+            "zipf_agg_naive", "zipf_agg_salted",
+        }
+        if OPS is None or OPS & zipf_ops:
+            zev_path = os.path.join(args.workdir, f"zipf_events_{n}")
+            n_users = max(n // 20, 100)
+            synth_zipf_events(spark, n, zev_path, n_users)
+            zdim_path = os.path.join(args.workdir, f"zipf_dim_{n}")
+            (
+                spark.range(1, n_users + 1)
+                .selectExpr("id as c_custkey", "id % 25 as c_nationkey")
+                .repartition(spark.sparkContext.defaultParallelism)
+                .write.mode("overwrite")
+                .parquet(zdim_path)
+            )
+
+            def _zev():
+                return spark.read.parquet(zev_path)
+
+            def _zdim():
+                return spark.read.parquet(zdim_path)
+
+            def _join_naive():
+                ev, dim = _zev(), _zdim()
+                return (
+                    ev.join(dim, ev.user_id == dim.c_custkey)
+                    .groupBy("c_nationkey")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.expr(
+                            "cast(sum(cast(value as decimal(18,2))) as double)"
+                        ).alias("tv"),
+                    )
+                    .count()
+                )
+
+            def _join_salted():
+                n_salt = 16
+                ev = _zev().select(
+                    "user_id", "value",
+                    F.pmod(F.col("event_id"), F.lit(n_salt)).alias("salt"),
+                )
+                dim = _zdim().withColumn(
+                    "salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})"))
+                )
+                return (
+                    ev.join(
+                        dim,
+                        (ev.user_id == dim.c_custkey) & (ev.salt == dim.salt),
+                    )
+                    .groupBy("c_nationkey")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.expr(
+                            "cast(sum(cast(value as decimal(18,2))) as double)"
+                        ).alias("tv"),
+                    )
+                    .count()
+                )
+
+            no_bcast = {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            }
+            restore = _scoped_conf(
+                spark,
+                {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "false"},
+            )
+            try:
+                r["zipf_join_naive"] = timed_l("zipf_join_naive", _join_naive)
+                r["zipf_join_salted"] = timed_l("zipf_join_salted", _join_salted)
+            finally:
+                restore()
+            restore = _scoped_conf(
+                spark,
+                {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "true"},
+            )
+            try:
+                r["zipf_join_naive_aqeskew"] = timed_l(
+                    "zipf_join_naive_aqeskew", _join_naive
+                )
+            finally:
+                restore()
+
+            def _agg_naive():
+                return (
+                    _zev()
+                    .groupBy("user_id")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.expr(
+                            "cast(sum(cast(value as decimal(18,2))) as double)"
+                        ).alias("tv"),
+                    )
+                    .count()
+                )
+
+            def _agg_salted():
+                partial = (
+                    _zev()
+                    .withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+                    .groupBy("user_id", "salt")
+                    .agg(
+                        F.count(F.lit(1)).alias("pn"),
+                        F.expr("sum(cast(value as decimal(18,2)))").alias("pv"),
+                    )
+                )
+                return (
+                    partial.groupBy("user_id")
+                    .agg(
+                        F.sum("pn").alias("n"),
+                        F.expr("cast(sum(pv) as double)").alias("tv"),
+                    )
+                    .count()
+                )
+
+            r["zipf_agg_naive"] = timed_l("zipf_agg_naive", _agg_naive)
+            r["zipf_agg_salted"] = timed_l("zipf_agg_salted", _agg_salted)
+
+        r = {k: v for k, v in r.items() if v is not None}
         results[n] = r
         for op, (secs, rows) in r.items():
             print(
@@ -318,6 +567,8 @@ def main() -> None:
     print("\n# time growth per 10x data (quadratic would be ~100x):")
     for a, b in zip(sizes, sizes[1:]):
         for op in results[a]:
+            if op not in results[b]:  # largest-tier-only arms
+                continue
             ta, tb = results[a][op][0], results[b][op][0]
             ratio = round(tb / ta, 1) if ta > 0 else float("inf")
             print(f"  {op}: {a}->{b} rows = {ratio}x time")

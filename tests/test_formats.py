@@ -151,7 +151,13 @@ def test_events_shred_reference_schema(spark):
 
 
 def test_format_dispatch():
-    assert sorted(FORMATS) == ["jsonb", "jsonc", "plain_json", "variant"]
+    assert sorted(FORMATS) == [
+        "jsonb",
+        "jsonb_shredded",
+        "jsonc",
+        "plain_json",
+        "variant",
+    ]
     with pytest.raises(KeyError):
         get_format("nope")
 
@@ -175,7 +181,13 @@ def test_storage_sweep_emits_reference_csv_layout(spark, tmp_path):
 
     csv_path = str(tmp_path / "results.csv")
     rows = sweep_corpora(spark, [corpus], str(tmp_path / "out"), csv_path)
-    assert {r["format"] for r in rows} == {"json", "jsonb", "jsonc", "variant"}
+    assert {r["format"] for r in rows} == {
+        "json",
+        "jsonb",
+        "jsonb_shredded",
+        "jsonc",
+        "variant",
+    }
     assert all(r["num_of_lines"] == 1024 and r["ndv"] == 0.1 for r in rows)
     assert all(0 < r["compressed_rate"] < 1 for r in rows)
     with open(csv_path) as f:

@@ -940,6 +940,48 @@ def test_substring_spans_on_planted_passages(spark):
         assert rows[d]["kept_chars"] == rows[d]["n_chars"] - len(passage)
 
 
+def test_substring_spans_strided_is_offset_invariant(spark):
+    """Content-defined anchor sampling (anchor_stride > 1) must select the
+    SAME windows in both copies of a shared passage regardless of byte
+    offset: on a passage long enough to guarantee >= 1 selected anchor,
+    both docs flag a span inside the passage, identical in length in both
+    docs, never longer than the passage, and never extending into the
+    disjoint-junk flanks."""
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        substring_dup_islands,
+    )
+
+    L, stride = 10, 4
+    # 120-char shared passage: ~111 windows, P(no anchor) = (3/4)^111 ~ 0
+    passage = "".join(
+        "zyxwvutsrq"[(i * 7 + 3) % 10] + "ponmlkjihg"[(i * 11 + 5) % 10]
+        for i in range(60)
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "0123456789012345" + passage + "5432109876"),
+            (1, "ABCDEFGHIJKLMNOPQRS" + passage + "QRSTUVWXYZABCD"),
+            (2, "aabb" * 40),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["s"], r["e"])
+        for r in substring_dup_islands(
+            docs, "text", "doc_id", anchor_len=L, anchor_stride=stride
+        ).collect()
+    }
+    assert set(spans) == {0, 1}, f"both passage docs must flag: {spans}"
+    starts = {0: 17, 1: 20}  # 1-based passage start per doc
+    lengths = set()
+    for d, (s, e) in spans.items():
+        lo, hi = starts[d], starts[d] + len(passage) - 1
+        assert lo <= s <= e <= hi, f"doc {d}: span [{s},{e}] outside passage"
+        lengths.add(e - s + 1)
+    # offset invariance: identical selected anchors => identical span length
+    assert len(lengths) == 1, f"span lengths differ across docs: {spans}"
+
+
 def test_bpe_trainer_matches_python_reference(spark):
     """The distributed BPE loop must reproduce a straightforward in-memory
     BPE trainer (greedy leftmost merge, argmax by count then pair order)
