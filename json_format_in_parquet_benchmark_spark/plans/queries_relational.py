@@ -679,7 +679,13 @@ GROUP BY 1
     "combines the partials.  Result identical to a plain groupBy (the "
     "oracle IS the plain groupBy); decimal partials re-sum exactly.  This "
     "is the manual fallback when AQE skew handling cannot apply (e.g. "
-    "skewed aggregation rather than join).",
+    "skewed aggregation rather than join).  Measured worth (round-5 zipf "
+    "probe, results/scale_probe.txt): for ALGEBRAIC aggregates like this "
+    "one, map-side partial aggregation already collapses hot keys before "
+    "the shuffle, so the salted two-phase is at best a wash even at 50M "
+    "zipf(1.2) rows -- reserve the technique for non-algebraic "
+    "aggregates (collect_list/exact percentile) where no map-side "
+    "combine exists.",
     tags=("relational", "aggregation", "skew", "salting"),
 )
 def agg_salted_skew_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,7 +719,13 @@ GROUP BY 1
     "plain join (the oracle IS the plain join+aggregate).  This is the "
     "manual form of what AQE skew-join does for sort-merge joins -- "
     "needed when the engine's skew handling cannot see the skew (e.g. "
-    "post-shuffle state, or non-SMJ plans).",
+    "post-shuffle state, or non-SMJ plans).  Measured worth (round-5 "
+    "zipf probe, results/scale_probe.txt): at zipf(1.2) skew AQE "
+    "skew-join beats this plan and salting is a net LOSS (the n_salt x "
+    "dim explode costs more than the straggler it removes); salting wins "
+    "outright (1.6x) only at extreme skew (zipf 2.0, hot key ~61%) where "
+    "AQE's partition split does not recover the shape.  Broadcast > AQE "
+    "skew-join > manual salt, in that order.",
     tags=("relational", "join", "skew", "salting"),
 )
 def join_salted_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:

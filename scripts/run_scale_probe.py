@@ -113,13 +113,15 @@ def synth_embeddings(spark: SparkSession, n: int, out: str) -> None:
 OPS: set[str] | None = None  # --ops filter; None = run everything
 
 
-def synth_zipf_events(spark: SparkSession, n: int, out: str, n_users: int) -> None:
-    """Deterministic zipf(s=1.2)-skewed events table via inverse-CDF on an
-    md5-uniform draw: P(user_id = r) ~ r^-1.2 over [1, n_users] (truncated
-    Pareto with tail index s-1 = 0.2), so the hottest key carries ~13% of
-    ALL rows -- a genuine straggler at any scale.  No RNG: u is the md5 of
-    the row id, identical across runs."""
-    alpha = 0.2  # s - 1
+def synth_zipf_events(
+    spark: SparkSession, n: int, out: str, n_users: int, s: float = 1.2
+) -> None:
+    """Deterministic zipf(s)-skewed events table via inverse-CDF on an
+    md5-uniform draw: P(user_id = r) ~ r^-s over [1, n_users] (truncated
+    Pareto with tail index s-1).  At s=1.2 the hottest key carries ~13%
+    of ALL rows; at s=2.0 it carries ~61% -- a genuine straggler at any
+    scale.  No RNG: u is the md5 of the row id, identical across runs."""
+    alpha = s - 1.0
     umin = n_users ** (-alpha)
     u = "(cast(conv(substr(md5(cast(id as string)), 1, 15), 16, 10) as double) / 1152921504606846976.0)"
     (
@@ -208,8 +210,17 @@ def main() -> None:
             "embedding_near_dup", "ivf_topk", "semantic_dedup",
             "gram_matrix", "pq_topk",
         }
-        synth_documents(spark, n, docs_path)
-        docs = spark.read.parquet(docs_path)
+        # zipf/CC arms synthesize their own inputs; skip the 2n-doc corpus
+        # when an --ops filter selects none of its consumers (a 50M zipf
+        # tier must not pay for 50M synthetic documents).
+        doc_free_ops = {
+            "zipf_join_naive", "zipf_join_naive_aqeskew", "zipf_join_salted",
+            "zipf_agg_naive", "zipf_agg_salted", "cc_distributed_bigraph",
+        }
+        docs = None
+        if OPS is None or OPS - doc_free_ops:
+            synth_documents(spark, n, docs_path)
+            docs = spark.read.parquet(docs_path)
         embs = None
         if OPS is None or OPS & emb_ops:
             synth_embeddings(spark, n_emb, embs_path)
@@ -517,6 +528,147 @@ def main() -> None:
             try:
                 r["zipf_join_naive_aqeskew"] = timed_l(
                     "zipf_join_naive_aqeskew", _join_naive
+                )
+            finally:
+                restore()
+
+        # Small-dim variant: the regime where MANUAL salting is the win.
+        # With a 2.5M-row dim the 16x explode costs more than the hot
+        # reducer it removes (measured above); shrink the dim to n/2000
+        # keys (25k at 50M rows -- small, but the scenario is "broadcast
+        # unavailable": streaming state, engines without AQE, or a build
+        # side that is small in ROWS but huge in payload bytes).  Same
+        # zipf(1.2) draw over fewer keys => hottest key ~18% of all rows.
+        smalldim_ops = {"zipf_join_naive_smalldim", "zipf_join_salted_smalldim"}
+        if OPS is None or OPS & smalldim_ops:
+            no_bcast = {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            }
+            zev2_path = os.path.join(args.workdir, f"zipf_events_sd_{n}")
+            n_users2 = max(n // 2000, 50)
+            synth_zipf_events(spark, n, zev2_path, n_users2)
+            zdim2_path = os.path.join(args.workdir, f"zipf_dim_sd_{n}")
+            (
+                spark.range(1, n_users2 + 1)
+                .selectExpr("id as c_custkey", "id % 25 as c_nationkey")
+                .repartition(8)
+                .write.mode("overwrite")
+                .parquet(zdim2_path)
+            )
+
+            def _sd_naive():
+                ev = spark.read.parquet(zev2_path)
+                dim = spark.read.parquet(zdim2_path)
+                return (
+                    ev.join(dim, ev.user_id == dim.c_custkey)
+                    .groupBy("c_nationkey")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .count()
+                )
+
+            def _sd_salted():
+                n_salt = 16
+                ev = spark.read.parquet(zev2_path).select(
+                    "user_id",
+                    F.pmod(F.col("event_id"), F.lit(n_salt)).alias("salt"),
+                )
+                dim = spark.read.parquet(zdim2_path).withColumn(
+                    "salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})"))
+                )
+                return (
+                    ev.join(
+                        dim,
+                        (ev.user_id == dim.c_custkey) & (ev.salt == dim.salt),
+                    )
+                    .groupBy("c_nationkey")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .count()
+                )
+
+            restore = _scoped_conf(
+                spark,
+                {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "false"},
+            )
+            try:
+                r["zipf_join_naive_smalldim"] = timed_l(
+                    "zipf_join_naive_smalldim", _sd_naive
+                )
+                r["zipf_join_salted_smalldim"] = timed_l(
+                    "zipf_join_salted_smalldim", _sd_salted
+                )
+            finally:
+                restore()
+
+        # Extreme-skew variant (zipf s=2.0: hottest key ~61% of ALL rows).
+        # At s=1.2 the hot reducer's hash-probe cost never dominates
+        # scan+shuffle on this box, so salting can't show its worth; at
+        # s=2.0 the naive plan's wall clock IS the one hot task.  Same
+        # join as smalldim, AQE skew-join off (the salting scenario).
+        xskew_ops = {"zipf2_join_naive", "zipf2_join_salted",
+                     "zipf2_join_naive_aqeskew"}
+        if OPS is None or OPS & xskew_ops:
+            no_bcast = {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            }
+            zev3_path = os.path.join(args.workdir, f"zipf2_events_{n}")
+            n_users3 = max(n // 2000, 50)
+            synth_zipf_events(spark, n, zev3_path, n_users3, s=2.0)
+            zdim3_path = os.path.join(args.workdir, f"zipf2_dim_{n}")
+            (
+                spark.range(1, n_users3 + 1)
+                .selectExpr("id as c_custkey", "id % 25 as c_nationkey")
+                .repartition(8)
+                .write.mode("overwrite")
+                .parquet(zdim3_path)
+            )
+
+            def _x_naive():
+                ev = spark.read.parquet(zev3_path)
+                dim = spark.read.parquet(zdim3_path)
+                return (
+                    ev.join(dim, ev.user_id == dim.c_custkey)
+                    .groupBy("c_nationkey")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .count()
+                )
+
+            def _x_salted():
+                n_salt = 32
+                ev = spark.read.parquet(zev3_path).select(
+                    "user_id",
+                    F.pmod(F.col("event_id"), F.lit(n_salt)).alias("salt"),
+                )
+                dim = spark.read.parquet(zdim3_path).withColumn(
+                    "salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})"))
+                )
+                return (
+                    ev.join(
+                        dim,
+                        (ev.user_id == dim.c_custkey) & (ev.salt == dim.salt),
+                    )
+                    .groupBy("c_nationkey")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .count()
+                )
+
+            restore = _scoped_conf(
+                spark,
+                {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "false"},
+            )
+            try:
+                r["zipf2_join_naive"] = timed_l("zipf2_join_naive", _x_naive)
+                r["zipf2_join_salted"] = timed_l("zipf2_join_salted", _x_salted)
+            finally:
+                restore()
+            restore = _scoped_conf(
+                spark,
+                {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "true"},
+            )
+            try:
+                r["zipf2_join_naive_aqeskew"] = timed_l(
+                    "zipf2_join_naive_aqeskew", _x_naive
                 )
             finally:
                 restore()
