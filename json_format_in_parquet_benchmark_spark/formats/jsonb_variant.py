@@ -20,6 +20,13 @@ VARIANT_COL = "v"
 class JsonbVariantFormat(JsonFormatBase):
     name = "jsonb"
 
+    # The reference's jsonb (src/format/jsonb.rs) is a PURE binary document
+    # -- one opaque column, no typed subcolumns.  Spark 4.1 shreds variant
+    # writes BY DEFAULT (writeShredding.enabled=true), which would silently
+    # turn this format into jsonb_shredded; force the unshredded layout so
+    # the storage grid compares the same two layouts the reference does.
+    _WRITE_CONFS = {"spark.sql.variant.writeShredding.enabled": "false"}
+
     def encode(self, raw: DataFrame) -> DataFrame:
         return raw.select(F.parse_json(F.col(DOC_COL)).alias(VARIANT_COL))
 
@@ -32,33 +39,6 @@ class JsonbVariantFormat(JsonFormatBase):
         return encoded.select(
             F.variant_get(F.col(VARIANT_COL), path, dtype).alias("value")
         )
-
-
-class JsonbShreddedVariantFormat(JsonbVariantFormat):
-    """jsonb with NATIVE Parquet variant shredding at the storage layer.
-
-    Same logical representation as ``jsonb`` (VariantType column), but the
-    Parquet writer is allowed to shred it: Spark 4.1's
-    ``spark.sql.variant.writeShredding.enabled`` +
-    ``spark.sql.variant.inferShreddingSchema`` store common typed paths as
-    real Parquet columns (typed_value) alongside the binary residual --
-    the Parquet Variant shredding spec, i.e. the reference's `variant`
-    format (src/format/variant.rs) realized INSIDE the file format rather
-    than as user-visible struct columns like ``VariantShredFormat``.
-    Readers prune to the shredded subcolumns via
-    ``spark.sql.variant.pushVariantIntoScan``; a query touching one path
-    reads one column chunk, not the whole document.
-
-    All three confs are scoped to the write/read call and restored -- the
-    external driver's session config is not ours to keep."""
-
-    name = "jsonb_shredded"
-
-    _WRITE_CONFS = {
-        "spark.sql.variant.writeShredding.enabled": "true",
-        "spark.sql.variant.inferShreddingSchema": "true",
-    }
-    _READ_CONFS = {"spark.sql.variant.allowReadingShredded": "true"}
 
     @staticmethod
     def _scoped(spark, settings):
@@ -86,6 +66,33 @@ class JsonbShreddedVariantFormat(JsonbVariantFormat):
             super().flush(encoded, path)
         finally:
             self._restore(spark, saved)
+
+
+class JsonbShreddedVariantFormat(JsonbVariantFormat):
+    """jsonb with NATIVE Parquet variant shredding at the storage layer.
+
+    Same logical representation as ``jsonb`` (VariantType column), but the
+    Parquet writer is allowed to shred it: Spark 4.1's
+    ``spark.sql.variant.writeShredding.enabled`` +
+    ``spark.sql.variant.inferShreddingSchema`` store common typed paths as
+    real Parquet columns (typed_value) alongside the binary residual --
+    the Parquet Variant shredding spec, i.e. the reference's `variant`
+    format (src/format/variant.rs) realized INSIDE the file format rather
+    than as user-visible struct columns like ``VariantShredFormat``.
+    Readers prune to the shredded subcolumns via
+    ``spark.sql.variant.pushVariantIntoScan``; a query touching one path
+    reads one column chunk, not the whole document.
+
+    All three confs are scoped to the write/read call and restored -- the
+    external driver's session config is not ours to keep."""
+
+    name = "jsonb_shredded"
+
+    _WRITE_CONFS = {
+        "spark.sql.variant.writeShredding.enabled": "true",
+        "spark.sql.variant.inferShreddingSchema": "true",
+    }
+    _READ_CONFS = {"spark.sql.variant.allowReadingShredded": "true"}
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         saved = self._scoped(spark, self._READ_CONFS)

@@ -224,3 +224,30 @@ def test_malformed_json_degrades_to_null_not_failure(spark):
     got = parsed.collect()
     assert [r.k for r in got] == [1, None, None, None, 4]
     assert sum(r.v is not None for r in got) == 2  # only the two valid docs
+
+
+def test_jsonb_vs_jsonb_shredded_physical_layout(spark, tmp_path):
+    """Spark 4.1 shreds variant writes BY DEFAULT, which would make the
+    jsonb and jsonb_shredded grid rows the same file; pin that jsonb
+    forces the UNSHREDDED pure-binary layout (the reference's jsonb,
+    src/format/jsonb.rs) and jsonb_shredded carries typed_value groups
+    in the Parquet footer, whatever the session default is."""
+    import glob
+
+    df = _docs_df(spark, FLAT_DOCS)
+    layouts = {}
+    for name in ("jsonb", "jsonb_shredded"):
+        fmt = get_format(name)
+        path = str(tmp_path / name)
+        fmt.flush(fmt.encode(df), path)
+        part = glob.glob(path + "/part-*.parquet")[0]
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(part)
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            hpath, spark._jsc.hadoopConfiguration()
+        )
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        schema = rdr.getFooter().getFileMetaData().getSchema().toString()
+        rdr.close()
+        layouts[name] = "typed_value" in schema
+    assert layouts == {"jsonb": False, "jsonb_shredded": True}
