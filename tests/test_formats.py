@@ -239,7 +239,9 @@ def test_jsonb_vs_jsonb_shredded_physical_layout(spark, tmp_path):
     for name in ("jsonb", "jsonb_shredded"):
         fmt = get_format(name)
         path = str(tmp_path / name)
-        fmt.flush(fmt.encode(df), path)
+        # one partition: an EMPTY part file has no rows for
+        # inferShreddingSchema and would legitimately lack typed_value
+        fmt.flush(fmt.encode(df).coalesce(1), path)
         part = glob.glob(path + "/part-*.parquet")[0]
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(part)
@@ -251,3 +253,32 @@ def test_jsonb_vs_jsonb_shredded_physical_layout(spark, tmp_path):
         rdr.close()
         layouts[name] = "typed_value" in schema
     assert layouts == {"jsonb": False, "jsonb_shredded": True}
+
+
+def test_shredded_variant_scan_prunes_to_path(spark, tmp_path):
+    """pushVariantIntoScan rewrite: a variant_get over a natively-shredded
+    file must scan ONLY the requested path's typed_value subcolumn (the
+    ReadSchema shows a one-field struct), not the whole binary document.
+    This is the 100 TB argument for jsonb_shredded: measured on a 2M-row
+    generator corpus, a one-path query reads 13.1 MB of column chunks vs
+    61.6 MB unshredded (results/bench_notes.md, round 5)."""
+    from pyspark.sql import functions as F
+
+    df = _docs_df(spark, FLAT_DOCS)
+    fmt = get_format("jsonb_shredded")
+    path = str(tmp_path / "shred_prune")
+    fmt.flush(fmt.encode(df).coalesce(1), path)
+    old = spark.conf.get("spark.sql.variant.pushVariantIntoScan")
+    try:
+        spark.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+        plan = (
+            spark.read.parquet(path)
+            .select(F.variant_get("v", "$.a", "string").alias("a"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.variant.pushVariantIntoScan", old)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "struct<0:string>" in read_schema, read_schema
