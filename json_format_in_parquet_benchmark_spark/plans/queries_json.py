@@ -386,3 +386,99 @@ def json_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.get_json_object("props", "$.k")).alias("ndv_k"),
         F.countDistinct("user_id").alias("ndv_user"),
     )
+
+
+@register(
+    "json_paths_census",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS c FROM orders)
+SELECT path, vtype, n FROM (
+  SELECT '$.nested.arr[0]' AS path, 'INTEGER' AS vtype, c AS n FROM n
+  UNION ALL SELECT '$.nested.arr[1]', 'INTEGER', c FROM n
+  UNION ALL SELECT '$.order.key',     'INTEGER', c FROM n
+  UNION ALL SELECT '$.order.status',  'STRING',  c FROM n
+  UNION ALL SELECT '$.price',         'NUMBER',  c FROM n
+  UNION ALL SELECT '$.tags[0]',       'STRING',  c FROM n
+  UNION ALL SELECT '$.tags[1]',       'STRING',  c FROM n
+)
+""",
+    doc="Schema census over a JSON corpus: enumerate every leaf path with "
+    "its type and row count -- the schema-drift / shredding-planning tool "
+    "(which paths are dense and typed enough to shred is exactly what "
+    "inferShreddingSchema decides per file; this query computes it "
+    "corpus-wide).  The Spark plan discovers paths DYNAMICALLY: parse to "
+    "variant, then iterate LATERAL variant_explode to max depth, "
+    "classifying containers via schema_of_variant and accumulating "
+    "leaves; types normalize to JSON's own lattice (INTEGER / NUMBER / "
+    "STRING / BOOLEAN / NULL) so DECIMAL-vs-DOUBLE inference noise "
+    "cancels.  The corpus is built deterministically from orders (depth-3 "
+    "nesting, null-free by construction).  DuckDB has no recursive JSON "
+    "walker, so the oracle enumerates this corpus's fixed path set "
+    "statically -- it still pins path spelling, type mapping and counts.",
+    tags=("json", "variant", "census", "schema"),
+)
+def json_paths_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    orders = load_table(spark, sf_dir, "orders")
+    docs = orders.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("o_orderkey").alias("key"),
+                    F.col("o_orderstatus").alias("status"),
+                ).alias("order"),
+                F.col("o_totalprice").alias("price"),
+                F.array(
+                    F.col("o_orderpriority"), F.col("o_orderstatus")
+                ).alias("tags"),
+                F.struct(
+                    F.array(
+                        F.col("o_custkey") % 7, F.col("o_custkey") % 3
+                    ).alias("arr")
+                ).alias("nested"),
+            )
+        ).alias("doc")
+    )
+    frontier = docs.select(
+        F.lit("$").alias("path"), F.parse_json("doc").alias("v")
+    )
+    leaf_parts = []
+    for _ in range(4):  # max nesting depth of the corpus
+        typed = frontier.select(
+            "path", "v", F.expr("schema_of_variant(v)").alias("t")
+        )
+        is_container = F.col("t").startswith("OBJECT<") | F.col(
+            "t"
+        ).startswith("ARRAY<")
+        leaf_parts.append(typed.where(~is_container).select("path", "t"))
+        containers = typed.where(is_container)
+        frontier = containers.lateralJoin(
+            spark.tvf.variant_explode(F.col("v").outer())
+        ).select(
+            F.when(
+                F.col("key").isNotNull(),
+                F.concat(F.col("path"), F.lit("."), F.col("key")),
+            )
+            .otherwise(
+                F.concat(F.col("path"), F.lit("["), F.col("pos"), F.lit("]"))
+            )
+            .alias("path"),
+            F.col("value").alias("v"),
+        )
+    leaves = reduce(lambda a, b: a.unionAll(b), leaf_parts)
+    vtype = (
+        F.when(F.col("t") == "BIGINT", "INTEGER")
+        .when(F.col("t").startswith("DECIMAL"), "NUMBER")
+        .when(F.col("t") == "DOUBLE", "NUMBER")
+        .when(F.col("t") == "FLOAT", "NUMBER")
+        .when(F.col("t") == "STRING", "STRING")
+        .when(F.col("t") == "BOOLEAN", "BOOLEAN")
+        .when(F.col("t") == "VOID", "NULL")
+        .otherwise(F.col("t"))
+    )
+    return (
+        leaves.select("path", vtype.alias("vtype"))
+        .groupBy("path", "vtype")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -3143,3 +3143,155 @@ def dq_fd_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repair_checksum"
         ),
     )
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+SELECT n_nationkey AS box_id,
+       COUNT(*) AS n_points,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events, nation
+WHERE (event_id * 2654435761) % 180000 >= n_nationkey * 7200
+  AND (event_id * 2654435761) % 180000 <  n_nationkey * 7200 + 14400
+  AND (event_id * 1597334677) % 360000 >= ((n_nationkey * 13) % 24) * 15000
+  AND (event_id * 1597334677) % 360000 <  ((n_nationkey * 13) % 24) * 15000 + 30000
+GROUP BY 1
+""",
+    doc="Spatial grid join (point-in-box): the inequality join every naive "
+    "formulation writes is a cross product at scale; the Spark plan "
+    "EQUI-joins on a grid cell instead -- each point hashes to exactly one "
+    "15000-milli-degree cell, each box explodes to the <=4 cells it covers, "
+    "and the containment predicate runs only on cell-collided pairs.  A "
+    "(point, box) pair can collide only in the point's own cell, so no "
+    "dedup is needed.  Coordinates are derived deterministically from "
+    "event_id (Knuth multiplicative hashes) on a NON-NEGATIVE milli-degree "
+    "grid so integer division floors identically in both engines; boxes "
+    "come from the 25-row nation table and are broadcast.  The oracle is "
+    "the plain theta join -- same result, quadratic plan.",
+    tags=("relational", "join", "spatial", "grid"),
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = 15_000  # milli-degrees; box lat span 14400 <= cell, lon span 2 cells
+    points = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "value",
+        "(event_id * 2654435761L) % 180000 AS plat",
+        "(event_id * 1597334677L) % 360000 AS plon",
+    )
+    boxes = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS box_id",
+        "cast(n_nationkey * 7200 AS bigint) AS la0",
+        "cast(n_nationkey * 7200 + 14400 AS bigint) AS la1",
+        "cast(((n_nationkey * 13) % 24) * 15000 AS bigint) AS lo0",
+        "cast(((n_nationkey * 13) % 24) * 15000 + 30000 AS bigint) AS lo1",
+    )
+    box_cells = boxes.selectExpr(
+        "*",
+        f"explode(sequence(la0 div {cell}, (la1 - 1) div {cell})) AS cla",
+    ).selectExpr(
+        "*",
+        f"explode(sequence(lo0 div {cell}, (lo1 - 1) div {cell})) AS clo",
+    )
+    pts = points.selectExpr(
+        "*", f"plat div {cell} AS cla", f"plon div {cell} AS clo"
+    )
+    joined = pts.join(F.broadcast(box_cells), ["cla", "clo"]).where(
+        "plat >= la0 AND plat < la1 AND plon >= lo0 AND plon < lo1"
+    )
+    return joined.groupBy("box_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+            "sum_value"
+        ),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT event_id,
+       user_id,
+       epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    doc="Time-RANGE window frame: per-user trailing one-hour count and sum "
+    "at every event.  RANGE frames are tie-safe (the frame is determined "
+    "by the ORDER BY VALUE, so rows with equal timestamps all see the same "
+    "frame regardless of their arbitrary order within the partition) -- "
+    "the property that makes this cross-engine exact without a tiebreak.  "
+    "Ordering on unix micros keeps both engines in the integer domain; "
+    "the sum re-aggregates in DECIMAL.  One shuffle on user_id.",
+    tags=("relational", "window", "timeseries"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
+@register(
+    "events_attribution_lasttouch",
+    oracle="""
+SELECT COALESCE(lt, 'none') AS touch_type,
+       COUNT(*) AS n_conversions,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+FROM (
+  SELECT event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view', 'signup')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+  FROM events
+)
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    doc="Last-touch attribution: every purchase is credited to the most "
+    "recent prior touchpoint (click/view/signup) of the same user; "
+    "purchases with no prior touch fall into the 'none' bucket.  The "
+    "running carry is last(..., ignorenulls) over a ROWS frame ordered by "
+    "(event-time micros, event_id) -- the event_id tiebreak makes the "
+    "carry deterministic when timestamps collide.  One shuffle on "
+    "user_id, value re-summed in DECIMAL.",
+    tags=("relational", "window", "timeseries", "attribution"),
+)
+def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view", "signup"),
+        F.col("event_type"),
+    )
+    carried = events.withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+    return (
+        carried.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("lt", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+                "attributed_value"
+            ),
+        )
+    )

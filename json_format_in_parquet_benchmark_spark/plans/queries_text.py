@@ -1776,3 +1776,43 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+STRATIFIED_K = 40
+
+
+@register(
+    "sample_stratified_exact",
+    oracle=f"""
+SELECT lang, doc_id, rk
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+WHERE rk <= {STRATIFIED_K}
+""",
+    doc="Stratified sampling with EXACT per-stratum counts: within each "
+    f"language stratum, rank documents by md5(doc_id) and keep the first "
+    f"{STRATIFIED_K} -- a deterministic hash-rank sample (stable under "
+    "re-runs, appends only displace ranks below the new docs' hashes), "
+    "unlike sampleBy()'s Bernoulli draw whose per-stratum size is "
+    "binomial-random.  One shuffle on the stratum key; per-partition "
+    "rank truncation means only ~k rows per stratum survive the window. "
+    "Emits the selected rows themselves so the oracle pins the exact "
+    "selection, not just counts.",
+    tags=("text", "sampling", "stratified", "pipeline"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= STRATIFIED_K)
+    )
