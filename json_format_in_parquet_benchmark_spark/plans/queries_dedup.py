@@ -1002,3 +1002,93 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
         anchor_len=SUBSTR_L,
     )
+
+
+SEG_TOKENS = 12
+
+
+@register(
+    "dedup_repeated_segments",
+    oracle=f"""
+WITH segs AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(
+           list_slice(split(text, ' '), i*{SEG_TOKENS}+1, i*{SEG_TOKENS}+{SEG_TOKENS}),
+           ' ') AS seg
+  FROM documents,
+       unnest(range(CAST(ceil(len(split(text, ' ')) / {SEG_TOKENS}.0) AS BIGINT))) AS t(i)
+),
+marked AS (
+  SELECT doc_id, idx, seg,
+         COUNT(*) OVER (PARTITION BY seg) AS n_total,
+         COUNT(*) OVER (PARTITION BY seg, doc_id) AS n_in_doc
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(COUNT(*) FILTER (n_total > n_in_doc) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN n_total <= n_in_doc THEN seg END,
+                               ' ' ORDER BY idx), '')) AS clean_md5
+FROM marked
+GROUP BY doc_id
+""",
+    doc="C4/RefinedWeb-style repeated-LINE removal at corpus scale: the "
+    f"corpus has no newlines, so 'lines' are deterministic {SEG_TOKENS}-"
+    "token segments; any segment that also appears in ANOTHER document "
+    "is cut, and each document is reassembled from its kept segments in "
+    "order.  Cross-document repetition is detected with TWO window "
+    "counts over the same shuffle (total per segment vs within-doc per "
+    "segment: dup iff total > in-doc) -- no groupBy+join-back, so no "
+    "AQE broadcast-conversion risk on the segment strings at 100 TB, "
+    "and no countDistinct (unsupported over windows).  md5 of the "
+    "reassembled text pins the transform exactly.",
+    tags=("dedup", "lines", "contamination", "pipeline"),
+)
+def dedup_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                    f"/ {SEG_TOKENS}.0) as int) - 1), "
+                    f"i -> array_join(slice(split(text, ' '), "
+                    f"i*{SEG_TOKENS}+1, {SEG_TOKENS}), ' '))"
+                )
+            ).alias("idx", "seg"),
+        )
+    )
+    w_total = Window.partitionBy("seg")
+    w_doc = Window.partitionBy("seg", "doc_id")
+    marked = segs.select(
+        "doc_id",
+        "idx",
+        "seg",
+        F.count(F.lit(1)).over(w_total).alias("n_total"),
+        F.count(F.lit(1)).over(w_doc).alias("n_in_doc"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+        F.expr("count_if(n_total > n_in_doc)").cast("bigint").alias(
+            "n_removed"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("n_total") <= F.col("n_in_doc"),
+                                F.struct("idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda x: x.getField("seg"),
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )

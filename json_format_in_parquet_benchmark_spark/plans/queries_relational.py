@@ -3295,3 +3295,78 @@ def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# log10(1 + 1/d) spelled as identical double literals in both engines --
+# computing them via ln/log10 would risk the known 1-ulp libm divergence.
+# E-NOTATION is load-bearing: plain decimal literals parse as DECIMAL in
+# both engines, and DuckDB's DECIMAL(17,17)->DOUBLE cast loses the last
+# bit (measured: 0.12493873660829993 arrives as ...4988 vs ...499);
+# exponent literals parse directly as DOUBLE in both.
+_BENFORD_P = {
+    1: "3.010299956639812e-1",
+    2: "1.7609125905568124e-1",
+    3: "1.2493873660829992e-1",
+    4: "9.691001300805642e-2",
+    5: "7.918124604762482e-2",
+    6: "6.694678963061322e-2",
+    7: "5.799194697768673e-2",
+    8: "5.115252244738129e-2",
+    9: "4.575749056067514e-2",
+}
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "dq_benford_digits",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS first_digit
+  FROM orders
+  WHERE o_totalprice > 0
+),
+counted AS (
+  SELECT first_digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+  FROM digits GROUP BY 1
+)
+SELECT first_digit, CAST(n AS BIGINT) AS n,
+       CAST(total AS DOUBLE) * ({_BENFORD_CASE}) AS expected_n
+FROM counted
+""",
+    doc="Benford first-digit audit (fraud / synthetic-data detector): "
+    "distribution of the leading digit of order totals vs Benford's law. "
+    "Amounts move to integer CENTS via round() (double->BIGINT casts "
+    "round in DuckDB but truncate in Spark -- the round() makes both "
+    "engines see the same integer); expected counts use log10(1+1/d) "
+    "spelled as identical double literals in both engines (never "
+    "compute ln/log10 cross-engine: measured 1-ulp libm divergence). "
+    "One scan, one 9-group aggregate, total via a window over the "
+    "grouped frame.",
+    tags=("relational", "dq", "audit"),
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    counted = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    return counted.select(
+        "first_digit",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("total").cast("double") * F.expr(_BENFORD_CASE)).alias(
+            "expected_n"
+        ),
+    )
