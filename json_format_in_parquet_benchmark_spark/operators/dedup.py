@@ -1091,3 +1091,83 @@ def substring_remove(
             F.md5("_kept").alias("kept_hash"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+    threshold: float = 0.6,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Directional shingle-CONTAINMENT near-dup pairs.
+
+    Containment C(src -> dst) = |S_src ∩ S_dst| / |S_src| detects
+    asymmetric duplication -- a short document quoted wholesale inside a
+    long one -- which symmetric Jaccard structurally misses (the union in
+    its denominator is dominated by the long side).  Output contract
+    mirrors :func:`ngram_jaccard_pairs`'s DF-cap scope: ordered pairs
+    (src != dst) sharing >= 1 shingle in <= ``df_cap`` docs, with
+    C >= ``threshold`` computed EXACTLY over the full shingle sets.
+
+    Physical shape: one undirected candidate pass over the DF-capped
+    inverted index (hot shingles dropped, so posting-list fan-out is
+    df_cap-bounded), then one verify join emitting both directions of
+    each surviving pair -- candidates are generated once, not per
+    direction.  The division is a single double op on identical int64
+    operands in both engines."""
+    docsets = _track_persist(
+        _spread(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
+        )
+    )
+    sh = docsets.select("doc_id", F.explode("shset").alias("sh"))
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("sh")
+    )
+    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    left = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shset").alias("sha"),
+        F.size("shset").alias("na"),
+    )
+    right = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shset").alias("shb"),
+        F.size("shset").alias("nb"),
+    )
+    verified = (
+        left.join(F.broadcast(cand), "doc_a")
+        .join(right, "doc_b")
+        .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
+        .select("doc_a", "doc_b", "na", "nb", "inter")
+    )
+    fwd = verified.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        (F.col("inter").cast("double") / F.col("na")).alias("containment"),
+    )
+    bwd = verified.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        (F.col("inter").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionAll(bwd).where(F.col("containment") >= threshold)

@@ -1092,3 +1092,67 @@ def dedup_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
+
+
+CONT_THRESHOLD = 0.6
+CONT_DF_CAP = 50
+
+
+def _containment_oracle() -> str:
+    n = 4
+    return f"""
+WITH docsets AS MATERIALIZED (
+  SELECT doc_id, {shingles_duckdb(_TOKS_D, n)} AS shset FROM documents
+),
+sh AS MATERIALIZED (SELECT doc_id, unnest(shset) AS sh FROM docsets),
+hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {CONT_DF_CAP}),
+idx AS (SELECT s.doc_id, s.sh FROM sh s ANTI JOIN hot h ON s.sh = h.sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+  GROUP BY 1, 2
+),
+both_dirs AS (
+  SELECT i.doc_a AS doc_src, i.doc_b AS doc_dst,
+         CAST(i.inter AS DOUBLE) / sa.n_sh AS containment
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+  UNION ALL
+  SELECT i.doc_b, i.doc_a, CAST(i.inter AS DOUBLE) / sb.n_sh
+  FROM inter i JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_src, doc_dst, containment
+FROM both_dirs WHERE containment >= {CONT_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_containment_oracle(),
+    doc="Directional shingle-CONTAINMENT pairs: C(src->dst) = "
+    "|S_src ∩ S_dst| / |S_src| >= "
+    f"{CONT_THRESHOLD} -- catches a short document quoted wholesale "
+    "inside a long one, which symmetric Jaccard structurally misses "
+    "(the union denominator is dominated by the long side).  Same "
+    f"DF-cap ({CONT_DF_CAP}) candidate scope as dedup_ngram_jaccard; "
+    "candidates generated ONCE undirected, verify emits both "
+    "directions (operators/dedup.py:containment_pairs).",
+    tags=("dedup", "containment", "jaccard"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=4,
+        threshold=CONT_THRESHOLD,
+        df_cap=CONT_DF_CAP,
+    )

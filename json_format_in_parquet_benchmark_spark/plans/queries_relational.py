@@ -3370,3 +3370,131 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_n"
         ),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+SELECT * FROM (
+  SELECT 'orders.o_custkey->customer' AS fk,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) FILTER (NOT EXISTS (
+           SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS n_orphans
+  FROM orders o
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT)
+  FROM lineitem l
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (NOT EXISTS (
+           SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+           AS BIGINT)
+  FROM lineitem l
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (NOT EXISTS (
+           SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+           AS BIGINT)
+  FROM lineitem l
+)
+""",
+    doc="Referential-integrity audit: orphan-row counts for every foreign "
+    "key in the star schema, each measured with a broadcast LEFT ANTI "
+    "join against the referenced key set (key columns only -- the dim "
+    "scan prunes to one column, and fact tables are scanned once per FK "
+    "with no shuffle).  The n_rows totals ride the same scans.  This is "
+    "the pre-join data-contract check a 100 TB pipeline runs before "
+    "trusting its dimensions.",
+    tags=("relational", "dq", "audit", "join"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        (
+            "orders.o_custkey->customer",
+            orders,
+            "o_custkey",
+            load_table(spark, sf_dir, "customer").select("c_custkey"),
+            "c_custkey",
+        ),
+        (
+            "lineitem.l_orderkey->orders",
+            lineitem,
+            "l_orderkey",
+            orders.select("o_orderkey"),
+            "o_orderkey",
+        ),
+        (
+            "lineitem.l_partkey->part",
+            lineitem,
+            "l_partkey",
+            load_table(spark, sf_dir, "part").select("p_partkey"),
+            "p_partkey",
+        ),
+        (
+            "lineitem.l_suppkey->supplier",
+            lineitem,
+            "l_suppkey",
+            load_table(spark, sf_dir, "supplier").select("s_suppkey"),
+            "s_suppkey",
+        ),
+    ]
+    parts = []
+    for fk, fact, fcol, dim, dcol in checks:
+        orphans = fact.select(fcol).join(
+            F.broadcast(dim), F.col(fcol) == F.col(dcol), "left_anti"
+        )
+        parts.append(
+            fact.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                )
+            )
+            .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+@register(
+    "events_sankey_paths",
+    oracle="""
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+    doc="Path mining for Sankey / user-journey diagrams: every length-3 "
+    "run of consecutive event types per user, counted corpus-wide.  Two "
+    "LEADs over one user-ordered window (single shuffle on user_id; the "
+    "event_id tiebreak pins sequence order under timestamp ties), then "
+    "a 125-cell-bounded aggregate.  The generalization of "
+    "events_markov_transitions from bigram to trigram paths.",
+    tags=("relational", "timeseries", "window", "paths"),
+)
+def events_sankey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = events.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
