@@ -868,3 +868,104 @@ def stream_late_data_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+def _staged_documents_timed(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as ONE parquet file sorted by doc_id with a synthetic
+    event time (epoch + doc_id seconds): a single small file reads as one
+    sequential input partition, so 'first arrival' inside the batch is the
+    lowest doc_id -- the determinism the dedup gate's oracle pins."""
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_docs_ts"
+    if tag in _STAGED:
+        return _STAGED[tag]
+    out_dir = os.path.join(_STAGE_ROOT, tag)
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "timestamp_micros(1704067200000000 + doc_id * 1000000) AS ts",
+        "text",
+    )
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(out_dir)
+    _STAGED[tag] = out_dir
+    return out_dir
+
+
+def _lsh_gate_oracle() -> str:
+    from ..functions.hashing import P31, hash64_sql_duckdb, perm_consts
+    from ..functions.text import shingles_duckdb, tokens_duckdb
+
+    sig_cols = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {P31}) AS m{j}"
+        for j, (a, b) in enumerate(perm_consts(4))
+    )
+    return f"""
+WITH docsets AS (
+  SELECT doc_id, {shingles_duckdb(tokens_duckdb('text'), 3)} AS shset
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(shset) AS sh FROM docsets WHERE len(shset) > 0
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM (SELECT doc_id, ({hash64_sql_duckdb('sh')}) % {P31} AS h FROM sh)
+  GROUP BY doc_id
+)
+SELECT concat_ws(',', m0, m1, m2, m3) AS band,
+       CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM sig
+GROUP BY 1
+"""
+
+
+@register(
+    "stream_lsh_dedup_gate",
+    oracle=_lsh_gate_oracle(),
+    doc="TRUE streaming NEAR-dup gate: documents stream through a "
+    "stateless per-row MinHash signature (4 universal-hash permutations "
+    "folded over the shingle array with array_min/transform -- no "
+    "groupBy, so the only stateful operator is the dedup itself) and "
+    "dropDuplicatesWithinWatermark on the single-band signature; docs "
+    "agreeing on all 4 minhashes (P = J^4: near-identical text) collapse "
+    "to their first arrival, with per-key state held only until the "
+    "watermark passes.  The staged input is one file sorted by doc_id, "
+    "so first arrival = lowest doc_id -- what the batch oracle's "
+    "MIN(doc_id) per band pins.  The streaming arm of minhash_lsh_pairs' "
+    "signature machinery (same perm_consts, same md5 base hash).",
+    tags=("streaming", "dedup", "minhash", "stateful", "watermark"),
+)
+def stream_lsh_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import P31, hash64_sql_spark, perm_consts
+    from ..functions.text import shingles_spark, tokens_spark
+
+    docs_dir = _staged_documents_timed(spark, sf_dir)
+    h = hash64_sql_spark("s")
+    perms = ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in perm_consts(4)
+    )
+    # ONE expression computes the whole band key: Catalyst's projection
+    # collapse would re-inline the shingle pipeline into EVERY column that
+    # references it (the known duplicated-lambda trap), so the md5 hash
+    # array is built inside the same transform that folds the 4
+    # permutations -- one tokenize + one md5 pass per row, stateless.
+    band_expr = (
+        "concat_ws(',', transform("
+        f"array({perms}), "
+        f"p -> cast(array_min(transform("
+        f"transform({shingles_spark(tokens_spark('text'), 3)}, "
+        f"s -> ({h}) % {P31}), "
+        f"x -> (p.a * x + p.b) % {P31})) as string)))"
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, ts timestamp, text string")
+        .parquet(docs_dir)
+        .withWatermark("ts", "1 hour")
+        .selectExpr("doc_id", "ts", f"{band_expr} AS band")
+        .where(F.expr("band != ''"))
+        .dropDuplicatesWithinWatermark(["band"])
+        .select("band", "doc_id")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return _run_to_memory(stream, f"slshgate_{tag}", "append")
