@@ -434,3 +434,177 @@ def search_rerank_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank_bm25", "n_terms_matched", "min_dist", "rerank_rank")
         .orderBy("rerank_rank")
     )
+
+
+MMR_POOL = 20
+MMR_K = 8
+
+
+def _mmr_oracle() -> str:
+    from ..functions.vectors import cosine_duckdb
+
+    cos = cosine_duckdb("a.embedding", "b.embedding")
+    tf_cols = ", ".join(_tf_sql(spark_side=False))
+    df_cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (tf{i} > 0) AS BIGINT) AS df{i}"
+        for i in range(len(QUERY_TERMS))
+    )
+    rounds = []
+    for j in range(2, MMR_K + 1):
+        prev = f"sel{j-1}"
+        rounds.append(f"""
+ms{j} AS (
+  SELECT s.doc_a AS doc_id, MAX(s.sim) AS max_sim
+  FROM sims s JOIN {prev} p ON s.doc_b = p.doc_id
+  GROUP BY 1
+),
+pick{j} AS MATERIALIZED (
+  SELECT {j} AS step, p.doc_id, (p.rel - m.max_sim) / 2e0 AS mmr
+  FROM pool p JOIN ms{j} m ON m.doc_id = p.doc_id
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM {prev})
+  ORDER BY mmr DESC, p.doc_id
+  LIMIT 1
+),
+sel{j} AS MATERIALIZED (SELECT doc_id FROM {prev} UNION ALL SELECT doc_id FROM pick{j})""")
+    picks = " UNION ALL ".join(
+        f"SELECT step, doc_id, mmr FROM pick{j}" for j in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_D}) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM documents
+  WHERE len({_TOKS_D}) > 0
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         {df_cols}
+  FROM tf
+), pool AS MATERIALIZED (
+  SELECT doc_id,
+         CAST({MMR_POOL + 1} - rank AS DOUBLE)
+           / CAST({MMR_POOL} AS DOUBLE) AS rel
+  FROM (
+    SELECT t.doc_id,
+           ROW_NUMBER() OVER (ORDER BY ({_SCORE}) DESC, t.doc_id) AS rank
+    FROM tf t
+    JOIN embeddings e ON e.vec_id = t.doc_id
+    CROSS JOIN stats
+  )
+  WHERE rank <= {MMR_POOL}
+), pe AS MATERIALIZED (
+  -- restrict to the pool BEFORE the pair join: the inequality join below
+  -- is a nested loop, and without this DuckDB runs it over the FULL
+  -- embeddings table (measured 92.8s -> sub-second at sf0.01)
+  SELECT p.doc_id, e.embedding
+  FROM embeddings e JOIN pool p ON p.doc_id = e.vec_id
+), sims AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {cos} AS sim
+  FROM pe a JOIN pe b ON a.doc_id != b.doc_id
+), pick1 AS MATERIALIZED (
+  SELECT 1 AS step, doc_id, (rel - 0e0) / 2e0 AS mmr
+  FROM pool ORDER BY rel DESC, doc_id LIMIT 1
+), sel1 AS MATERIALIZED (SELECT doc_id FROM pick1),{",".join(rounds)}
+SELECT * FROM ({picks})
+"""
+
+
+@register(
+    "search_mmr_diversify",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance diversification -- the retrieve-then-"
+    f"diversify stage of the retrieval stack: a {MMR_POOL}-doc BM25 pool "
+    "(ranked among docs that HAVE embeddings, so the pool is always "
+    "full), exact pairwise cosines within the pool, then the greedy "
+    f"MMR selection of {MMR_K} docs at lambda=1/2: each step takes "
+    "argmax of (rel - max_sim_to_selected)/2 with doc_id tiebreak, "
+    "where rel is the linear rank relevance (P+1-rank)/P -- rank-"
+    "derived so it shares the cosine's [-1,1] scale and every double "
+    "op has identical operands cross-engine.  The corpus-scale work "
+    "(BM25 scan + stats, pool cosine pairs) is distributed; the greedy "
+    "itself runs on the driver over the collected pool "
+    f"({MMR_POOL} rel rows + {MMR_POOL * (MMR_POOL - 1)} sim rows -- "
+    "k-bounded by construction, the FAISS-client re-rank shape).  The "
+    "oracle unrolls the same greedy as a CTE chain.",
+    tags=("text", "search", "similarity", "diversification"),
+)
+def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tf = docs.selectExpr(
+        "doc_id",
+        f"cast(size({_TOKS_S}) as bigint) as dl",
+        *_tf_sql(spark_side=True),
+    ).where(F.col("dl") > 0)
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.expr(f"count_if(tf{i} > 0)").alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _track_persist
+
+    # Persisted: consumed twice (the rel collect and the pair-sim join) --
+    # an unpersisted pool would re-run the BM25 scan per consumer.
+    ranked = _track_persist(
+        tf.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", F.expr(_SCORE).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(MMR_POOL)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")),
+        )
+        .select(
+            "doc_id",
+            (
+                (F.lit(MMR_POOL + 1) - F.col("rank")).cast("double")
+                / F.lit(MMR_POOL).cast("double")
+            ).alias("rel"),
+        )
+    )
+    pool = {r.doc_id: r.rel for r in ranked.collect()}  # MMR_POOL rows
+    pe = emb.join(
+        F.broadcast(
+            ranked.select(F.col("doc_id").alias("vec_id")).distinct()
+        ),
+        "vec_id",
+    ).select(F.col("vec_id").alias("doc_id"), "embedding")
+    a = pe.selectExpr("doc_id AS doc_a", "embedding AS ea")
+    b = pe.selectExpr("doc_id AS doc_b", "embedding AS eb")
+    sim_rows = (
+        a.join(F.broadcast(b), F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.expr(cosine_spark("ea", "eb")).alias("sim")
+        )
+        .collect()
+    )  # MMR_POOL * (MMR_POOL - 1) rows
+    sims = {(r.doc_a, r.doc_b): r.sim for r in sim_rows}
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for step in range(1, MMR_K + 1):
+        best = None
+        for d, rel in sorted(pool.items()):
+            if d in chosen:
+                continue
+            max_sim = (
+                max(sims[(d, s)] for s in chosen) if chosen else 0.0
+            )
+            mmr = (rel - max_sim) / 2.0
+            if best is None or mmr > best[2]:
+                best = (step, d, mmr)
+        selected.append(best)
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        selected, "step bigint, doc_id bigint, mmr double"
+    )
