@@ -398,6 +398,13 @@ def graph_kcore_word(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.length("b") >= KW_MIN_LEN)
             & (F.col("a") != F.col("b"))
         )
+        # Width discipline (the graph_bfs_distance lesson): cached plans
+        # pin their exchanges outside AQE, so every distinct here would
+        # otherwise run 200 fixed-width tasks and every peel round 400
+        # (measured 24.7s -> ~6s on the vanilla driver seam).  Explicit
+        # hash-partitioning at cluster parallelism lets the distincts
+        # reuse a satisfied partitioning.
+        .repartition(spark.sparkContext.defaultParallelism, "a", "b")
         .distinct()
     )
     from ..operators.dedup import _track_persist
@@ -405,15 +412,16 @@ def graph_kcore_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist each round's SHRINKING edge set: without it the lineage
     # doubles per round (degree agg + two semi-joins each re-derive the
     # full prior chain) and the plan recomputes exponentially -- measured
-    # 50s -> ~10s with per-round persists.  The persisted plans pin
-    # 200-partition exchanges in a vanilla session (the
-    # canChangeCachedPlanOutputPartitioning lesson) -- near-empty-task
-    # overhead at test scale, the right width on a real cluster where
-    # the session owner sizes spark.sql.shuffle.partitions.
+    # 50s -> ~10s with per-round persists.  Each persisted round is
+    # re-keyed on u at cluster parallelism so the cached layout stays
+    # narrow and co-located for the next round's semi-joins.
+    par = spark.sparkContext.defaultParallelism
     edges = _track_persist(
         adj.select(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        ).distinct()
+        )
+        .repartition(par, "u", "v")
+        .distinct()
     )
     for _ in range(KCORE_ROUNDS):
         deg = (
@@ -428,7 +436,8 @@ def graph_kcore_word(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.broadcast(keep.withColumnRenamed("node", "ku")),
                 edges.u == F.col("ku"),
                 "left_semi",
-            ).join(
+            )
+            .join(
                 F.broadcast(keep.withColumnRenamed("node", "kv")),
                 edges.v == F.col("kv"),
                 "left_semi",
@@ -544,3 +553,108 @@ def graph_communities_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), F.col("community"))
         .limit(LPA_TOP)
     )
+
+
+BFS_SOURCE = "spark"
+BFS_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    rounds = []
+    for k in range(1, BFS_HOPS + 1):
+        rounds.append(f"""
+d{k} AS MATERIALIZED (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{k-1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM edges e JOIN d{k-1} d ON e.src = d.node
+  ) GROUP BY node
+)""")
+    return (
+        f"WITH {_word_edges_cte()},\n"
+        "edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM und\n"
+        " UNION ALL SELECT v AS src, u AS dst FROM und),\n"
+        f"d0 AS (SELECT '{BFS_SOURCE}' AS node, CAST(0 AS BIGINT) AS dist),"
+        + ",".join(rounds)
+        + f"\nSELECT node, dist FROM d{BFS_HOPS}"
+    )
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=_bfs_oracle(),
+    doc="Multi-hop BFS / single-source shortest path over the word "
+    f"co-occurrence graph: every node within {BFS_HOPS} hops of "
+    f"'{BFS_SOURCE}' with its exact hop distance.  Unrolled min-distance "
+    "propagation (dist_k = min(dist_{k-1}, 1 + min over in-neighbors)) "
+    "-- the Pregel BFS step as a join + groupBy-min per round, the same "
+    "superstep shape as the pagerank/LPA operators; distances are exact "
+    "integers so the frontier needs no float care.  The edge list is "
+    "persisted once and reused by all rounds; at 100 TB each round "
+    "shuffles only the frontier-adjacent edges (the join prunes to "
+    "d_{k-1}'s nodes).  The oracle unrolls the same rounds as "
+    "MATERIALIZED CTEs.",
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_spark
+    from ..operators.dedup import _track_persist
+
+    toks = tokens_spark("text")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.expr(f"size({toks}) >= 2")
+    )
+    adj = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({toks}) - 1),"
+                    f" i -> struct(element_at({toks}, i) as a,"
+                    f" element_at({toks}, i + 1) as b))"
+                )
+            ).alias("pair")
+        )
+        .select(F.col("pair.a").alias("a"), F.col("pair.b").alias("b"))
+        .where(
+            (F.length("a") >= KW_MIN_LEN)
+            & (F.length("b") >= KW_MIN_LEN)
+            & (F.col("a") != F.col("b"))
+        )
+        # Width discipline for the CACHED subtree: a cached plan's
+        # exchanges are pinned outside AQE
+        # (canChangeCachedPlanOutputPartitioning), so on a vanilla
+        # session every distinct here would run 200 fixed-width tasks
+        # and every BFS round 400 (measured: 27s collect).  Explicitly
+        # hash-partitioning at cluster parallelism lets each distinct
+        # reuse the satisfied partitioning instead of adding a pinned
+        # 200-partition exchange; the canonical edge distinct reuses the
+        # (u,v) layout.  (least,greatest) of (a,b) is a function of the
+        # (a,b) hash key, so one repartition serves both distincts.
+        .repartition(spark.sparkContext.defaultParallelism, "a", "b")
+        .distinct()
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "u", "v")
+        .distinct()
+    )
+    # Partition by the per-round join key before the persist: co-locates
+    # each round's frontier join with the cached edge layout (measured
+    # with the width fixes together: 27s -> ~3s collect).
+    edges = _track_persist(
+        adj.selectExpr("u AS src", "v AS dst")
+        .unionAll(adj.selectExpr("v AS src", "u AS dst"))
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+    )
+    dist = spark.createDataFrame(
+        [(BFS_SOURCE, 0)], "node string, dist bigint"
+    )
+    for _ in range(BFS_HOPS):
+        grown = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionAll(grown)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+    return dist
