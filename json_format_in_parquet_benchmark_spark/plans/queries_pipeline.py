@@ -528,3 +528,197 @@ def pipeline_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ledger(perdoc, "cleaned", F.col("dup_chars")))
         .unionByName(ledger(clean, "clean", F.lit(0)))
     )
+
+
+RAG_CHUNK_W = 16
+RAG_CHUNK_STRIDE = 12
+RAG_CHUNK_MIN = 8
+RAG_N_CELLS = 16
+RAG_DIM = 64
+
+
+def _rag_ingest_oracle() -> str:
+    from ..functions.vectors import dot_duckdb
+    from .queries_similarity import _centroids_duckdb_literal
+
+    w, s = RAG_CHUNK_W, RAG_CHUNK_STRIDE
+    cents = _centroids_duckdb_literal()
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_D} AS toks, len({_TOKS_D}) AS n FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= {w} THEN 1
+              ELSE 1 + (n - {w} + {s} - 1) // {s} END AS n_chunks
+  FROM t WHERE n > 0
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_idx,
+         CAST(LEAST({w}, n - i * {s}) AS BIGINT) AS n_tok,
+         array_to_string(list_slice(toks, i * {s} + 1, i * {s} + {w}), ' ')
+           AS chunk_text
+  FROM (SELECT doc_id, toks, n, unnest(range(n_chunks)) AS i FROM sized)
+),
+q AS (SELECT * FROM chunks WHERE n_tok >= {RAG_CHUNK_MIN}),
+short AS (SELECT * FROM chunks WHERE n_tok < {RAG_CHUNK_MIN}),
+dd AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM q
+),
+kept AS (SELECT doc_id, chunk_idx FROM dd WHERE rn = 1),
+dup AS (SELECT doc_id, chunk_idx FROM dd WHERE rn > 1),
+withemb AS (
+  SELECT k.doc_id, k.chunk_idx FROM kept k
+  JOIN embeddings e ON e.vec_id = k.doc_id
+),
+noemb AS (
+  SELECT k.doc_id, k.chunk_idx FROM kept k
+  ANTI JOIN embeddings e ON e.vec_id = k.doc_id
+),
+cellr AS (
+  SELECT e.vec_id, t.i AS cell,
+         {dot_duckdb("e.embedding", f"({cents})[t.i + 1]")} AS d
+  FROM embeddings e
+  JOIN (SELECT DISTINCT doc_id FROM withemb) kd ON kd.doc_id = e.vec_id
+  CROSS JOIN range({RAG_N_CELLS}) t(i)
+),
+cells AS (
+  SELECT vec_id AS doc_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+    FROM cellr
+  ) WHERE rn = 1
+),
+indexed AS (SELECT w.doc_id, w.chunk_idx, c.cell
+            FROM withemb w JOIN cells c USING (doc_id))
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(doc_id * 1000 + chunk_idx), 0) AS BIGINT)
+         AS id_checksum
+FROM indexed GROUP BY cell
+UNION ALL
+SELECT -1, CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+       CAST(COALESCE(SUM(doc_id * 1000 + chunk_idx), 0) AS BIGINT) FROM short
+UNION ALL
+SELECT -2, CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+       CAST(COALESCE(SUM(doc_id * 1000 + chunk_idx), 0) AS BIGINT) FROM dup
+UNION ALL
+SELECT -3, CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+       CAST(COALESCE(SUM(doc_id * 1000 + chunk_idx), 0) AS BIGINT) FROM noemb
+"""
+
+
+@register(
+    "pipeline_rag_ingest",
+    oracle=_rag_ingest_oracle(),
+    doc="Composed RAG-INGEST pipeline -- the fifth flagship composition: "
+    f"stride chunking ({RAG_CHUNK_W}-token windows every "
+    f"{RAG_CHUNK_STRIDE}), a quality gate dropping sub-"
+    f"{RAG_CHUNK_MIN}-token slivers, corpus-wide exact chunk dedup "
+    "(md5 of chunk text, first (doc_id, chunk_idx) kept), parent-doc "
+    "embedding attach (chunks of unembedded docs -> the no-embed "
+    "bucket), and IVF cell assignment (the same deterministic "
+    "centroids as the ANN family -- the index the search queries "
+    "serve from).  Emits per-cell index stats plus the three dropped "
+    "buckets (-1 short / -2 dup / -3 no-embed), id-checksummed so "
+    "every per-chunk disposition is pinned.  Every stage reuses an "
+    "already-verified operator shape; cell assignment runs per DOC "
+    "(chunks inherit the parent embedding) so the argmax scan is "
+    "|docs|-bounded, not |chunks|-bounded.",
+    tags=("pipeline", "chunking", "dedup", "similarity", "ivf"),
+)
+def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import ivf_assign
+
+    w, s = RAG_CHUNK_W, RAG_CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = docs.select(
+        "doc_id",
+        F.expr(_TOKS_S).alias("toks"),
+        F.expr(f"size({_TOKS_S})").alias("n"),
+    ).where(F.col("n") > 0)
+    sized = t.withColumn(
+        "n_chunks",
+        F.expr(
+            f"case when n <= {w} then 1"
+            f" else 1 + cast((n - {w} + {s} - 1) / {s} as int) end"
+        ),
+    )
+    chunks = sized.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("i"),
+        "toks",
+        "n",
+    ).select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_idx"),
+        F.expr(f"cast(least({w}, n - i * {s}) as bigint)").alias("n_tok"),
+        F.expr(f"array_join(slice(toks, i * {s} + 1, {w}), ' ')").alias(
+            "chunk_text"
+        ),
+    )
+    from ..operators.dedup import _track_persist
+
+    # Width discipline for cached subtrees (the graph_bfs_distance
+    # lesson): cached plans pin their exchanges outside AQE.
+    par = spark.sparkContext.defaultParallelism
+    chunks = _track_persist(chunks.repartition(par, "doc_id"))
+    q = chunks.where(F.col("n_tok") >= RAG_CHUNK_MIN)
+    short = chunks.where(F.col("n_tok") < RAG_CHUNK_MIN)
+    wd = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
+    dd = _track_persist(
+        q.repartition(par, F.md5("chunk_text")).withColumn(
+            "rn", F.row_number().over(wd)
+        )
+    )
+    kept = dd.where(F.col("rn") == 1).select("doc_id", "chunk_idx")
+    dup = dd.where(F.col("rn") > 1).select("doc_id", "chunk_idx")
+    emb_ids = emb.select(F.col("vec_id").alias("doc_id"))
+    kept = _track_persist(kept)
+    withemb = kept.join(F.broadcast(emb_ids), "doc_id", "left_semi")
+    noemb = kept.join(F.broadcast(emb_ids), "doc_id", "left_anti")
+    kept_docs = withemb.select("doc_id").distinct()
+    cells = ivf_assign(
+        emb.join(
+            F.broadcast(kept_docs.withColumnRenamed("doc_id", "vec_id")),
+            "vec_id",
+            "left_semi",
+        ),
+        "embedding",
+        "vec_id",
+        n_cells=RAG_N_CELLS,
+        dim=RAG_DIM,
+    ).withColumnRenamed("vec_id", "doc_id")
+    indexed = withemb.join(cells, "doc_id")
+
+    def bucket(df: DataFrame, cell_id: int) -> DataFrame:
+        return df.agg(
+            F.lit(cell_id).cast("bigint").alias("cell"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.col("doc_id") * 1000 + F.col("chunk_idx")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("id_checksum"),
+        ).select("cell", "n_chunks", "n_docs", "id_checksum")
+
+    percell = indexed.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.col("doc_id") * 1000 + F.col("chunk_idx"))
+        .cast("bigint")
+        .alias("id_checksum"),
+    )
+    return (
+        percell.unionByName(bucket(short, -1))
+        .unionByName(bucket(dup, -2))
+        .unionByName(bucket(noemb, -3))
+    )
