@@ -1154,7 +1154,12 @@ def containment_pairs(
         F.col("shset").alias("shb"),
         F.size("shset").alias("nb"),
     )
-    verified = (
+    # PERSIST before the two-direction fan-out: fwd and bwd both consume
+    # `verified`, and an unpersisted plan evaluates the whole verify chain
+    # -- including the candidate broadcast build -- TWICE CONCURRENTLY
+    # (measured: heap OOM at the 500k probe tier; the cached frame is
+    # |pairs| rows of five numerics, the natural materialization point).
+    verified = _track_persist(
         left.join(F.broadcast(cand), "doc_a")
         .join(right, "doc_b")
         .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
@@ -1171,3 +1176,66 @@ def containment_pairs(
         (F.col("inter").cast("double") / F.col("nb")).alias("containment"),
     )
     return fwd.unionAll(bwd).where(F.col("containment") >= threshold)
+
+
+def repeated_segment_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_tokens: int = 12,
+) -> DataFrame:
+    """C4/RefinedWeb-style repeated-LINE removal over deterministic
+    ``seg_tokens``-token segments: any segment that also appears in
+    ANOTHER document is cut; each document's cleaned text is reassembled
+    from its kept segments in order and md5-pinned.
+
+    Cross-document repetition is detected with TWO window counts over the
+    SAME shuffle (total per segment vs within-doc per segment: duplicated
+    across docs iff total > in-doc) -- no groupBy+join-back, so no AQE
+    broadcast-conversion risk on the segment strings at 100 TB, and no
+    countDistinct (unsupported over windows)."""
+    from pyspark.sql import Window
+
+    st = seg_tokens
+    segs = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) "
+                f"/ {st}.0) as int) - 1), "
+                f"i -> array_join(slice(split({text_col}, ' '), "
+                f"i*{st}+1, {st}), ' '))"
+            )
+        ).alias("idx", "seg"),
+    )
+    w_total = Window.partitionBy("seg")
+    w_doc = Window.partitionBy("seg", "doc_id")
+    marked = segs.select(
+        "doc_id",
+        "idx",
+        "seg",
+        F.count(F.lit(1)).over(w_total).alias("n_total"),
+        F.count(F.lit(1)).over(w_doc).alias("n_in_doc"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+        F.expr("count_if(n_total > n_in_doc)").cast("bigint").alias(
+            "n_removed"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("n_total") <= F.col("n_in_doc"),
+                                F.struct("idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda x: x.getField("seg"),
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )

@@ -1045,52 +1045,11 @@ GROUP BY doc_id
     tags=("dedup", "lines", "contamination", "pipeline"),
 )
 def dedup_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.dedup import repeated_segment_stats
 
-    docs = load_table(spark, sf_dir, "documents")
-    segs = (
-        docs.select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
-                    f"/ {SEG_TOKENS}.0) as int) - 1), "
-                    f"i -> array_join(slice(split(text, ' '), "
-                    f"i*{SEG_TOKENS}+1, {SEG_TOKENS}), ' '))"
-                )
-            ).alias("idx", "seg"),
-        )
-    )
-    w_total = Window.partitionBy("seg")
-    w_doc = Window.partitionBy("seg", "doc_id")
-    marked = segs.select(
-        "doc_id",
-        "idx",
-        "seg",
-        F.count(F.lit(1)).over(w_total).alias("n_total"),
-        F.count(F.lit(1)).over(w_doc).alias("n_in_doc"),
-    )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_segs"),
-        F.expr("count_if(n_total > n_in_doc)").cast("bigint").alias(
-            "n_removed"
-        ),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("n_total") <= F.col("n_in_doc"),
-                                F.struct("idx", "seg"),
-                            )
-                        )
-                    ),
-                    lambda x: x.getField("seg"),
-                ),
-                " ",
-            )
-        ).alias("clean_md5"),
+    return repeated_segment_stats(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        seg_tokens=SEG_TOKENS,
     )
 
 

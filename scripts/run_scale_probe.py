@@ -295,7 +295,21 @@ def main() -> None:
                 docs, "text", "doc_id", anchor_stride=8
             ).count()
         )
-        r["embedding_near_dup"] = timed_l("embedding_near_dup", 
+        # Round-5 ops: containment rides the same DF-capped inverted
+        # index as ngram (posting-list fan-out is df_cap-bounded);
+        # repeated-segments is two window counts over one segment
+        # shuffle -- both must grow ~linearly in corpus rows.
+        r["containment_pairs"] = timed_l("containment_pairs",
+            lambda: dedup.containment_pairs(
+                docs, "text", "doc_id"
+            ).count()
+        )
+        r["repeated_segments"] = timed_l("repeated_segments",
+            lambda: dedup.repeated_segment_stats(
+                docs, "text", "doc_id"
+            ).count()
+        )
+        r["embedding_near_dup"] = timed_l("embedding_near_dup",
             lambda: dedup.embedding_near_dup_pairs(
                 embs, "embedding", "vec_id", n_planes=n_planes
             ).count()
