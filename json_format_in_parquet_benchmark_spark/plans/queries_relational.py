@@ -3498,3 +3498,112 @@ def events_sankey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t1", "t2", "t3")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "dq_outlier_mad",
+    oracle="""
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type,
+         CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+           AS med_cents
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT b.event_type, b.cents, abs(b.cents - m.med_cents) AS adev,
+         m.med_cents
+  FROM base b JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT event_type, cents, adev, med_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS BIGINT)
+           AS mad_cents
+  FROM dranked GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(d.med_cents) AS BIGINT) AS med_cents,
+       CAST(MAX(m.mad_cents) AS BIGINT) AS mad_cents,
+       CAST(COUNT(*) FILTER (d.adev > 3 * m.mad_cents) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+    doc="Robust outlier audit via Median Absolute Deviation: per event "
+    "type, median and MAD of the value distribution in integer CENTS "
+    "(round() both sides -- double->BIGINT casts round in DuckDB but "
+    "truncate in Spark), flagging |x - med| > 3*MAD.  Medians are "
+    "rank-to-VALUE (lower middle at even counts): the value at a rank "
+    "is multiset-determined even when rank assignment among ties is "
+    "not, so no tiebreak is needed and the result is cross-engine "
+    "exact -- unlike mean/stddev z-scores, immune to the outliers it "
+    "hunts.  Two rank passes over the same event_type shuffle.",
+    tags=("relational", "dq", "audit", "robust-stats"),
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("med_cents")
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+        "med_cents",
+    )
+    wd = Window.partitionBy("event_type").orderBy("adev")
+    dranked = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = dranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("adev")))
+        .cast("bigint")
+        .alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("med_cents").cast("bigint").alias("med_cents"),
+            F.max("mad_cents").cast("bigint").alias("mad_cents"),
+            F.expr("count_if(adev > 3 * mad_cents)")
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -882,3 +882,69 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     )
+
+
+RADIUS_NUM = 1  # cosine radius threshold tau = 1/5, spelled rationally
+RADIUS_DEN = 5
+
+
+def _radius_oracle() -> str:
+    return f"""
+WITH cellranked AS (
+  SELECT vec_id, cell, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+  FROM (
+    SELECT e.vec_id, t.i AS cell,
+           {dot_duckdb("e.embedding", f"({_centroids_duckdb_literal()})[t.i + 1]")} AS d
+    FROM embeddings e CROSS JOIN range({N_CELLS}) t(i)
+  )
+),
+corpus_cells AS (SELECT vec_id AS neighbor_id, cell FROM cellranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM cellranked
+           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+scored AS (
+  SELECT p.query_id, cc.neighbor_id,
+         {cosine_duckdb("a.embedding", "b.embedding")} AS cos_sim
+  FROM probes p
+  JOIN corpus_cells cc USING (cell)
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = cc.neighbor_id
+  WHERE p.query_id <> cc.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM scored
+WHERE cos_sim * {RADIUS_DEN} >= {RADIUS_NUM}
+"""
+
+
+@register(
+    "similarity_range_radius",
+    oracle=_radius_oracle(),
+    doc="RANGE (radius) similarity search over the IVF layout: every "
+    f"corpus vector within cosine >= {RADIUS_NUM}/{RADIUS_DEN} of each "
+    "query, scored only inside the query's probed cells -- the "
+    "radius-query twin of similarity_topk_ivf (top-k bounds the OUTPUT, "
+    "radius bounds the SIMILARITY; dedup and recommendation pipelines "
+    "need both).  No per-query window at all: the filter replaces the "
+    "rank, so the plan is join + filter -- cheaper than top-k at scale.  "
+    "The threshold compare is kept rational (cos * den >= num) so no "
+    "float literal crosses engines.",
+    tags=("similarity", "ivf", "range", "custom-operator"),
+)
+def similarity_range_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_assign, ivf_probes, _with_norm, _PAIR_COS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    corpus_cells = ivf_assign(emb, "embedding", "vec_id", N_CELLS, DIM).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    probes = ivf_probes(queries, "embedding", "vec_id", N_CELLS, N_PROBE, DIM)
+    c = _with_norm(emb, "embedding", "vec_id", "c").join(corpus_cells, "neighbor_id")
+    q = _with_norm(queries, "embedding", "vec_id", "q").join(probes, "query_id")
+    pairs = c.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return pairs.select(
+        "query_id", "neighbor_id", F.expr(_PAIR_COS).alias("cos_sim")
+    ).where(F.col("cos_sim") * RADIUS_DEN >= RADIUS_NUM)

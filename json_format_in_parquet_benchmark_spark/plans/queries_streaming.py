@@ -969,3 +969,64 @@ def stream_lsh_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     return _run_to_memory(stream, f"slshgate_{tag}", "append")
+
+
+@register(
+    "stream_parquet_file_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY 1
+""",
+    doc="TRUE streaming PARQUET FILE SINK -- the production landing-zone "
+    "pattern (writeStream.format('parquet') with a checkpointed "
+    "_spark_metadata transaction log, giving exactly-once file commits "
+    "where a plain batch write gives none): the events stream is "
+    "filtered to purchase/signup rows and landed as parquet files; the "
+    "returned frame AGGREGATES A READ-BACK of the landed directory, so "
+    "the oracle (the equivalent batch filter+aggregate) checks the "
+    "whole write-then-read loop including sink atomicity.  Fresh "
+    "output+checkpoint dirs per call -- a reused checkpoint would "
+    "mark the staged input as processed and land nothing.",
+    tags=("streaming", "sink", "parquet"),
+)
+def stream_parquet_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import EVENTS_SCHEMA
+
+    events_dir = _staged_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .where(F.col("event_type").isin("purchase", "signup"))
+        .select("event_id", "event_type", "value")
+    )
+    out_dir = _tf.mkdtemp(prefix="jfipb_psink_out_")
+    ckpt = _tf.mkdtemp(prefix="jfipb_psink_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    landed = spark.read.parquet(out_dir)
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+            "total_value"
+        ),
+    )

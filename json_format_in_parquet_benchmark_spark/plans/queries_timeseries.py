@@ -584,3 +584,98 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mth")
     )
+
+
+SES_P = 1_000_000_007
+
+
+@register(
+    "events_forecast_ses",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list_transform(
+           list_sort(list({{'day': day, 'cents': cents}})),
+           r -> {{'chk': CAST(0 AS BIGINT), 's': r.cents, 'n': CAST(1 AS BIGINT)}}
+         ) AS elems
+  FROM daily GROUP BY event_type
+),
+folded AS (
+  -- chk accumulates the PREVIOUS step's s only (never the s computed in
+  -- the same struct literal): DuckDB evaluates struct-literal lambda
+  -- fields SEQUENTIALLY against an in-place accumulator, so a later
+  -- field reading acc.s would see the value just written by an earlier
+  -- field.  With chk FIRST and reading only old fields, the fold is
+  -- correct under both in-place and snapshot semantics.  The final s is
+  -- added to the checksum after the fold.
+  SELECT event_type,
+         list_reduce(elems, (acc, e) -> {{
+           'chk': (acc.chk + acc.s) % {SES_P},
+           's': (e.s + 3 * acc.s) // 4,
+           'n': acc.n + 1
+         }}) AS st
+  FROM series
+)
+SELECT event_type,
+       CAST(st.n AS BIGINT) AS n_days,
+       CAST(st.s AS BIGINT) AS forecast_cents,
+       CAST((st.chk + st.s) % {SES_P} AS BIGINT) AS path_checksum
+FROM folded
+""",
+    doc="Time-series forecasting via simple exponential smoothing on the "
+    "integer-cents grid: per event type, the daily value series folds "
+    "through s_t = (x_t + 3*s_(t-1)) div 4 (alpha = 1/4 as exact "
+    "integer arithmetic -- the same floor-division trick that makes "
+    "PageRank and CUSUM bit-identical cross-engine); the final state "
+    "IS the one-step-ahead forecast, and a running checksum pins the "
+    "whole smoothed path, not just its endpoint.  A sequential "
+    "recurrence is not window-expressible, so both engines run it as "
+    "ONE ordered-array fold per group (F.aggregate / list_reduce) -- "
+    "group state is |days| per key, the natural bound.",
+    tags=("timeseries", "forecast", "aggregation"),
+)
+def events_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr("sort_array(collect_list(struct(day, cents)))").alias("arr")
+    )
+    folded = series.select(
+        "event_type",
+        F.expr(
+            f"""aggregate(
+              arr,
+              named_struct('chk', 0L, 's', -1L, 'n', 0L),
+              (acc, r) -> CASE WHEN acc.n = 0
+                THEN named_struct('chk', 0L, 's', r.cents, 'n', 1L)
+                ELSE named_struct(
+                  'chk', (acc.chk + acc.s) % {SES_P},
+                  's', (r.cents + 3L * acc.s) div 4L,
+                  'n', acc.n + 1L)
+              END)"""
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("st.n").cast("bigint").alias("n_days"),
+        F.col("st.s").cast("bigint").alias("forecast_cents"),
+        F.expr(f"(st.chk + st.s) % {{SES_P}}".format(SES_P=SES_P))
+        .cast("bigint")
+        .alias("path_checksum"),
+    )
