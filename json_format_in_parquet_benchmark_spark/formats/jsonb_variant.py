@@ -83,8 +83,15 @@ class JsonbShreddedVariantFormat(JsonbVariantFormat):
     ``spark.sql.variant.pushVariantIntoScan``; a query touching one path
     reads one column chunk, not the whole document.
 
-    All three confs are scoped to the write/read call and restored -- the
-    external driver's session config is not ours to keep."""
+    The WRITE confs are scoped to the flush call and restored (flush
+    executes eagerly, so scoping holds).  The read side deliberately has
+    NO conf scoping: ``load`` returns a LAZY frame that executes long
+    after any scope would have been restored, so a build-time
+    set/restore would be dead code -- the reader relies on the session
+    defaults (``allowReadingShredded`` and ``pushVariantIntoScan`` both
+    default true in 4.1.2), and a plain ``spark.read.parquet``
+    reconstructs the variant column so decode() sees the same logical
+    shape as ``jsonb``."""
 
     name = "jsonb_shredded"
 
@@ -92,14 +99,3 @@ class JsonbShreddedVariantFormat(JsonbVariantFormat):
         "spark.sql.variant.writeShredding.enabled": "true",
         "spark.sql.variant.inferShreddingSchema": "true",
     }
-    _READ_CONFS = {"spark.sql.variant.allowReadingShredded": "true"}
-
-    def load(self, spark: SparkSession, path: str) -> DataFrame:
-        saved = self._scoped(spark, self._READ_CONFS)
-        try:
-            # Force reconstruction to a plain variant column at load so
-            # decode() sees the same logical shape as the jsonb format;
-            # the scan itself is what benefits from shredding.
-            return spark.read.parquet(path)
-        finally:
-            self._restore(spark, saved)

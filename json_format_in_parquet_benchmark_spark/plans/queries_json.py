@@ -440,13 +440,21 @@ def json_paths_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("doc")
     )
+    from ..operators.dedup import _track_persist
+
     frontier = docs.select(
         F.lit("$").alias("path"), F.parse_json("doc").alias("v")
     )
     leaf_parts = []
     for _ in range(4):  # max nesting depth of the corpus
-        typed = frontier.select(
-            "path", "v", F.expr("schema_of_variant(v)").alias("t")
+        # Persist each level: the leaves branch AND the next frontier both
+        # consume `typed`, and each leaf_parts[k] would otherwise embed
+        # the whole unpersisted chain back to the scan -- the union would
+        # re-parse every document once per depth level (O(depth^2) work).
+        typed = _track_persist(
+            frontier.select(
+                "path", "v", F.expr("schema_of_variant(v)").alias("t")
+            )
         )
         is_container = F.col("t").startswith("OBJECT<") | F.col(
             "t"

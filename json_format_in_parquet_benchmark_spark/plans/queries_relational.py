@@ -3446,17 +3446,21 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     parts = []
     for fk, fact, fcol, dim, dcol in checks:
-        orphans = fact.select(fcol).join(
-            F.broadcast(dim), F.col(fcol) == F.col(dcol), "left_anti"
+        # ONE scan per FK: broadcast LEFT join + conditional aggregation
+        # (an unmatched key surfaces a NULL dim key) -- the n_rows total
+        # and the orphan count genuinely ride the same pass, matching the
+        # oracle's COUNT(*) FILTER formulation.
+        flagged = fact.select(fcol).join(
+            F.broadcast(dim), F.col(fcol) == F.col(dcol), "left"
         )
         parts.append(
-            fact.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
-                )
+            flagged.agg(
+                F.lit(fk).alias("fk"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.expr(f"count_if({dcol} IS NULL)")
+                .cast("bigint")
+                .alias("n_orphans"),
             )
-            .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
         )
     from functools import reduce
 
@@ -3577,11 +3581,18 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("med_cents")
     )
-    dev = base.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "cents",
-        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
-        "med_cents",
+    from ..operators.dedup import _track_persist
+
+    # Persisted: consumed by both the MAD rank pass and the final
+    # aggregate -- unpersisted, the second consumer re-scans events and
+    # re-runs the median join.
+    dev = _track_persist(
+        base.join(F.broadcast(med), "event_type").select(
+            "event_type",
+            "cents",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+            "med_cents",
+        )
     )
     wd = Window.partitionBy("event_type").orderBy("adev")
     dranked = dev.select(

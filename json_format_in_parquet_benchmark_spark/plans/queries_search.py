@@ -592,7 +592,10 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = {(r.doc_a, r.doc_b): r.sim for r in sim_rows}
     selected: list[tuple[int, int, float]] = []
     chosen: list[int] = []
-    for step in range(1, MMR_K + 1):
+    # min() guard: a degenerate corpus can leave fewer than MMR_K docs in
+    # the pool; the oracle's pick{j} LIMIT 1 over an empty candidate set
+    # emits fewer rows, and the greedy must do the same, not crash.
+    for step in range(1, min(MMR_K, len(pool)) + 1):
         best = None
         for d, rel in sorted(pool.items()):
             if d in chosen:

@@ -157,11 +157,20 @@ def ivf_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     queries touch only their probed cells' directories.  Memoized per
     sf_dir."""
     import os
+    import hashlib
     import tempfile
 
     from ..operators.similarity import ivf_assign
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    # Keyed by a hash of the resolved sf_dir, not the basename -- two
+    # roots sharing a basename must not alias one cell layout (same rule
+    # as ivf_append_path below).
+    resolved = os.path.realpath(sf_dir.rstrip("/"))
+    tag = (
+        (os.path.basename(resolved) or "sf")
+        + "-"
+        + hashlib.md5(resolved.encode()).hexdigest()[:10]
+    )
     if tag in _IVF_SINK:
         return _IVF_SINK[tag]
     out = os.path.join(tempfile.gettempdir(), "jfipb_ivf_cells", tag)

@@ -57,11 +57,24 @@ _STAGE_ROOT = os.path.join(tempfile.gettempdir(), "jfipb_stream_stage")
 _STAGED: dict[str, str] = {}
 
 
+
+def _stage_tag(sf_dir: str) -> str:
+    """Collision-safe stage key: basename for readability PLUS a hash of
+    the RESOLVED sf_dir -- two roots sharing a basename (e.g. /a/sf0.01
+    and /b/sf0.01) must not alias one staged layout (the same rule the
+    IVF append sink follows)."""
+    import hashlib
+
+    resolved = os.path.realpath(sf_dir.rstrip("/"))
+    base = os.path.basename(resolved) or "sf"
+    return base + "_" + hashlib.md5(resolved.encode()).hexdigest()[:10]
+
+
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table as a single-file parquet dir for a file-source
     stream (single file => single availableNow micro-batch => deterministic
     stateful output).  Memoized per sf_dir."""
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    tag = _stage_tag(sf_dir)
     if tag in _STAGED:
         return _STAGED[tag]
     out_dir = os.path.join(_STAGE_ROOT, tag)
@@ -318,7 +331,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _staged_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table UNIONED WITH ITSELF as one parquet file -- the
     duplicated input the streaming-dedup query must collapse."""
-    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_dup"
+    tag = _stage_tag(sf_dir) + "_dup"
     if tag in _STAGED:
         return _STAGED[tag]
     out_dir = os.path.join(_STAGE_ROOT, tag)
@@ -598,7 +611,7 @@ def _staged_events_two_files(spark: SparkSession, sf_dir: str) -> str:
     be independent of the batch split."""
     import shutil
 
-    tag = "two_" + (os.path.basename(sf_dir.rstrip("/")) or "sf")
+    tag = "two_" + _stage_tag(sf_dir)
     if tag in _STAGED:
         return _STAGED[tag]
     out_dir = os.path.join(_STAGE_ROOT, tag)
@@ -785,7 +798,7 @@ def _staged_events_late_first(spark: SparkSession, sf_dir: str) -> str:
     deterministically."""
     import shutil
 
-    tag = "late_" + (os.path.basename(sf_dir.rstrip("/")) or "sf")
+    tag = "late_" + _stage_tag(sf_dir)
     if tag in _STAGED:
         return _STAGED[tag]
     out_dir = os.path.join(_STAGE_ROOT, tag)
@@ -875,7 +888,7 @@ def _staged_documents_timed(spark: SparkSession, sf_dir: str) -> str:
     event time (epoch + doc_id seconds): a single small file reads as one
     sequential input partition, so 'first arrival' inside the batch is the
     lowest doc_id -- the determinism the dedup gate's oracle pins."""
-    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_docs_ts"
+    tag = _stage_tag(sf_dir) + "_docs_ts"
     if tag in _STAGED:
         return _STAGED[tag]
     out_dir = os.path.join(_STAGE_ROOT, tag)

@@ -675,7 +675,7 @@ def events_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("st.n").cast("bigint").alias("n_days"),
         F.col("st.s").cast("bigint").alias("forecast_cents"),
-        F.expr(f"(st.chk + st.s) % {{SES_P}}".format(SES_P=SES_P))
+        F.expr(f"(st.chk + st.s) % {SES_P}")
         .cast("bigint")
         .alias("path_checksum"),
     )

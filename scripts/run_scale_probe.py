@@ -545,6 +545,41 @@ def main() -> None:
                 )
             finally:
                 restore()
+            def _agg_naive():
+                return (
+                    _zev()
+                    .groupBy("user_id")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.expr(
+                            "cast(sum(cast(value as decimal(18,2))) as double)"
+                        ).alias("tv"),
+                    )
+                    .count()
+                )
+
+            def _agg_salted():
+                partial = (
+                    _zev()
+                    .withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+                    .groupBy("user_id", "salt")
+                    .agg(
+                        F.count(F.lit(1)).alias("pn"),
+                        F.expr("sum(cast(value as decimal(18,2)))").alias("pv"),
+                    )
+                )
+                return (
+                    partial.groupBy("user_id")
+                    .agg(
+                        F.sum("pn").alias("n"),
+                        F.expr("cast(sum(pv) as double)").alias("tv"),
+                    )
+                    .count()
+                )
+
+            r["zipf_agg_naive"] = timed_l("zipf_agg_naive", _agg_naive)
+            r["zipf_agg_salted"] = timed_l("zipf_agg_salted", _agg_salted)
+
 
         # Small-dim variant: the regime where MANUAL salting is the win.
         # With a 2.5M-row dim the 16x explode costs more than the hot
@@ -687,40 +722,6 @@ def main() -> None:
             finally:
                 restore()
 
-            def _agg_naive():
-                return (
-                    _zev()
-                    .groupBy("user_id")
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.expr(
-                            "cast(sum(cast(value as decimal(18,2))) as double)"
-                        ).alias("tv"),
-                    )
-                    .count()
-                )
-
-            def _agg_salted():
-                partial = (
-                    _zev()
-                    .withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
-                    .groupBy("user_id", "salt")
-                    .agg(
-                        F.count(F.lit(1)).alias("pn"),
-                        F.expr("sum(cast(value as decimal(18,2)))").alias("pv"),
-                    )
-                )
-                return (
-                    partial.groupBy("user_id")
-                    .agg(
-                        F.sum("pn").alias("n"),
-                        F.expr("cast(sum(pv) as double)").alias("tv"),
-                    )
-                    .count()
-                )
-
-            r["zipf_agg_naive"] = timed_l("zipf_agg_naive", _agg_naive)
-            r["zipf_agg_salted"] = timed_l("zipf_agg_salted", _agg_salted)
 
         r = {k: v for k, v in r.items() if v is not None}
         results[n] = r
