@@ -1043,6 +1043,7 @@ GROUP BY doc_id
     "and no countDistinct (unsupported over windows).  md5 of the "
     "reassembled text pins the transform exactly.",
     tags=("dedup", "lines", "contamination", "pipeline"),
+    bench=True,
 )
 def dedup_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import repeated_segment_stats

@@ -658,3 +658,96 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("bigint").alias("dist"))
         )
     return dist
+
+
+LINKPRED_TOP = 20
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+WITH eraw AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey AS cust
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT supp, COUNT(*) AS d FROM eraw GROUP BY 1),
+wedge AS (
+  SELECT e1.supp AS a, e2.supp AS b, COUNT(*) AS common
+  FROM eraw e1 JOIN eraw e2
+    ON e1.cust = e2.cust AND e1.supp < e2.supp
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT w.a, w.b,
+         CAST(w.common AS BIGINT) AS common_customers,
+         CAST(da.d + db.d - w.common AS BIGINT) AS union_customers
+  FROM wedge w
+  JOIN deg da ON da.supp = w.a
+  JOIN deg db ON db.supp = w.b
+)
+SELECT a AS supp_a, b AS supp_b, common_customers, union_customers
+FROM scored
+ORDER BY CAST(common_customers AS DOUBLE) / union_customers DESC,
+         common_customers DESC, a, b
+LIMIT {LINKPRED_TOP}
+""",
+    doc="Link prediction / co-engagement scoring on the BIPARTITE "
+    "supplier-customer trading graph: rank supplier pairs by the "
+    "neighborhood Jaccard of their customer sets (common customers / "
+    "union of customer sets) -- the collaborative-filtering primitive "
+    "behind supplier substitution and co-purchase recommendation.  "
+    "Wedges (supplier pairs sharing a customer) come from ONE "
+    "self-join on the customer key; bipartite structure means wedge "
+    "pairs are never existing edges, so no anti-join is needed.  The "
+    "ranking ratio is one double division of identical int64 operands; "
+    "emitted columns are the exact integers.  Wedge fan-out is "
+    "per-customer-degree bounded -- salt or cap pathological hub "
+    "customers at 100 TB, same as triangle counting.",
+    tags=("graph", "link-prediction", "join"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    par = spark.sparkContext.defaultParallelism
+    eraw = _track_persist(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("supp"), F.col("o_custkey").alias("cust")
+        )
+        .repartition(par, "supp", "cust")
+        .distinct()
+    )
+    deg = eraw.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    e1 = eraw.selectExpr("cust", "supp AS a")
+    e2 = eraw.selectExpr("cust", "supp AS b")
+    wedge = (
+        e1.join(e2, "cust")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.selectExpr("supp AS a", "d AS da")
+    db = deg.selectExpr("supp AS b", "d AS db")
+    scored = (
+        wedge.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("supp_a"),
+            F.col("b").alias("supp_b"),
+            F.col("common").cast("bigint").alias("common_customers"),
+            (F.col("da") + F.col("db") - F.col("common"))
+            .cast("bigint")
+            .alias("union_customers"),
+        )
+    )
+    return scored.orderBy(
+        (
+            F.col("common_customers").cast("double")
+            / F.col("union_customers")
+        ).desc(),
+        F.col("common_customers").desc(),
+        "supp_a",
+        "supp_b",
+    ).limit(LINKPRED_TOP)

@@ -3170,6 +3170,7 @@ GROUP BY 1
     "come from the 25-row nation table and are broadcast.  The oracle is "
     "the plain theta join -- same result, quadratic plan.",
     tags=("relational", "join", "spatial", "grid"),
+    bench=True,
 )
 def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = 15_000  # milli-degrees; box lat span 14400 <= cell, lon span 2 cells

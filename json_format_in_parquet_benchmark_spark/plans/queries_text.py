@@ -24,6 +24,8 @@ from ..functions.windows import (
 )
 from ..functions.text import (
     BPE_TOKEN_RE,
+    shingles_duckdb,
+    shingles_spark,
     stopword_count_duckdb,
     stopword_count_spark,
     tokens_duckdb,
@@ -1815,4 +1817,63 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= STRATIFIED_K)
+    )
+
+
+NOVELTY_BUCKET = 50
+
+
+@register(
+    "text_novelty_curve",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({{sh_d}}) AS sh
+  FROM documents
+),
+firsts AS (
+  SELECT doc_id, sh,
+         MIN(doc_id) OVER (PARTITION BY sh) AS first_doc
+  FROM sh
+)
+SELECT doc_id // {NOVELTY_BUCKET} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (doc_id = first_doc) AS BIGINT) AS n_novel
+FROM firsts
+GROUP BY 1
+""".format(sh_d=shingles_duckdb(tokens_duckdb("text"), 3)),
+    doc="Corpus novelty curve -- the diminishing-returns diagnostic for "
+    "data collection: ingesting documents in doc_id order, what "
+    "fraction of each bucket's distinct 3-gram shingles has never "
+    "appeared in an earlier document?  First occurrence is a MIN "
+    "window over the shingle key (one shuffle, no groupBy+join-back "
+    "-- the AQE broadcast-conversion-safe shape), novelty is an exact "
+    "integer pair per {NOVELTY_BUCKET}-doc bucket.  A flattening "
+    "curve says new data is duplicating old data -- the signal that "
+    "drives crawl re-prioritization at 100 TB.".format(
+        NOVELTY_BUCKET=NOVELTY_BUCKET
+    ),
+    tags=("text", "novelty", "profile", "pipeline"),
+)
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(shingles_spark(tokens_spark("text"), 3))
+        ).alias("sh"),
+    ).distinct()
+    firsts = sh.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("sh")).alias("first_doc"),
+    )
+    return (
+        firsts.groupBy(F.expr(f"doc_id div {NOVELTY_BUCKET}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.expr("count_if(doc_id = first_doc)")
+            .cast("bigint")
+            .alias("n_novel"),
+        )
     )
