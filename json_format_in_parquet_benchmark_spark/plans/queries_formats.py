@@ -454,3 +454,93 @@ def format_scan_shredded_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# Footer-stats manifest: (table, numeric column) pairs whose parquet
+# column-chunk statistics the manifest job reads.  Columns with possible
+# +/-0.0 values (l_discount, l_tax, c_acctbal) are deliberately excluded:
+# IEEE -0.0 == 0.0 makes the min/max REPRESENTATION engine-dependent.
+_FOOTER_TARGETS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_extendedprice"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_totalprice"),
+    ("events", "event_id"),
+    ("events", "user_id"),
+    ("events", "value"),
+    ("part", "p_size"),
+    ("part", "p_retailprice"),
+)
+
+
+@register(
+    "scan_footer_stats_manifest",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS tbl, '{c}' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN({c}) AS DOUBLE) AS min_v,
+       CAST(MAX({c}) AS DOUBLE) AS max_v
+FROM {t}"""
+        for t, c in _FOOTER_TARGETS
+    ),
+    doc="Distributed parquet FOOTER scan building a data-skipping "
+    "manifest: one task per file opens ONLY the footer (seek + tail "
+    "read, zero data pages) and emits per-column row count and min/max "
+    "from the column-chunk statistics, folded across row groups.  The "
+    "DuckDB oracle recomputes the same stats from the DATA, so a hash "
+    "match proves the footer-claimed bounds equal the true bounds -- "
+    "the exact invariant every data-skipping index, file-pruning "
+    "predicate, and Iceberg/Delta-style manifest relies on.  At 100 TB "
+    "this is the manifest-build job that runs in minutes while a full "
+    "scan takes hours: cost is O(files), not O(bytes), and the task "
+    "list parallelizes footer reads across the cluster (here via an "
+    "Arrow mapInPandas over the file list -- no data ever leaves the "
+    "executor).  +/-0.0-capable columns are excluded by design (footer "
+    "min/max representation of IEEE signed zero is writer-dependent).",
+    tags=("scan", "metadata", "formats", "pruning"),
+)
+def scan_footer_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 (arrow batch interface)
+
+    rows = [
+        (t, c, os.path.join(sf_dir, f"{t}.parquet"))
+        for t, c in _FOOTER_TARGETS
+    ]
+    paths = spark.createDataFrame(
+        rows, "tbl string, col string, path string"
+    ).repartition(len(rows))
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for tbl, col, path in pdf.itertuples(index=False):
+                md = pq.ParquetFile(path).metadata
+                mins, maxs = [], []
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for c_i in range(rg.num_columns):
+                        chunk = rg.column(c_i)
+                        if chunk.path_in_schema == col:
+                            st = chunk.statistics
+                            assert st is not None and st.has_min_max, (
+                                f"footer stats missing for {path}:{col}"
+                            )
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                assert mins, f"column {col} not found in {path}"
+                out.append(
+                    (tbl, col, md.num_rows, float(min(mins)), float(max(maxs)))
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(
+                out, columns=["tbl", "col", "n_rows", "min_v", "max_v"]
+            )
+
+    return paths.mapInPandas(
+        read_footers,
+        "tbl string, col string, n_rows bigint, min_v double, max_v double",
+    )

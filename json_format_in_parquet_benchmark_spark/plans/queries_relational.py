@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64_sql_duckdb, hash64_sql_spark
 from ..tables import load_table
 from .registry import register
 
@@ -3618,4 +3619,161 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_outliers"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation analytics: A/B testing over the events stream.
+# ---------------------------------------------------------------------------
+# Variant assignment is a deterministic 60-bit md5 hash of user_id mod 2 --
+# exactly how production experiment frameworks bucket users (stable across
+# re-runs and appends, no assignment table to join).  The Welch statistic is
+# rendered from ONE shared snippet per side so every double operation has
+# identical operands and ordering cross-engine: quantized-integer sums give
+# exact (n, sum, sum-of-squares) per arm, and everything after is
+# deterministic IEEE (division, multiplication, sqrt).
+_AB_Z = "1.959963984540054"  # two-sided 95% critical value, exact literal
+
+
+def _welch_snippets() -> dict[str, str]:
+    """Expression fragments shared verbatim by the Spark plan and the
+    DuckDB oracle (both engines parse the same arithmetic shape)."""
+    out = {}
+    for arm in ("a", "b"):
+        out[f"mean_{arm}"] = (
+            f"cast(s1_{arm} as double)"
+            f" / (cast(1e8 as double) * cast(n_{arm} as double))"
+        )
+        # Sample variance via E[x^2] - mean^2, Bessel-corrected; the
+        # subexpressions reuse the aliased mean_<arm> column so both sides
+        # compute from the SAME double.
+        out[f"var_{arm}"] = (
+            f"(cast(s2_{arm} as double)"
+            f" / (cast(1e8 as double) * cast(n_{arm} as double))"
+            f" - mean_{arm} * mean_{arm})"
+            f" * (cast(n_{arm} as double) / cast(n_{arm} - 1 as double))"
+        )
+        out[f"se2_{arm}"] = f"var_{arm} / cast(n_{arm} as double)"
+    out["t_stat"] = "(mean_a - mean_b) / sqrt(se2_a + se2_b)"
+    out["welch_df"] = (
+        "((se2_a + se2_b) * (se2_a + se2_b))"
+        " / (se2_a * se2_a / cast(n_a - 1 as double)"
+        "    + se2_b * se2_b / cast(n_b - 1 as double))"
+    )
+    return out
+
+
+_W = _welch_snippets()
+
+
+@register(
+    "events_ab_welch_ttest",
+    oracle=f"""
+WITH assigned AS (
+  SELECT event_type, value,
+         {hash64_sql_duckdb("CAST(user_id AS VARCHAR)", "ab")} % 2 AS variant
+  FROM events
+),
+arms AS (
+  SELECT event_type,
+         CAST(COUNT(*) FILTER (variant = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (variant = 1) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(FLOOR(value * 1e8) AS BIGINT)) FILTER (variant = 0)
+              AS BIGINT) AS s1_a,
+         CAST(SUM(CAST(FLOOR(value * 1e8) AS BIGINT)) FILTER (variant = 1)
+              AS BIGINT) AS s1_b,
+         CAST(SUM(CAST(FLOOR(value * value * 1e8) AS BIGINT))
+              FILTER (variant = 0) AS BIGINT) AS s2_a,
+         CAST(SUM(CAST(FLOOR(value * value * 1e8) AS BIGINT))
+              FILTER (variant = 1) AS BIGINT) AS s2_b
+  FROM assigned GROUP BY event_type
+),
+means AS (
+  SELECT event_type, n_a, n_b, s1_a, s1_b, s2_a, s2_b,
+         {_W["mean_a"]} AS mean_a, {_W["mean_b"]} AS mean_b
+  FROM arms WHERE n_a > 1 AND n_b > 1
+),
+vars_ AS (
+  SELECT *, {_W["var_a"]} AS var_a, {_W["var_b"]} AS var_b FROM means
+),
+ses AS (
+  SELECT *, {_W["se2_a"]} AS se2_a, {_W["se2_b"]} AS se2_b FROM vars_
+)
+SELECT event_type, n_a, n_b, mean_a, mean_b,
+       {_W["t_stat"]} AS t_stat,
+       {_W["welch_df"]} AS welch_df,
+       CAST(abs({_W["t_stat"]}) > {_AB_Z} AS INT) AS significant
+FROM ses
+WHERE se2_a + se2_b > 0.0
+""",
+    doc="A/B experiment readout with Welch's unequal-variance t-test: "
+    "users are hashed into two arms (deterministic md5 bucketing -- the "
+    "standard production assignment that survives re-runs and appends), "
+    "then per-(event_type, arm) count / mean / sample variance feed the "
+    "Welch t statistic and Welch-Satterthwaite degrees of freedom.  "
+    "Exactness: per-arm moments come from quantized-integer sums "
+    "(order-free across partitions), and the t/df arithmetic is rendered "
+    "from one shared snippet so both engines execute the identical IEEE "
+    "expression tree.  Plan shape: ONE scan of events, ONE map-side-"
+    "combined aggregate keyed by tiny event_type (conditional FILTER "
+    "aggregation folds both arms into a single shuffle row per group) -- "
+    "at 100 TB this is the textbook two-pass-free experiment scorer: "
+    "no per-arm subqueries, no join, |groups| rows of state.  Arms with "
+    "n <= 1 or zero pooled variance are excluded identically on both "
+    "sides (the statistic is undefined there).",
+    tags=("events", "experimentation", "aggregation", "stats"),
+)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    assigned = events.select(
+        "event_type",
+        "value",
+        F.expr(
+            f"{hash64_sql_spark('cast(user_id as string)', 'ab')} % 2"
+        ).alias("variant"),
+    )
+    q8 = "cast(floor(value * 1e8) as bigint)"
+    q8sq = "cast(floor(value * value * 1e8) as bigint)"
+    arms = assigned.groupBy("event_type").agg(
+        F.expr("count_if(variant = 0)").cast("bigint").alias("n_a"),
+        F.expr("count_if(variant = 1)").cast("bigint").alias("n_b"),
+        F.expr(f"sum(case when variant = 0 then {q8} end)")
+        .cast("bigint")
+        .alias("s1_a"),
+        F.expr(f"sum(case when variant = 1 then {q8} end)")
+        .cast("bigint")
+        .alias("s1_b"),
+        F.expr(f"sum(case when variant = 0 then {q8sq} end)")
+        .cast("bigint")
+        .alias("s2_a"),
+        F.expr(f"sum(case when variant = 1 then {q8sq} end)")
+        .cast("bigint")
+        .alias("s2_b"),
+    )
+    means = arms.where("n_a > 1 and n_b > 1").select(
+        "*",
+        F.expr(_W["mean_a"]).alias("mean_a"),
+        F.expr(_W["mean_b"]).alias("mean_b"),
+    )
+    vars_ = means.select(
+        "*",
+        F.expr(_W["var_a"]).alias("var_a"),
+        F.expr(_W["var_b"]).alias("var_b"),
+    )
+    ses = vars_.select(
+        "*",
+        F.expr(_W["se2_a"]).alias("se2_a"),
+        F.expr(_W["se2_b"]).alias("se2_b"),
+    )
+    return ses.where("se2_a + se2_b > 0.0").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.expr(_W["t_stat"]).alias("t_stat"),
+        F.expr(_W["welch_df"]).alias("welch_df"),
+        F.expr(f"cast(abs({_W['t_stat']}) > {_AB_Z} as int)").alias(
+            "significant"
+        ),
     )

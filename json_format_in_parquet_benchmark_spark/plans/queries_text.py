@@ -1877,3 +1877,114 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_novel"),
         )
     )
+
+
+# Sparse TF-cosine pair similarity: df cap bounds posting-list fan-out
+# (PPJoin-style), pair count <= sum over capped terms of df^2/2.
+COSINE_DF_CAP = 100
+COSINE_TOP_PAIRS = 40
+
+
+@register(
+    "text_tf_cosine_pairs",
+    oracle=f"""
+WITH postings AS MATERIALIZED (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+vocab AS (
+  SELECT term FROM postings GROUP BY 1
+  HAVING COUNT(*) BETWEEN 2 AND {COSINE_DF_CAP}
+),
+capped AS MATERIALIZED (
+  SELECT p.doc_id, p.term, p.tf FROM postings p JOIN vocab v USING (term)
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2 FROM capped GROUP BY 1
+),
+dots AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot
+  FROM capped x JOIN capped y
+    ON x.term = y.term AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.dot,
+       na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+       CAST(d.dot AS DOUBLE)
+         / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE))
+         AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+ORDER BY cosine DESC, doc_a, doc_b
+LIMIT {COSINE_TOP_PAIRS}
+""",
+    doc="Sparse TF-vector cosine similarity join over the corpus via an "
+    "inverted index: per-doc term frequencies become posting lists, a "
+    "document-frequency band (2 <= df <= "
+    f"{COSINE_DF_CAP}) drops hub terms exactly like a PPJoin prefix "
+    "filter (the df cap bounds pair fan-out to sum(df^2)/2 instead of "
+    "|D|^2 -- THE knob that keeps a sparse similarity join feasible at "
+    "100 TB), then one self-join on term accumulates integer dot "
+    "products and per-doc squared norms.  The cosine is a single "
+    "division/sqrt over identical int64 operands, so the doubles are "
+    "bit-exact cross-engine; top pairs are totally ordered "
+    "(score, doc_a, doc_b) for a deterministic LIMIT.  Complements "
+    "dedup_ngram_jaccard (set overlap) and dedup_embedding_cosine "
+    "(dense vectors) with the weighted-bag sparse arm -- the classic "
+    "plagiarism / near-duplicate ranking signal.",
+    tags=("text", "similarity", "join", "dedup"),
+)
+def text_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = _track_persist(
+        docs.select(
+            "doc_id", F.explode(F.expr(_TOKS_S)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    vocab = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(2, COSINE_DF_CAP))
+        .select("term")
+    )
+    capped = _track_persist(postings.join(vocab, "term").select(
+        "doc_id", "term", "tf"
+    ))
+    norms = capped.groupBy("doc_id").agg(
+        F.expr("cast(sum(tf * tf) as bigint)").alias("norm2")
+    )
+    x = capped.selectExpr("term", "doc_id AS doc_a", "tf AS tf_a")
+    y = capped.selectExpr("term", "doc_id AS doc_b", "tf AS tf_b")
+    dots = (
+        x.join(y, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.expr("cast(sum(tf_a * tf_b) as bigint)").alias("dot"))
+    )
+    na = norms.selectExpr("doc_id AS doc_a", "norm2 AS norm2_a")
+    nb = norms.selectExpr("doc_id AS doc_b", "norm2 AS norm2_b")
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            "norm2_a",
+            "norm2_b",
+            F.expr(
+                "cast(dot as double)"
+                " / sqrt(cast(norm2_a as double) * cast(norm2_b as double))"
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), "doc_a", "doc_b"
+    ).limit(COSINE_TOP_PAIRS)
