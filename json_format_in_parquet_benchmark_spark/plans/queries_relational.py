@@ -3777,3 +3777,312 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+WITH om AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+cohort AS (
+  SELECT o_custkey, MIN(ym) AS cohort_ym FROM om GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_ym, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM cohort GROUP BY 1
+),
+rev AS (
+  SELECT c.cohort_ym, om.ym - c.cohort_ym AS k,
+         CAST(SUM(om.cents) AS BIGINT) AS rev_cents
+  FROM om JOIN cohort c USING (o_custkey)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_ym, k, rev_cents,
+         CAST(SUM(rev_cents) OVER (
+           PARTITION BY cohort_ym ORDER BY k
+         ) AS BIGINT) AS cum_cents
+  FROM rev
+)
+SELECT c.cohort_ym, CAST(c.k AS BIGINT) AS k, c.rev_cents, c.cum_cents,
+       s.n_customers,
+       CAST(c.cum_cents AS DOUBLE)
+         / (CAST(100 AS DOUBLE) * CAST(s.n_customers AS DOUBLE))
+         AS ltv_per_customer
+FROM cum c JOIN sizes s USING (cohort_ym)
+""",
+    doc="Cohort lifetime-value curves -- the growth-analytics workhorse: "
+    "customers are cohorted by FIRST order month, revenue is bucketed "
+    "by months-since-acquisition, and a per-cohort running sum divided "
+    "by cohort size yields the LTV-per-customer curve whose shape "
+    "payback models are fit to.  Exactness: month index is pure integer "
+    "(y*12+m), revenue lives in integer CENTS end to end (DECIMAL cast "
+    "then *100, summed and cumulated as int64), and the only double is "
+    "one final division of identical operands.  100 TB shape: one "
+    "shuffle to find each customer's cohort, one co-partitioned join "
+    "back on the customer key, then an aggregate on (cohort, k) whose "
+    "cardinality is months^2 -- tiny -- so the cumulative window runs "
+    "on a broadcast-scale frame; no skew risk because the heavy "
+    "aggregation is keyed by customer before cohorts ever meet.",
+    tags=("relational", "cohort", "window", "analytics"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        F.expr(
+            "cast(year(cast(o_orderdate as timestamp)) * 12"
+            " + month(cast(o_orderdate as timestamp)) as bigint)"
+        ).alias("ym"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("cents"),
+    )
+    cohort = om.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sizes = cohort.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    rev = (
+        om.join(cohort, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("k"))
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = Window.partitionBy("cohort_ym").orderBy("k")
+    cum = rev.select(
+        "cohort_ym",
+        "k",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_ym").select(
+        "cohort_ym",
+        F.col("k").cast("bigint").alias("k"),
+        "rev_cents",
+        "cum_cents",
+        "n_customers",
+        F.expr(
+            "cast(cum_cents as double)"
+            " / (cast(100 as double) * cast(n_customers as double))"
+        ).alias("ltv_per_customer"),
+    )
+
+
+# Bitmap-index retention: 63 users per int64 word (bit 63 stays clear --
+# DuckDB's BIGINT << RAISES on sign-bit overflow while Spark wraps), 7-day
+# horizon.
+_BM_DAY_US = 86400000000
+_BM_HORIZON = 7
+
+
+@register(
+    "events_bitmap_retention",
+    oracle=f"""
+WITH pres AS (
+  SELECT DISTINCT epoch_us(ts) // {_BM_DAY_US} AS day, user_id FROM events
+),
+bm AS MATERIALIZED (
+  SELECT day, user_id // 63 AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT))
+              AS BIGINT) AS mask
+  FROM pres GROUP BY 1, 2
+),
+day_n AS (
+  SELECT day, CAST(SUM(bit_count(mask)) AS BIGINT) AS n_active
+  FROM bm GROUP BY 1
+),
+pairs AS (
+  SELECT a.day AS day_a, b.day - a.day AS k,
+         CAST(SUM(bit_count(a.mask & b.mask)) AS BIGINT) AS n_both
+  FROM bm a JOIN bm b
+    ON a.word = b.word
+   AND b.day BETWEEN a.day + 1 AND a.day + {_BM_HORIZON}
+  GROUP BY 1, 2
+)
+SELECT p.day_a, CAST(p.k AS BIGINT) AS k, d.n_active, p.n_both,
+       CAST(p.n_both AS DOUBLE) / CAST(d.n_active AS DOUBLE) AS retention
+FROM pairs p JOIN day_n d ON d.day = p.day_a
+""",
+    doc="Day-k user retention computed on ROARING-STYLE BITMAP INDEXES "
+    "instead of a user-level self-join: daily active users are packed "
+    "63-per-int64 word (bit_or of shifted bits; the sign bit stays "
+    "clear because DuckDB's << raises on int64 overflow), day-pair overlap is "
+    "popcount(a AND b) summed over words, and retention is one exact "
+    "integer division.  Semantically kin to events_retention_cohorts; "
+    "the POINT is the physical strategy -- the bitmap variant shrinks "
+    "the joined relation from |users x days| rows to |users/63 x days| "
+    "words, turns the user-match join into bitwise AND + popcount "
+    "(whole-stage-codegen integer ops, no hash table of user ids), and "
+    "is exactly how OLAP engines accelerate COUNT(DISTINCT)-over-"
+    "segments at 100 TB.  The word key co-partitions both sides; the "
+    "7-day horizon bounds pair fan-out to a constant.",
+    tags=("events", "retention", "bitmap", "join"),
+)
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pres = events.select(
+        F.expr(f"unix_micros(ts) div {_BM_DAY_US}").alias("day"),
+        "user_id",
+    ).distinct()
+    bm = (
+        pres.groupBy(
+            "day", F.expr("user_id div 63").alias("word")
+        )
+        .agg(
+            F.expr(
+                "cast(bit_or(shiftleft(cast(1 as bigint),"
+                " cast(user_id % 63 as int))) as bigint)"
+            ).alias("mask")
+        )
+        .persist()
+    )
+    day_n = bm.groupBy("day").agg(
+        F.expr("cast(sum(bit_count(mask)) as bigint)").alias("n_active")
+    )
+    a = bm.selectExpr("day AS day_a", "word", "mask AS mask_a")
+    b = bm.selectExpr("day AS day_b", "word", "mask AS mask_b")
+    pairs = (
+        a.join(
+            b,
+            (a.word == b.word)
+            & (F.col("day_b") > F.col("day_a"))
+            & (F.col("day_b") <= F.col("day_a") + _BM_HORIZON),
+        )
+        .groupBy("day_a", (F.col("day_b") - F.col("day_a")).alias("k"))
+        .agg(
+            F.expr(
+                "cast(sum(bit_count(mask_a & mask_b)) as bigint)"
+            ).alias("n_both")
+        )
+    )
+    dn = day_n.selectExpr("day AS day_a", "n_active")
+    return pairs.join(F.broadcast(dn), "day_a").select(
+        "day_a",
+        F.col("k").cast("bigint").alias("k"),
+        "n_active",
+        "n_both",
+        F.expr(
+            "cast(n_both as double) / cast(n_active as double)"
+        ).alias("retention"),
+    )
+
+
+# Two-sample chi-square drift detection: value-distribution comparison
+# between a deterministic reference/current split.  Terms are quantized to
+# 1e-9 before the cross-bin sum so the statistic is an order-free int64
+# reduction (raw double sums are partition-order-dependent).
+_DRIFT_BIN_W = 25.0
+_DRIFT_BIN_CAP = 15
+
+
+def _drift_term(side: str) -> str:
+    # (o - e)^2 / e with e = rowtot * n_<side> / n_total, all operands cast
+    # from exact int64 counts in an identical order on both engines.
+    e = (
+        f"(cast(o_ref + o_cur as double)"
+        f" * cast(n_{side} as double) / cast(n_ref + n_cur as double))"
+    )
+    return (
+        f"((cast(o_{side} as double) - {e}) * (cast(o_{side} as double) - {e})"
+        f" / {e})"
+    )
+
+
+_DRIFT_TERMS = f"({_drift_term('ref')} + {_drift_term('cur')})"
+
+
+@register(
+    "dq_drift_chisq",
+    oracle=f"""
+WITH split AS (
+  SELECT event_type,
+         {hash64_sql_duckdb("CAST(event_id AS VARCHAR)", "drift")} % 2
+           AS grp,
+         CASE WHEN CAST(FLOOR(value / {_DRIFT_BIN_W!r}) AS INT)
+                   > {_DRIFT_BIN_CAP}
+              THEN {_DRIFT_BIN_CAP}
+              ELSE CAST(FLOOR(value / {_DRIFT_BIN_W!r}) AS INT) END AS bin
+  FROM events
+),
+bins AS (
+  SELECT event_type, bin,
+         CAST(COUNT(*) FILTER (grp = 0) AS BIGINT) AS o_ref,
+         CAST(COUNT(*) FILTER (grp = 1) AS BIGINT) AS o_cur
+  FROM split GROUP BY 1, 2
+),
+tot AS (
+  SELECT *,
+         CAST(SUM(o_ref) OVER (PARTITION BY event_type) AS BIGINT) AS n_ref,
+         CAST(SUM(o_cur) OVER (PARTITION BY event_type) AS BIGINT) AS n_cur
+  FROM bins
+)
+SELECT event_type, n_ref, n_cur,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       CAST(SUM(CAST(FLOOR({_DRIFT_TERMS} * 1e9) AS BIGINT)) AS BIGINT)
+         AS chisq_q9,
+       CAST(CAST(SUM(CAST(FLOOR({_DRIFT_TERMS} * 1e9) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 1e9 AS chisq
+FROM tot
+WHERE n_ref > 0 AND n_cur > 0
+GROUP BY 1, 2, 3
+""",
+    doc="Distribution-drift detection via a two-sample chi-square test: "
+    "events are deterministically hash-split into reference/current "
+    "samples, values histogram into fixed-width capped bins, and the "
+    "per-event_type chi-square statistic compares the two observed "
+    "distributions against their pooled expectation -- the standard "
+    "production data-drift monitor (PSI's log-free cousin: chi-square "
+    "stays in the rational domain, so it is cross-engine exact where "
+    "PSI's ln() drifts by 1 ulp).  Exactness: bin counts are integer; "
+    "each bin's term is one identical IEEE expression; terms quantize "
+    "to 1e-9 int64 BEFORE the cross-bin sum so the reduction is "
+    "order-free.  100 TB shape: ONE scan, one aggregate on the tiny "
+    "(event_type, bin) key with both arms folded by conditional "
+    "FILTER counts, then window totals over bins -- state is "
+    "|event_types| x |bins| rows regardless of input size; drift "
+    "monitoring at full scale costs one pass.",
+    tags=("dq", "drift", "stats", "aggregation"),
+)
+def dq_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bin_expr = (
+        f"case when cast(floor(value / {_DRIFT_BIN_W!r}) as int)"
+        f" > {_DRIFT_BIN_CAP} then {_DRIFT_BIN_CAP}"
+        f" else cast(floor(value / {_DRIFT_BIN_W!r}) as int) end"
+    )
+    split = events.select(
+        "event_type",
+        F.expr(
+            f"{hash64_sql_spark('cast(event_id as string)', 'drift')} % 2"
+        ).alias("grp"),
+        F.expr(bin_expr).alias("bin"),
+    )
+    bins = split.groupBy("event_type", "bin").agg(
+        F.expr("count_if(grp = 0)").cast("bigint").alias("o_ref"),
+        F.expr("count_if(grp = 1)").cast("bigint").alias("o_cur"),
+    )
+    w = Window.partitionBy("event_type")
+    tot = bins.select(
+        "*",
+        F.sum("o_ref").over(w).cast("bigint").alias("n_ref"),
+        F.sum("o_cur").over(w).cast("bigint").alias("n_cur"),
+    )
+    return (
+        tot.where("n_ref > 0 and n_cur > 0")
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+            F.expr(f"sum(cast(floor({_DRIFT_TERMS} * 1e9) as bigint))")
+            .cast("bigint")
+            .alias("chisq_q9"),
+            F.expr(
+                f"cast(sum(cast(floor({_DRIFT_TERMS} * 1e9) as bigint))"
+                " as double) / 1e9"
+            ).alias("chisq"),
+        )
+    )
