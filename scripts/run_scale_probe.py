@@ -723,6 +723,92 @@ def main() -> None:
                 restore()
 
 
+        # Retention physical-strategy comparison: the SAME day-k retention
+        # answer computed (a) as a user-level presence self-join and (b) on
+        # 63-bit packed bitmap words (events_bitmap_retention's layout).
+        # The bitmap side shrinks the joined relation ~63x and replaces the
+        # per-user hash match with AND+popcount; the claim under test is
+        # that this is the 100 TB-safe shape for COUNT(DISTINCT)-overlap
+        # analytics (the row join's pair fan-out is |users| x days x
+        # horizon, the bitmap's is |users|/63 x days x horizon).
+        ret_ops = {"retention_rowjoin", "retention_bitmap"}
+        if OPS is None or OPS & ret_ops:
+            pres_path = os.path.join(args.workdir, f"ret_pres_{n}")
+            ru = max(n // 20, 100)
+            uexpr = (
+                "cast(conv(substr(md5(cast(id as string)), 1, 15), 16, 10)"
+                f" as bigint) % {ru}"
+            )
+            (
+                spark.range(n)
+                .selectExpr("id % 60 as day", f"{uexpr} as user_id")
+                .distinct()
+                .repartition(spark.sparkContext.defaultParallelism)
+                .write.mode("overwrite")
+                .parquet(pres_path)
+            )
+
+            def _ret_rowjoin():
+                pres = spark.read.parquet(pres_path)
+                a = pres.selectExpr("day as day_a", "user_id")
+                b = pres.selectExpr("day as day_b", "user_id")
+                return (
+                    a.join(
+                        b,
+                        (a.user_id == b.user_id)
+                        & (F.col("day_b") > F.col("day_a"))
+                        & (F.col("day_b") <= F.col("day_a") + 7),
+                    )
+                    .groupBy(
+                        "day_a", (F.col("day_b") - F.col("day_a")).alias("k")
+                    )
+                    .agg(F.count(F.lit(1)).alias("n_both"))
+                    .count()
+                )
+
+            def _ret_bitmap():
+                pres = spark.read.parquet(pres_path)
+                bm = (
+                    pres.groupBy(
+                        "day", F.expr("user_id div 63").alias("word")
+                    )
+                    .agg(
+                        F.expr(
+                            "bit_or(shiftleft(cast(1 as bigint),"
+                            " cast(user_id % 63 as int)))"
+                        ).alias("mask")
+                    )
+                    .persist()
+                )
+                a = bm.selectExpr("day as day_a", "word", "mask as mask_a")
+                b = bm.selectExpr("day as day_b", "word", "mask as mask_b")
+                try:
+                    return (
+                        a.join(
+                            b,
+                            (a.word == b.word)
+                            & (F.col("day_b") > F.col("day_a"))
+                            & (F.col("day_b") <= F.col("day_a") + 7),
+                        )
+                        .groupBy(
+                            "day_a",
+                            (F.col("day_b") - F.col("day_a")).alias("k"),
+                        )
+                        .agg(
+                            F.expr("sum(bit_count(mask_a & mask_b))").alias(
+                                "n_both"
+                            )
+                        )
+                        .count()
+                    )
+                finally:
+                    bm.unpersist()
+
+            r["retention_rowjoin"] = timed_l(
+                "retention_rowjoin", _ret_rowjoin
+            )
+            r["retention_bitmap"] = timed_l("retention_bitmap", _ret_bitmap)
+
         r = {k: v for k, v in r.items() if v is not None}
         results[n] = r
         for op, (secs, rows) in r.items():
