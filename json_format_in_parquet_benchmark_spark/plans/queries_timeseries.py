@@ -679,3 +679,148 @@ def events_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("path_checksum"),
     )
+
+
+# Autocorrelation: lag join over present hourly buckets; per-pair deviation
+# products quantized to 1e-6 int64 before summation (order-free reduction).
+ACF_MAX_LAG = 3
+
+
+def _acf_dev(col: str, st: str = "") -> str:
+    # (x - mean) with mean = s1/n rendered identically on both engines:
+    # cents are exact int64, the division and subtraction are one IEEE op
+    # each over identical operands.  ``st`` prefixes the stats columns for
+    # contexts where bare names are ambiguous.
+    return (
+        f"(cast({col} as double)"
+        f" - cast({st}s1 as double) / cast({st}n as double))"
+    )
+
+
+@register(
+    "events_autocorr",
+    oracle=f"""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS bucket,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1
+  FROM hourly GROUP BY 1
+),
+dev AS MATERIALIZED (
+  SELECT h.event_type, h.bucket, h.cents, s.n, s.s1,
+         CAST(FLOOR({_acf_dev('h.cents')} * {_acf_dev('h.cents')} * 1e-6)
+              AS BIGINT) AS d2_q
+  FROM hourly h JOIN stats s USING (event_type)
+),
+denom AS (
+  SELECT event_type, CAST(SUM(d2_q) AS BIGINT) AS ss_q
+  FROM dev GROUP BY 1
+),
+lags AS (
+  SELECT l.lag_k, a.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(FLOOR({_acf_dev('a.cents', 'a.')}
+                             * {_acf_dev('b.cents', 'a.')}
+                             * 1e-6) AS BIGINT)) AS BIGINT) AS num_q
+  FROM (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag_k) l
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.event_type = a.event_type
+            AND b.bucket = a.bucket + l.lag_k
+  GROUP BY 1, 2
+)
+SELECT g.event_type, CAST(g.lag_k AS INT) AS lag_k, g.n_pairs,
+       g.num_q, d.ss_q,
+       CAST(g.num_q AS DOUBLE) / CAST(d.ss_q AS DOUBLE) AS acf
+FROM lags g JOIN denom d USING (event_type)
+WHERE d.ss_q > 0
+""",
+    doc="Lag-1..{k} autocorrelation of the hourly value series per event "
+    "type -- THE seasonality/persistence diagnostic run before any "
+    "forecasting model is chosen (complements events_forecast_ses and "
+    "the OLS trend).  Missing hours drop pairs on both sides "
+    "identically (lag JOIN on bucket+k over PRESENT buckets, not a "
+    "row-offset window -- the honest ACF for irregular series).  "
+    "Exactness: hourly sums are integer cents; each deviation product "
+    "is one identical IEEE expression quantized to 1e-6 int64 BEFORE "
+    "the cross-bucket sum (order-free reduction, the chi-square "
+    "recipe); the final r_k is one division of identical int64 "
+    "operands.  100 TB shape: the heavy aggregate is (event_type, "
+    "hour) with map-side combine; everything after runs on the tiny "
+    "bucket series -- the lag join is |buckets| x {k}, broadcast "
+    "scale.".format(k=ACF_MAX_LAG),
+    tags=("timeseries", "autocorrelation", "stats"),
+)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {HOUR_US}").alias("bucket"),
+        )
+        .agg(
+            F.sum(F.expr("cast(floor(value * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+    )
+    dev = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            "cents",
+            "n",
+            "s1",
+            F.expr(
+                f"cast(floor({_acf_dev('cents')} * {_acf_dev('cents')}"
+                " * 1e-6) as bigint)"
+            ).alias("d2_q"),
+        )
+        .persist()
+    )
+    denom = dev.groupBy("event_type").agg(
+        F.sum("d2_q").cast("bigint").alias("ss_q")
+    )
+    ks = spark.range(1, ACF_MAX_LAG + 1).selectExpr("id as lag_k")
+    a = dev.selectExpr(
+        "event_type", "bucket", "cents AS cents_a", "n", "s1"
+    )
+    b = dev.selectExpr(
+        "event_type AS event_type_b", "bucket AS bucket_b",
+        "cents AS cents_b",
+    )
+    pairs = a.crossJoin(F.broadcast(ks)).join(
+        b,
+        (F.col("event_type_b") == F.col("event_type"))
+        & (F.col("bucket_b") == F.col("bucket") + F.col("lag_k")),
+    )
+    num_expr = (
+        f"cast(floor({_acf_dev('cents_a')} * {_acf_dev('cents_b')}"
+        " * 1e-6) as bigint)"
+    )
+    lags = pairs.groupBy("lag_k", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr(f"sum({num_expr})").cast("bigint").alias("num_q"),
+    )
+    return (
+        lags.join(F.broadcast(denom), "event_type")
+        .where("ss_q > 0")
+        .select(
+            "event_type",
+            F.col("lag_k").cast("int").alias("lag_k"),
+            "n_pairs",
+            "num_q",
+            "ss_q",
+            F.expr("cast(num_q as double) / cast(ss_q as double)").alias(
+                "acf"
+            ),
+        )
+    )
