@@ -3722,6 +3722,7 @@ WHERE se2_a + se2_b > 0.0
     "n <= 1 or zero pooled variance are excluded identically on both "
     "sides (the statistic is undefined there).",
     tags=("events", "experimentation", "aggregation", "stats"),
+    bench=True,
 )
 def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -3920,6 +3921,7 @@ FROM pairs p JOIN day_n d ON d.day = p.day_a
     "segments at 100 TB.  The word key co-partitions both sides; the "
     "7-day horizon bounds pair fan-out to a constant.",
     tags=("events", "retention", "bitmap", "join"),
+    bench=True,
 )
 def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

@@ -1936,6 +1936,7 @@ LIMIT {COSINE_TOP_PAIRS}
     "(dense vectors) with the weighted-bag sparse arm -- the classic "
     "plagiarism / near-duplicate ranking signal.",
     tags=("text", "similarity", "join", "dedup"),
+    bench=True,
 )
 def text_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _track_persist
