@@ -635,3 +635,187 @@ def sink_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+# --- Parquet column bloom filters (point-lookup row-group pruning) -----------
+
+_BLOOM_PROBE_MOD = 5  # probe users: user_id % 5 == 3
+_BLOOM_PROBE_CAP = 24  # at most this many point-lookup keys
+_BLOOM_FILES = 8  # hash partitions / files per layout
+
+
+def _bloom_hconf_keys(col: str) -> tuple[str, ...]:
+    return (
+        f"parquet.bloom.filter.enabled#{col}",
+        f"parquet.bloom.filter.expected.ndv#{col}",
+        f"parquet.enable.dictionary#{col}",
+    )
+
+
+def _read_bloom_stats(
+    spark: SparkSession, path: str, column: str, keys: list[str]
+) -> tuple[int, int, int]:
+    """Inspect the parquet footers under ``path`` with parquet-java (already
+    on Spark's classpath) and return ``(n_row_groups, n_with_bloom,
+    n_key_rg_hits)`` where the last is the number of (probe key, row group)
+    pairs the stored split-block bloom filter reports as might-contain --
+    i.e. the row groups a point lookup must actually read."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(hconf)
+    Binary = jvm.org.apache.parquet.io.api.Binary
+    n_rg = n_bloom = n_hits = 0
+    it = fs.listFiles(fs_path, False)
+    files = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            files.append(st.getPath())
+    for fpath in files:
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            fpath, hconf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            for rg in reader.getRowGroups():
+                colmeta = None
+                for c in rg.getColumns():
+                    if c.getPath().toDotString() == column:
+                        colmeta = c
+                n_rg += 1
+                bf = reader.getBloomFilterDataReader(rg).readBloomFilter(
+                    colmeta
+                )
+                if bf is None:
+                    continue
+                n_bloom += 1
+                for k in keys:
+                    if bf.findHash(bf.hash(Binary.fromString(k))):
+                        n_hits += 1
+        finally:
+            reader.close()
+    return n_rg, n_bloom, n_hits
+
+
+@register(
+    "sink_parquet_bloom_lookup",
+    oracle=f"""
+WITH probe AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id % {_BLOOM_PROBE_MOD} = 3
+  ORDER BY user_id LIMIT {_BLOOM_PROBE_CAP}
+),
+hits AS (
+  SELECT e.user_id, e.value FROM events e JOIN probe p USING (user_id)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM hits
+)
+SELECT 'bloom' AS layout, 1 AS bloom_present,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS rg_bloom_hits,
+       n_rows, n_users, total_value
+FROM agg
+UNION ALL
+SELECT 'plain', 0, NULL, n_rows, n_users, total_value
+FROM agg
+""",
+    doc="Parquet COLUMN BLOOM FILTERS for point-lookup row-group pruning: "
+    "events keyed by user_key = md5(user_id) are hash-partitioned into "
+    f"{_BLOOM_FILES} files and written twice -- once with "
+    "parquet.bloom.filter.enabled#user_key (split-block bloom, "
+    "xxHash64) and once plain -- then a batch of point lookups runs "
+    "against both layouts.  The footers are inspected with parquet-java "
+    "(already on the classpath): the query asserts the bloom layout "
+    "actually stored a filter in every row group (bloom_present) and "
+    "counts the (probe key, row group) pairs the stored filters report "
+    "as might-contain.  Hash partitioning puts each user in exactly ONE "
+    "file, so min/max stats prune NOTHING (every file spans the full "
+    "key range -- the regime where z-order is useless) while the bloom "
+    "count must equal the number of probed users: each lookup reads 1 "
+    "of 8 row groups, a 8x scan cut that holds at any file count.  A "
+    "false positive would inflate rg_bloom_hits above n_users and fail "
+    "the oracle (sized ndv=20000, fill ~1%%, fp ~1e-12 per pair).  The "
+    "key column's dictionary is disabled to emulate the 100 TB regime: "
+    "at test scale every value fits one dictionary page (and "
+    "parquet-java then drops the bloom as redundant -- the dictionary "
+    "IS an exact filter); past ~1M distinct keys per row group the "
+    "dictionary overflows to plain encoding and the bloom is the only "
+    "skip index left.  Lookup aggregates are oracled against the "
+    "ORIGINAL table, so a lossy or misrouted write fails the value "
+    "check.  Complements sink_zorder_events (range predicates) and "
+    "join_bloom_prefilter (runtime join pruning): this is the STORED "
+    "per-row-group index for selective point access.",
+    tags=("sink", "bloom", "pruning", "parquet"),
+)
+def sink_parquet_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    events = load_table(spark, sf_dir, "events")
+    # Probe set: bounded driver collect (<= _BLOOM_PROBE_CAP user ids; the
+    # point-lookup workload needs literal keys by definition).
+    probe_uids = [
+        r[0]
+        for r in (
+            events.where(F.col("user_id") % _BLOOM_PROBE_MOD == 3)
+            .select("user_id")
+            .distinct()
+            .orderBy("user_id")
+            .limit(_BLOOM_PROBE_CAP)
+            .collect()
+        )
+    ]
+    keys = [hashlib.md5(str(u).encode()).hexdigest() for u in probe_uids]
+
+    keyed = events.select(
+        "user_id",
+        "value",
+        F.md5(F.col("user_id").cast("string")).alias("user_key"),
+    ).repartition(_BLOOM_FILES, "user_key")
+
+    hconf = spark._jsc.hadoopConfiguration()
+    enabled_k, ndv_k, dict_k = _bloom_hconf_keys("user_key")
+    outs = {}
+    for layout in ("bloom", "plain"):
+        out = os.path.join(_SINK_ROOT, f"events_bloomkey_{layout}_{tag}")
+        if layout == "bloom":
+            hconf.set(enabled_k, "true")
+            hconf.set(ndv_k, "20000")
+            hconf.set(dict_k, "false")
+        try:
+            keyed.write.mode("overwrite").parquet(out)
+        finally:
+            if layout == "bloom":
+                for k in (enabled_k, ndv_k, dict_k):
+                    hconf.unset(k)
+        outs[layout] = out
+
+    result = None
+    for layout, out in outs.items():
+        n_rg, n_bloom, n_hits = _read_bloom_stats(spark, out, "user_key", keys)
+        back = spark.read.parquet(out).where(F.col("user_key").isin(*keys))
+        agg = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.expr("cast(sum(cast(value as decimal(18,2))) as double)").alias(
+                "total_value"
+            ),
+        ).select(
+            F.lit(layout).alias("layout"),
+            F.lit(1 if n_bloom == n_rg and n_rg > 0 else 0).alias(
+                "bloom_present"
+            ),
+            (
+                F.lit(n_hits) if layout == "bloom" else F.lit(None)
+            ).cast("long").alias("rg_bloom_hits"),
+            "n_rows",
+            "n_users",
+            "total_value",
+        )
+        result = agg if result is None else result.unionByName(agg)
+    return result

@@ -1209,3 +1209,41 @@ def test_backfill_touches_only_target_partition(spark, sf_dir, tmp_path_factory)
         assert p in after and after[p] == snapshot[p], f"rewritten: {p}"
     changed = {p for p in snapshot if f"day={target}" in p}
     assert changed and not (changed & set(after)), "target day not rewritten"
+
+
+def test_parquet_bloom_prunes_absent_key(spark, sf_dir):
+    """Physical contract of sink_parquet_bloom_lookup: the bloom layout
+    stores a filter in every row group, the plain layout stores none, and
+    a definitely-absent key is bloom-rejected by EVERY row group (the
+    pruning a point lookup on a missing key buys); a present key is
+    might-contained by at least one (no false negatives)."""
+    import hashlib
+    import os
+
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+    from json_format_in_parquet_benchmark_spark.plans.queries_sinks import (
+        _SINK_ROOT,
+        _read_bloom_stats,
+    )
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    # Build (and value-check) both layouts via the registered query.
+    REGISTRY["sink_parquet_bloom_lookup"].fn(spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    bloom_out = os.path.join(_SINK_ROOT, f"events_bloomkey_bloom_{tag}")
+    plain_out = os.path.join(_SINK_ROOT, f"events_bloomkey_plain_{tag}")
+
+    uid = load_table(spark, sf_dir, "events").select("user_id").first()[0]
+    present = hashlib.md5(str(uid).encode()).hexdigest()
+    absent = "0" * 32  # not an md5 of any decimal string in the table
+
+    n_rg, n_bloom, n_hits = _read_bloom_stats(
+        spark, bloom_out, "user_key", [present, absent]
+    )
+    assert n_rg > 0 and n_bloom == n_rg, "bloom filter missing from footers"
+    # absent key: zero might-contains expected (fp ~1e-12/pair); present
+    # key: exactly one (hash partitioning routes a user to one file).
+    assert n_hits == 1, f"expected 1 might-contain row group, got {n_hits}"
+
+    p_rg, p_bloom, _ = _read_bloom_stats(spark, plain_out, "user_key", [])
+    assert p_rg > 0 and p_bloom == 0, "plain layout unexpectedly has blooms"
