@@ -232,3 +232,121 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d, int(v[d])) for d in range(DIM)],
         schema="dim_idx int, loading_q bigint",
     ).orderBy("dim_idx")
+
+
+# --- Greedy k-center coreset selection (data-selection / diversity) ----------
+
+KC_K = 8  # centers to select
+KC_GRID = 100_000_000  # 1e8 element grid: (1e8)^2 * 64 dims = 6.4e17 < 2^63
+
+
+def _kc_dist_terms(p: str, c: str) -> str:
+    """Exact integer squared euclidean distance between two quantized
+    64-d list columns, spelled as an explicit 64-term sum so Spark and
+    DuckDB evaluate the identical expression (both 1-index lists)."""
+    return " + ".join(
+        f"({p}.qv[{i}] - {c}.qv[{i}]) * ({p}.qv[{i}] - {c}.qv[{i}])"
+        for i in range(1, DIM + 1)
+    )
+
+
+def _kcenter_oracle() -> str:
+    rounds = []
+    for r in range(2, KC_K + 2):
+        prev = f"d{r - 1}"
+        rounds.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT vec_id, qv, mind FROM {prev} ORDER BY mind DESC, vec_id LIMIT 1
+),
+d{r} AS MATERIALIZED (
+  SELECT p.vec_id, p.qv, LEAST(p.mind, {_kc_dist_terms('p', 'c')}) AS mind
+  FROM {prev} p CROSS JOIN c{r} c
+)"""
+        )
+    chain = ",\n".join(rounds)
+    picks = ["SELECT 1 AS sel_round, vec_id, CAST(0 AS BIGINT) AS sel_dist_q FROM c1"]
+    for r in range(2, KC_K + 2):
+        picks.append(
+            f"SELECT {r}, vec_id, CAST(mind AS BIGINT) FROM c{r}"
+        )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(FLOOR(x * {KC_GRID}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c1 AS MATERIALIZED (
+  SELECT vec_id, qv FROM q WHERE vec_id = (SELECT MIN(vec_id) FROM q)
+),
+d1 AS MATERIALIZED (
+  SELECT p.vec_id, p.qv, {_kc_dist_terms('p', 'c')} AS mind
+  FROM q p CROSS JOIN c1 c
+),
+{chain}
+{' UNION ALL '.join(picks)}
+ORDER BY sel_round
+"""
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=_kcenter_oracle(),
+    doc=f"Greedy k-center coreset selection (Gonzalez's farthest-point "
+    f"traversal, the classic 2-approximation): starting from the lowest "
+    f"vec_id, {KC_K} rounds each pick the point FARTHEST from every "
+    "already-chosen center -- the diversity-maximizing data-selection "
+    "pass that seeds active learning, prototype selection, and "
+    "balanced fine-tuning subsets over an embedding corpus.  Each "
+    "round is one map-side pass (running min-distance folded "
+    "incrementally against the single new center, exact int64 "
+    "squared euclidean on the 1e8 grid) plus a top-1 reduce "
+    "(TakeOrderedAndProject), so k centers cost k linear scans and "
+    "the driver holds only the k-bounded center list -- the identical "
+    "scaling shape to the k-means path in operators/semantic.py.  "
+    f"Output: the {KC_K} selected ids with the selection radius that "
+    "chose them (a non-increasing sequence), plus round {KC_K}+1 = "
+    "the would-be next pick, whose radius IS the k-center coverage "
+    "objective.  Ties break to the lowest vec_id in both engines.",
+    tags=("sample", "embedding", "coreset", "iterative"),
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(cast(embedding as array<double>),"
+            f" x -> cast(floor(x * {KC_GRID}.0d) as bigint))"
+        ).alias("qv"),
+    )
+    _track_persist(q)
+    seed = q.orderBy("vec_id").select("vec_id", "qv").first()
+    picks = [(1, seed["vec_id"], 0)]
+    center_qv = list(seed["qv"])
+    mind = None  # column expression state folded into a materialized frame
+    cur = q
+    for r in range(2, KC_K + 2):
+        arr = "array(" + ",".join(f"{v}L" for v in center_qv) + ")"
+        dist = (
+            f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)),"
+            f" 0L, (acc, x) -> acc + x)"
+        )
+        new_mind = (
+            F.expr(dist)
+            if mind is None
+            else F.least(F.col("mind"), F.expr(dist))
+        )
+        cur = cur.select("vec_id", "qv", new_mind.alias("mind"))
+        # Persist each round's folded min-distance frame: the next round
+        # folds ONE new center against it (k linear passes total), instead
+        # of re-deriving r distance passes from the base (k^2).
+        _track_persist(cur)
+        mind = "mind"
+        top = cur.orderBy(F.desc("mind"), F.asc("vec_id")).first()
+        picks.append((r, top["vec_id"], int(top["mind"])))
+        center_qv = list(top["qv"])
+    return spark.createDataFrame(
+        picks, schema="sel_round int, vec_id bigint, sel_dist_q bigint"
+    ).orderBy("sel_round")
