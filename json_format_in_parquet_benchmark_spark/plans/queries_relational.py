@@ -3780,6 +3780,215 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CUPED variance-reduced experiment readout -------------------------------
+# Companion to events_ab_welch_ttest: the industry-standard pre-experiment
+# covariate adjustment (Deng et al., WSDM 2013).  Each user's PRE-period
+# spend (first half of the time range) is the covariate X for their POST-
+# period spend Y; theta = cov(X,Y)/var(X) is fit pooled across arms, and the
+# arms are compared on Y - theta*(X - mean(X)).  All moments are exact
+# integer-cents sums; every double op after them is rendered from one shared
+# snippet per side (the Welch recipe).  Integer budget: per-user cents sums
+# ~1e5-1e6 at the test SFs, so n*sxy stays well under 2^63 through sf0.1;
+# at real scale the moment sums move to DECIMAL(38,0)/HUGEINT unchanged in
+# shape (they are one mergeable aggregate row).
+
+
+def _cuped_snippets() -> dict[str, str]:
+    out = {
+        "cov_q": "n * sxy - sx * sy",
+        "varx_q": "n * sxx - sx * sx",
+        "vary_q": "n * syy - sy * sy",
+        "theta": "cast(cov_q as double) / cast(varx_q as double)",
+        "mean_x_all": "cast(sx as double) / cast(n * 100 as double)",
+    }
+    for arm in ("a", "b"):
+        out[f"mean_y_{arm}"] = (
+            f"cast(sy{arm} as double) / cast(n_{arm} * 100 as double)"
+        )
+        out[f"mean_adj_{arm}"] = (
+            f"mean_y_{arm} - theta"
+            f" * (cast(sx{arm} as double) / cast(n_{arm} * 100 as double)"
+            f" - mean_x_all)"
+        )
+    out["diff_raw"] = "mean_y_a - mean_y_b"
+    out["diff_adj"] = "mean_adj_a - mean_adj_b"
+    out["var_ratio"] = (
+        "(cast(vary_q as double) - 2e0 * theta * cast(cov_q as double)"
+        " + theta * theta * cast(varx_q as double))"
+        " / cast(vary_q as double)"
+    )
+    return out
+
+
+_CUPED = _cuped_snippets()
+
+
+@register(
+    "events_ab_cuped",
+    oracle=f"""
+WITH pe AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) AS t
+  FROM events
+),
+bounds AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM pe),
+per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN t - lo < (hi - lo) // 2 THEN cents END),
+                       0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN t - lo >= (hi - lo) // 2 THEN cents END),
+                       0) AS BIGINT) AS y
+  FROM pe CROSS JOIN bounds
+  GROUP BY user_id
+),
+armed AS (
+  SELECT x, y,
+         {hash64_sql_duckdb("CAST(user_id AS VARCHAR)", "ab")} % 2 AS arm
+  FROM per_user
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+         CAST(SUM(x) FILTER (arm = 0) AS BIGINT) AS sxa,
+         CAST(SUM(y) FILTER (arm = 0) AS BIGINT) AS sya,
+         CAST(SUM(x) FILTER (arm = 1) AS BIGINT) AS sxb,
+         CAST(SUM(y) FILTER (arm = 1) AS BIGINT) AS syb
+  FROM armed
+),
+qs AS (
+  SELECT *, {_CUPED["cov_q"]} AS cov_q, {_CUPED["varx_q"]} AS varx_q,
+         {_CUPED["vary_q"]} AS vary_q
+  FROM m WHERE n_a > 1 AND n_b > 1
+),
+th AS (
+  SELECT *, {_CUPED["theta"]} AS theta, {_CUPED["mean_x_all"]} AS mean_x_all
+  FROM qs WHERE varx_q > 0 AND vary_q > 0
+),
+mn AS (
+  SELECT *, {_CUPED["mean_y_a"]} AS mean_y_a, {_CUPED["mean_y_b"]} AS mean_y_b
+  FROM th
+),
+adj AS (
+  SELECT *, {_CUPED["mean_adj_a"]} AS mean_adj_a,
+         {_CUPED["mean_adj_b"]} AS mean_adj_b
+  FROM mn
+)
+SELECT n AS n_users, n_a, n_b, theta,
+       {_CUPED["diff_raw"]} AS diff_raw,
+       {_CUPED["diff_adj"]} AS diff_adj,
+       {_CUPED["var_ratio"]} AS var_ratio
+FROM adj
+""",
+    doc="CUPED variance-reduced A/B readout (Deng et al.): per-user "
+    "PRE-period spend (first half of the global time range, integer "
+    "micros midpoint) is the covariate for POST-period spend; theta = "
+    "cov(X,Y)/var(X) is fit pooled across both md5-hashed arms and the "
+    "treatment effect is re-estimated on the adjusted metric, with "
+    "var_ratio reporting the achieved variance reduction "
+    "(var(Y-thetaX)/var(Y), the whole point of CUPED).  Plan shape: one "
+    "cheap global min/max broadcast back over the scan, ONE shuffle by "
+    "user_id for the per-user (X, Y) pairs, then a single mergeable "
+    "moment row (n, sums, cross-moments per arm) -- at 100 TB the state "
+    "is one row; no join against an assignment table (hash bucketing "
+    "is re-derivable, the same production practice as the Welch "
+    "query).  Exactness: integer-cents moments, then every double op "
+    "is rendered from one shared snippet per side; degenerate cases "
+    "(an arm with n<=1, zero covariate or outcome variance) are "
+    "excluded identically on both sides.",
+    tags=("events", "experimentation", "aggregation", "stats"),
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pe = events.select(
+        "user_id",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+        F.expr("unix_micros(ts)").alias("t"),
+    )
+    bounds = pe.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    per_user = (
+        pe.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "cast(coalesce(sum(case when t - lo < (hi - lo) div 2"
+                " then cents end), 0) as bigint)"
+            ).alias("x"),
+            F.expr(
+                "cast(coalesce(sum(case when t - lo >= (hi - lo) div 2"
+                " then cents end), 0) as bigint)"
+            ).alias("y"),
+        )
+    )
+    armed = per_user.select(
+        "x",
+        "y",
+        F.expr(
+            f"{hash64_sql_spark('cast(user_id as string)', 'ab')} % 2"
+        ).alias("arm"),
+    )
+    m = armed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("cast(sum(x) as bigint)").alias("sx"),
+        F.expr("cast(sum(y) as bigint)").alias("sy"),
+        F.expr("cast(sum(x * x) as bigint)").alias("sxx"),
+        F.expr("cast(sum(y * y) as bigint)").alias("syy"),
+        F.expr("cast(sum(x * y) as bigint)").alias("sxy"),
+        F.expr("cast(count_if(arm = 0) as bigint)").alias("n_a"),
+        F.expr("cast(count_if(arm = 1) as bigint)").alias("n_b"),
+        F.expr("cast(sum(case when arm = 0 then x end) as bigint)").alias(
+            "sxa"
+        ),
+        F.expr("cast(sum(case when arm = 0 then y end) as bigint)").alias(
+            "sya"
+        ),
+        F.expr("cast(sum(case when arm = 1 then x end) as bigint)").alias(
+            "sxb"
+        ),
+        F.expr("cast(sum(case when arm = 1 then y end) as bigint)").alias(
+            "syb"
+        ),
+    )
+    qs = m.where("n_a > 1 and n_b > 1").select(
+        "*",
+        F.expr(_CUPED["cov_q"]).alias("cov_q"),
+        F.expr(_CUPED["varx_q"]).alias("varx_q"),
+        F.expr(_CUPED["vary_q"]).alias("vary_q"),
+    )
+    th = qs.where("varx_q > 0 and vary_q > 0").select(
+        "*",
+        F.expr(_CUPED["theta"]).alias("theta"),
+        F.expr(_CUPED["mean_x_all"]).alias("mean_x_all"),
+    )
+    mn = th.select(
+        "*",
+        F.expr(_CUPED["mean_y_a"]).alias("mean_y_a"),
+        F.expr(_CUPED["mean_y_b"]).alias("mean_y_b"),
+    )
+    adj = mn.select(
+        "*",
+        F.expr(_CUPED["mean_adj_a"]).alias("mean_adj_a"),
+        F.expr(_CUPED["mean_adj_b"]).alias("mean_adj_b"),
+    )
+    return adj.select(
+        F.col("n").alias("n_users"),
+        "n_a",
+        "n_b",
+        "theta",
+        F.expr(_CUPED["diff_raw"]).alias("diff_raw"),
+        F.expr(_CUPED["diff_adj"]).alias("diff_adj"),
+        F.expr(_CUPED["var_ratio"]).alias("var_ratio"),
+    )
+
+
 @register(
     "orders_cohort_ltv",
     oracle="""
