@@ -1043,3 +1043,80 @@ def stream_parquet_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+# --- Streaming windowed heavy hitters ----------------------------------------
+
+_HH_K = 3  # top users per finalized window
+
+
+@register(
+    "stream_topk_heavy_hitters",
+    oracle=f"""
+WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events),
+w AS (
+  SELECT date_trunc('hour', ts) AS ws, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+closed AS (
+  SELECT ws, user_id, n_events FROM w, wm
+  WHERE epoch_ms(ws + INTERVAL 1 HOUR) <= wm.wm_ms
+),
+ranked AS (
+  SELECT ws, user_id, n_events,
+         CAST(row_number() OVER (
+           PARTITION BY ws ORDER BY n_events DESC, user_id
+         ) AS INT) AS rnk
+  FROM closed
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       rnk, user_id, n_events
+FROM ranked WHERE rnk <= {_HH_K}
+""",
+    doc="Streaming WINDOWED HEAVY HITTERS: file-source readStream -> "
+    "withWatermark(1h) -> per-(1h window, user_id) streaming count in "
+    "APPEND mode (finalized windows emit exactly once, bounded state), "
+    f"then the memory-sink rows are ranked to the top-{_HH_K} most "
+    "active users per closed window -- the trending/abuse dashboard "
+    "every event platform runs forever.  The data-sized work (the "
+    "per-key count) happens INSIDE the streaming runtime with map-side "
+    "partial aggregation and per-window state eviction; the rank pass "
+    "runs on the already-aggregated sink rows, whose size is "
+    "windows x active-users-per-window, not events.  Ties break to the "
+    "lowest user_id in both engines.  Oracle mirrors the two-phase "
+    "shape: closed windows (end <= final watermark at ms precision) "
+    "ranked by count.",
+    tags=("streaming", "window", "topk", "stateful", "watermark"),
+)
+def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    events_dir = _staged_events(spark, sf_dir)
+    stream = read_events_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"), "user_id", "n_events"
+        )
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sink = _run_to_memory(agg, f"heavy_hitters_{tag}", "append")
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        sink.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _HH_K)
+        .select(
+            F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "rnk",
+            "user_id",
+            "n_events",
+        )
+    )
