@@ -4297,3 +4297,159 @@ def dq_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chisq"),
         )
     )
+
+
+# --- Poisson bootstrap confidence interval ------------------------------------
+# The one-pass bootstrap that works at 100 TB: instead of resampling n rows
+# with replacement B times (B full shuffles), each row draws B independent
+# Poisson(1) multiplicities -- the classic large-n approximation to the
+# multinomial bootstrap -- so ALL B replicate sums fold into ONE map-side
+# aggregation pass producing a single 2B-column row.  "Randomness" is the
+# portable md5 hash of (event_id, replicate) mapped through the Poisson(1)
+# inverse CDF on an integer 2^60 grid, so both engines draw identical
+# weights; the CDF thresholds are code-generated literals (truncated at
+# w=8, P ~ 1e-8).
+
+_BOOT_B = 32  # bootstrap replicates
+_BOOT_CDF = [  # floor(CDF_Poisson(1)(k) * 2^60), k = 0..7
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+]
+
+
+def _boot_w_expr(u_col: str) -> str:
+    """Poisson(1) multiplicity from a 60-bit uniform: identical CASE chain
+    in Spark SQL and DuckDB."""
+    branches = " ".join(
+        f"when {u_col} < {c} then {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    return f"(case {branches} else {len(_BOOT_CDF)} end)"
+
+
+@register(
+    "events_bootstrap_ci",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         {', '.join(
+             hash64_sql_duckdb("CAST(event_id AS VARCHAR)", f"boot{b}")
+             + f" AS u{b}" for b in range(_BOOT_B))}
+  FROM events
+),
+w AS MATERIALIZED (
+  SELECT cents,
+         {', '.join(_boot_w_expr(f'u{b}') + f' AS w{b}'
+                    for b in range(_BOOT_B))}
+  FROM base
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS s_all,
+         {', '.join(
+             f"CAST(SUM(w{b} * cents) AS BIGINT) AS s{b},"
+             f" CAST(SUM(w{b}) AS BIGINT) AS m{b}" for b in range(_BOOT_B))}
+  FROM w
+),
+reps AS (
+  {' UNION ALL '.join(
+      f"SELECT CAST(s{b} AS DOUBLE) / CAST(m{b} * 100 AS DOUBLE) AS mean_b"
+      f" FROM agg WHERE m{b} > 0" for b in range(_BOOT_B))}
+),
+ranked AS (
+  SELECT mean_b, row_number() OVER (ORDER BY mean_b) AS rn FROM reps
+)
+SELECT n_events,
+       CAST(s_all AS DOUBLE) / CAST(n_events * 100 AS DOUBLE) AS mean_value,
+       (SELECT mean_b FROM ranked WHERE rn = 2) AS boot_lo,
+       (SELECT mean_b FROM ranked WHERE rn = {_BOOT_B - 1}) AS boot_hi
+FROM agg
+""",
+    doc=f"Poisson bootstrap 95%-ish CI for the mean event value: each row "
+    f"draws {_BOOT_B} deterministic Poisson(1) multiplicities (portable "
+    "md5 uniform through a code-generated inverse-CDF integer grid) and "
+    f"ALL {_BOOT_B} replicate (sum, count) pairs fold into ONE map-side "
+    "aggregation pass -- no resampling shuffle, no data duplication; the "
+    "CI is the rank-2 / rank-31 replicate mean.  This is the production "
+    "bootstrap shape for massive data (one scan, 2B+2 integers of "
+    "state, mergeable across executors; Chamandy et al. / Poisson "
+    "bootstrap).  Exactness: integer-cents sums, one double division "
+    "per replicate with identical operands; rank selection is on "
+    "VALUES so rank ties across engines cannot change the result.  "
+    "The per-row weight stage is persisted/MATERIALIZED on both sides "
+    "so the hash evaluates once per (row, replicate), not once per "
+    "CASE branch.",
+    tags=("events", "statistics", "bootstrap", "aggregation"),
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+        *[
+            F.expr(
+                hash64_sql_spark("cast(event_id as string)", f"boot{b}")
+            ).alias(f"u{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
+    # Persist the uniform stage: projection collapse would otherwise
+    # re-inline each md5 into every CASE branch of the weight expression
+    # (the duplicated-lambda trap, results/bench_notes.md).
+    _track_persist(base)
+    w = base.select(
+        "cents",
+        *[
+            F.expr(_boot_w_expr(f"u{b}")).alias(f"w{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("cast(sum(cents) as bigint)").alias("s_all"),
+    ]
+    for b in range(_BOOT_B):
+        aggs.append(F.expr(f"cast(sum(w{b} * cents) as bigint)").alias(f"s{b}"))
+        aggs.append(F.expr(f"cast(sum(w{b}) as bigint)").alias(f"m{b}"))
+    agg = w.agg(*aggs)
+    _track_persist(agg)
+    stack_expr = "stack({}, {}) as (s, m)".format(
+        _BOOT_B, ", ".join(f"s{b}, m{b}" for b in range(_BOOT_B))
+    )
+    reps = (
+        agg.select(F.expr(stack_expr))
+        .where("m > 0")
+        .select(
+            F.expr("cast(s as double) / cast(m * 100 as double)").alias(
+                "mean_b"
+            )
+        )
+    )
+    ranked = reps.select(
+        "mean_b",
+        F.row_number().over(Window.orderBy("mean_b")).alias("rn"),
+    )
+    lo = ranked.where(F.col("rn") == 2).select(
+        F.col("mean_b").alias("boot_lo")
+    )
+    hi = ranked.where(F.col("rn") == _BOOT_B - 1).select(
+        F.col("mean_b").alias("boot_hi")
+    )
+    return (
+        agg.select(
+            "n_events",
+            F.expr(
+                "cast(s_all as double) / cast(n_events * 100 as double)"
+            ).alias("mean_value"),
+        )
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )
