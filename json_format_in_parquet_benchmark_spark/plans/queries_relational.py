@@ -2640,6 +2640,76 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_l_diversity",
+    oracle="""
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
+           // 200000 AS bal_band
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct
+  FROM banded
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_lt_2,
+       CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_lt_3,
+       CAST(SUM(CASE WHEN l_distinct < 2 THEN class_size ELSE 0 END)
+            AS BIGINT) AS customers_fully_exposed
+FROM classes
+""",
+    doc="Distinct l-diversity audit, the companion gate to dq_k_anonymity: "
+    "k-anonymity alone fails the homogeneity attack (a class where "
+    "every member shares the sensitive value discloses it even at "
+    "large k), so for each (nation, market segment) equivalence class "
+    "this counts DISTINCT sensitive values -- account-balance bands of "
+    "2000 currency units, shifted to a non-negative integer grid so "
+    "floor division agrees across engines -- and reports the dataset's "
+    "l, classes below l=2 (full disclosure) and l=3, and how many "
+    "customers sit in fully-homogeneous classes.  One groupBy on the "
+    "quasi-identifier with a distinct-count, one scalar rollup -- the "
+    "same two-phase shape as the k audit, scale-safe.",
+    tags=("dq", "privacy", "aggregation"),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    banded = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)"
+            " + 100000) div 200000"
+        ).alias("bal_band"),
+    )
+    classes = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct("bal_band").cast("bigint").alias("l_distinct"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l_distinct").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l_distinct") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_lt_2"),
+        F.sum(F.when(F.col("l_distinct") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_lt_3"),
+        F.sum(
+            F.when(F.col("l_distinct") < 2, F.col("class_size")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("customers_fully_exposed"),
+    )
+
+
 BLOOM_M_BITS = 1 << 17  # filter size in bits (2048 int64 words, ~16 KiB)
 BLOOM_K = 3  # salted portable hashes per key
 

@@ -1247,3 +1247,80 @@ def test_parquet_bloom_prunes_absent_key(spark, sf_dir):
 
     p_rg, p_bloom, _ = _read_bloom_stats(spark, plain_out, "user_key", [])
     assert p_rg > 0 and p_bloom == 0, "plain layout unexpectedly has blooms"
+
+
+def test_gdpr_erasure_minimal_rewrite(spark, sf_dir, tmp_path_factory):
+    """Erasure contract (within one run, like the backfill test): day
+    partitions the target user never touched keep their files
+    byte-identically through the erase; every affected-and-kept day is
+    rewritten; sole-writer days are cleared; the target is absent."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.tables import load_table
+
+    out = os.path.join(str(tmp_path_factory.mktemp("gdpr")), "events")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    events.write.mode("overwrite").partitionBy("day").parquet(out)
+    snapshot = {
+        p: os.path.getsize(p)
+        for p in glob.glob(os.path.join(out, "day=*", "*.parquet"))
+    }
+
+    target = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .first()["user_id"]
+    )
+    back = spark.read.parquet(out).withColumn(
+        "day", F.col("day").cast("string")
+    )
+    affected = sorted(
+        r["day"]
+        for r in back.where(F.col("user_id") == target)
+        .select("day")
+        .distinct()
+        .collect()
+    )
+    assert affected
+    remaining = back.where(
+        F.col("day").isin(affected) & (F.col("user_id") != target)
+    )
+    kept_days = {
+        r["day"] for r in remaining.select("day").distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        remaining.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for day in affected:
+        if day not in kept_days:
+            shutil.rmtree(
+                os.path.join(out, f"day={day}"), ignore_errors=True
+            )
+
+    after = {
+        p: os.path.getsize(p)
+        for p in glob.glob(os.path.join(out, "day=*", "*.parquet"))
+    }
+    untouched = {
+        p for p in snapshot if not any(f"day={d}" in p for d in affected)
+    }
+    for p in untouched:
+        assert p in after and after[p] == snapshot[p], f"rewritten: {p}"
+    for d in kept_days:
+        olds = {p for p in snapshot if f"day={d}" in p}
+        assert olds and not (olds & set(after)), f"day {d} not rewritten"
+    for d in set(affected) - kept_days:
+        assert not os.path.exists(os.path.join(out, f"day={d}"))
+
+    cleaned = spark.read.parquet(out)
+    assert cleaned.where(F.col("user_id") == target).count() == 0
