@@ -311,13 +311,26 @@ ORDER BY sel_round
     tags=("sample", "embedding", "coreset", "iterative"),
 )
 def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    picks = kcenter_select(emb, KC_K)
+    return spark.createDataFrame(
+        picks, schema="sel_round int, vec_id bigint, sel_dist_q bigint"
+    ).orderBy("sel_round")
+
+
+def kcenter_select(
+    emb: DataFrame, k: int = KC_K, vec_col: str = "embedding"
+) -> list[tuple[int, int, int]]:
+    """Gonzalez greedy k-center over any (vec_id, ``vec_col``) frame;
+    returns (sel_round, vec_id, sel_dist_q) rows including the round-(k+1)
+    coverage-objective probe.  Reused by the scale probe on synthetic
+    corpora."""
     from ..operators.dedup import _track_persist
 
-    emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
         F.expr(
-            f"transform(cast(embedding as array<double>),"
+            f"transform(cast({vec_col} as array<double>),"
             f" x -> cast(floor(x * {KC_GRID}.0d) as bigint))"
         ).alias("qv"),
     )
@@ -327,7 +340,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     center_qv = list(seed["qv"])
     mind = None  # column expression state folded into a materialized frame
     cur = q
-    for r in range(2, KC_K + 2):
+    for r in range(2, k + 2):
         arr = "array(" + ",".join(f"{v}L" for v in center_qv) + ")"
         dist = (
             f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)),"
@@ -347,6 +360,4 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = cur.orderBy(F.desc("mind"), F.asc("vec_id")).first()
         picks.append((r, top["vec_id"], int(top["mind"])))
         center_qv = list(top["qv"])
-    return spark.createDataFrame(
-        picks, schema="sel_round int, vec_id bigint, sel_dist_q bigint"
-    ).orderBy("sel_round")
+    return picks

@@ -4523,3 +4523,134 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
     )
+
+
+# --- Funnel with exclusion pattern (MATCH_RECOGNIZE-style NOT-between) --------
+
+_FX_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # conversion window
+
+
+@register(
+    "events_funnel_exclusion",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+),
+a AS (
+  SELECT user_id, MIN(t) AS a_us FROM ev
+  WHERE event_type = 'click' GROUP BY user_id
+),
+b AS (
+  SELECT ev.user_id, MIN(ev.t) AS b_us, MIN(a.a_us) AS a_us
+  FROM ev JOIN a ON a.user_id = ev.user_id
+  WHERE ev.event_type = 'purchase'
+    AND ev.t > a.a_us AND ev.t <= a.a_us + {_FX_WINDOW_US}
+  GROUP BY ev.user_id
+),
+err AS (
+  SELECT ev.user_id, CAST(COUNT(*) AS BIGINT) AS n_err
+  FROM ev JOIN b ON b.user_id = ev.user_id
+  WHERE ev.event_type = 'error' AND ev.t > b.a_us AND ev.t < b.b_us
+  GROUP BY ev.user_id
+),
+flags AS (
+  SELECT a.user_id,
+         CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS reached,
+         CASE WHEN b.user_id IS NOT NULL
+                   AND COALESCE(err.n_err, 0) > 0 THEN 1 ELSE 0 END AS blocked,
+         CASE WHEN b.user_id IS NOT NULL
+                   AND COALESCE(err.n_err, 0) = 0 THEN 1 ELSE 0 END
+           AS converted,
+         CASE WHEN b.user_id IS NOT NULL
+                   AND COALESCE(err.n_err, 0) = 0
+              THEN b.b_us - b.a_us ELSE 0 END AS delay_us
+  FROM a
+  LEFT JOIN b ON b.user_id = a.user_id
+  LEFT JOIN err ON err.user_id = a.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_entered,
+       CAST(SUM(reached) AS BIGINT) AS n_reached,
+       CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(delay_us) AS BIGINT) AS sum_delay_us
+FROM flags
+""",
+    doc="Funnel with an EXCLUSION pattern -- the MATCH_RECOGNIZE shape SQL "
+    "engines bolt on: first click (entry) followed by first purchase "
+    "within 7 days, counted as converted ONLY if no error event falls "
+    "strictly between the two -- 'A then B within T with no C between', "
+    "the churn-diagnosis query plain funnels cannot express.  Plan "
+    "shape: three aggregates co-partitioned on user_id (entry anchor, "
+    "windowed min-purchase join-back, error-between count) -- every "
+    "join is on the one natural key, so at 100 TB the whole pattern "
+    "costs one shuffle's partitioning reused three times; no "
+    "per-event window sort, no cross product.  All times in exact "
+    "integer micros; delay sum emitted as an integer so no double "
+    "ever forms.",
+    tags=("events", "funnel", "pattern", "join"),
+)
+def events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        "event_type",
+    )
+    a = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("a_us"))
+    )
+    b = (
+        ev.join(a, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("t") > F.col("a_us"))
+            & (F.col("t") <= F.col("a_us") + F.lit(_FX_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("b_us"), F.min("a_us").alias("a_us"))
+    )
+    err = (
+        ev.where(F.col("event_type") == "error")
+        .join(b.select("user_id", "a_us", "b_us"), "user_id")
+        .where((F.col("t") > F.col("a_us")) & (F.col("t") < F.col("b_us")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_err"))
+    )
+    flags = (
+        a.join(b.withColumnRenamed("a_us", "ab_us"), "user_id", "left")
+        .join(err, "user_id", "left")
+        .select(
+            F.when(F.col("b_us").isNotNull(), 1).otherwise(0).alias(
+                "reached"
+            ),
+            F.when(
+                F.col("b_us").isNotNull()
+                & (F.coalesce(F.col("n_err"), F.lit(0)) > 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("blocked"),
+            F.when(
+                F.col("b_us").isNotNull()
+                & (F.coalesce(F.col("n_err"), F.lit(0)) == 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+            F.when(
+                F.col("b_us").isNotNull()
+                & (F.coalesce(F.col("n_err"), F.lit(0)) == 0),
+                F.col("b_us") - F.col("ab_us"),
+            )
+            .otherwise(0)
+            .alias("delay_us"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entered"),
+        F.sum("reached").cast("bigint").alias("n_reached"),
+        F.sum("blocked").cast("bigint").alias("n_blocked"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.sum("delay_us").cast("bigint").alias("sum_delay_us"),
+    )

@@ -611,3 +611,134 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "step bigint, doc_id bigint, mmr double"
     )
+
+
+# --- Persisted inverted index (build once, serve many) ------------------------
+# BM25 above is the SCAN-side retrieval shape (right for a fixed small query
+# set); a serving deployment instead BUILDS the inverted index once and
+# answers each query from the postings of its terms only.  The index is a
+# parquet layout hash-partitioned into term shards, so a query touches
+# |query terms| directories regardless of corpus size -- the same
+# directory-pruning contract as the IVF cell layout.
+
+_IDX_SHARDS = 8
+_IDX_T1, _IDX_T2 = "merge", "spark"
+
+
+def _term_shard_py(term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"idx:{term}".encode()).hexdigest()[:15], 16) % (
+        _IDX_SHARDS
+    )
+
+
+def inverted_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    resolved = os.path.realpath(sf_dir.rstrip("/"))
+    tag = (os.path.basename(resolved) or "sf") + "_" + hashlib.md5(
+        resolved.encode()
+    ).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), "jfipb_inverted_idx", tag)
+
+
+@register(
+    "sink_inverted_index",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_duckdb('text')}) AS term FROM documents
+),
+d AS (
+  SELECT term, doc_id FROM tok
+  WHERE term IN ('{_IDX_T1}', '{_IDX_T2}')
+  GROUP BY term, doc_id
+),
+t1 AS (SELECT doc_id FROM d WHERE term = '{_IDX_T1}'),
+t2 AS (SELECT doc_id FROM d WHERE term = '{_IDX_T2}'),
+inter AS (SELECT doc_id FROM t1 INTERSECT SELECT doc_id FROM t2)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS df_t1,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS df_t2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM inter) AS n_docs_and,
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM inter)
+         AS doc_id_checksum
+""",
+    doc="PERSISTED INVERTED INDEX: postings (term -> df + sorted doc-id "
+    f"list) built in one explode+distinct+groupBy pass and written as "
+    f"parquet hash-partitioned into {_IDX_SHARDS} term shards; a "
+    f"two-term AND query ('{_IDX_T1}' AND '{_IDX_T2}') is then served "
+    "from the WRITTEN layout -- the shard filter prunes directories, "
+    "the term filter prunes row groups, and the answer is an "
+    "array_intersect of two posting rows, never a corpus scan.  This "
+    "is the build-once/serve-many counterpart to the scan-side BM25 "
+    "plan: index build cost is one shuffle of (term, doc) pairs; each "
+    "query costs |query terms| posting reads regardless of corpus "
+    "size.  At 100 TB postings grow past single rows -- the same "
+    "layout splits each term's list into fixed-size blocks (the "
+    "doc-partitioned postings every search engine shards by) without "
+    "changing the query shape.  Oracle recomputes the AND set "
+    "directly from the documents table, so a lossy index write or "
+    "wrong shard routing fails the value check.",
+    tags=("sink", "search", "index", "pruning"),
+)
+def sink_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = inverted_index_path(sf_dir)
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.expr(_TOKS_S)).alias("term")
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .withColumn(
+            "term_shard",
+            F.expr(f"{hash64_sql_spark('term', 'idx:')} % {_IDX_SHARDS}")
+            .cast("int"),
+        )
+    )
+    (
+        postings.repartition("term_shard")
+        .write.mode("overwrite")
+        .partitionBy("term_shard")
+        .parquet(out)
+    )
+    shards = sorted({_term_shard_py(_IDX_T1), _term_shard_py(_IDX_T2)})
+    back = spark.read.parquet(out).where(
+        F.col("term_shard").isin(shards)
+        & F.col("term").isin(_IDX_T1, _IDX_T2)
+    )
+    # One-row frames even when a term is absent from the corpus (aggregate
+    # over zero rows still yields a row), so the shape matches the oracle.
+    dfs = back.agg(
+        F.coalesce(
+            F.max(F.when(F.col("term") == _IDX_T1, F.col("df"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("df_t1"),
+        F.coalesce(
+            F.max(F.when(F.col("term") == _IDX_T2, F.col("df"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("df_t2"),
+    )
+    both = (
+        back.select("term", F.explode("postings").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == 2)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_and"),
+            F.coalesce(F.sum("doc_id"), F.lit(0))
+            .cast("bigint")
+            .alias("doc_id_checksum"),
+        )
+    )
+    return dfs.crossJoin(F.broadcast(both))

@@ -208,7 +208,7 @@ def main() -> None:
         n_emb = max(n * 2 // 5, 100)  # embeddings table is 2/5 of docs, like sf0.1
         emb_ops = {
             "embedding_near_dup", "ivf_topk", "semantic_dedup",
-            "gram_matrix", "pq_topk",
+            "gram_matrix", "pq_topk", "kcenter_8",
         }
         # zipf/CC arms synthesize their own inputs; skip the 2n-doc corpus
         # when an --ops filter selects none of its consumers (a 50M zipf
@@ -355,6 +355,15 @@ def main() -> None:
             lambda: pq_topk(
                 embs, "embedding", "vec_id", n_queries=8, k=5
             ).count()
+        )
+        # Greedy k-center coreset: k (=8) persisted linear passes + k top-1
+        # reduces; per-tier wall time should grow ~linearly in N with a
+        # fixed per-round overhead (the driver holds only k centers).
+        from json_format_in_parquet_benchmark_spark.plans.queries_embedding_stats import (
+            kcenter_select,
+        )
+        r["kcenter_8"] = timed_l("kcenter_8", 
+            lambda: len(kcenter_select(embs, 8))
         )
         # PageRank: deterministic synthetic 4-regular symmetric graph over
         # n nodes; 3 supersteps.  Wall time should track |E| linearly.
