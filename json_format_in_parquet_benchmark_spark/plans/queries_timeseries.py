@@ -824,3 +824,98 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Forecast backtest (naive baselines, exact integer error metrics) ---------
+
+
+@register(
+    "orders_backtest_naive",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT ym, rev_cents,
+         lag(rev_cents, 1) OVER (ORDER BY ym) AS f_last,
+         lag(rev_cents, 12) OVER (ORDER BY ym) AS f_seas
+  FROM monthly
+),
+eval_ AS (
+  SELECT ym, rev_cents, f_last, f_seas,
+         ABS(f_last - rev_cents) AS ae_last,
+         ABS(f_seas - rev_cents) AS ae_seas
+  FROM lagged WHERE f_last IS NOT NULL AND f_seas IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_months,
+       CAST(SUM(ae_last) AS BIGINT) AS mae_num_last_cents,
+       CAST(SUM(ae_seas) AS BIGINT) AS mae_num_seas_cents,
+       CAST(SUM(f_last - rev_cents) AS BIGINT) AS bias_last_cents,
+       CAST(SUM(f_seas - rev_cents) AS BIGINT) AS bias_seas_cents,
+       CAST(SUM(CASE WHEN ae_seas < ae_last THEN 1 ELSE 0 END) AS BIGINT)
+         AS months_seasonal_wins
+FROM eval_
+""",
+    doc="Forecast BACKTEST harness over monthly order revenue: the two "
+    "naive baselines every forecasting deployment must beat -- "
+    "last-month carry-forward (lag 1) and seasonal naive (lag 12) -- "
+    "scored against each realized month with exact integer-cents "
+    "absolute-error sums, signed bias, and the per-month win count "
+    "(the model-selection readout).  Plan shape: one map-side monthly "
+    "aggregate collapses the fact table to <=84 month rows, then lag "
+    "windows and the error rollup run on that bounded frame -- the "
+    "unpartitioned window is safe at ANY fact scale because the time "
+    "axis, not the data, bounds it.  All error metrics are integers; "
+    "no double ever forms, so the cross-engine hash is trivially "
+    "exact.  Complements events_forecast_ses (the model) and "
+    "orders_seasonality_index (the seasonal structure) with the "
+    "EVALUATION side of the forecasting loop.",
+    tags=("orders", "timeseries", "forecast", "backtest"),
+)
+def orders_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.expr(
+            "cast(year(o_orderdate) * 12 + month(o_orderdate) as bigint)"
+        ).alias("ym")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100"
+            " as bigint)) as bigint)"
+        ).alias("rev_cents")
+    )
+    w = Window.orderBy("ym")
+    lagged = monthly.select(
+        "ym",
+        "rev_cents",
+        F.lag("rev_cents", 1).over(w).alias("f_last"),
+        F.lag("rev_cents", 12).over(w).alias("f_seas"),
+    )
+    ev = lagged.where(
+        F.col("f_last").isNotNull() & F.col("f_seas").isNotNull()
+    ).select(
+        "rev_cents",
+        "f_last",
+        "f_seas",
+        F.abs(F.col("f_last") - F.col("rev_cents")).alias("ae_last"),
+        F.abs(F.col("f_seas") - F.col("rev_cents")).alias("ae_seas"),
+    )
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_months"),
+        F.sum("ae_last").cast("bigint").alias("mae_num_last_cents"),
+        F.sum("ae_seas").cast("bigint").alias("mae_num_seas_cents"),
+        F.sum(F.col("f_last") - F.col("rev_cents"))
+        .cast("bigint")
+        .alias("bias_last_cents"),
+        F.sum(F.col("f_seas") - F.col("rev_cents"))
+        .cast("bigint")
+        .alias("bias_seas_cents"),
+        F.sum(F.when(F.col("ae_seas") < F.col("ae_last"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("months_seasonal_wins"),
+    )
