@@ -4580,21 +4580,27 @@ FROM flags
     "within 7 days, counted as converted ONLY if no error event falls "
     "strictly between the two -- 'A then B within T with no C between', "
     "the churn-diagnosis query plain funnels cannot express.  Plan "
-    "shape: three aggregates co-partitioned on user_id (entry anchor, "
-    "windowed min-purchase join-back, error-between count) -- every "
-    "join is on the one natural key, so at 100 TB the whole pattern "
-    "costs one shuffle's partitioning reused three times; no "
-    "per-event window sort, no cross product.  All times in exact "
+    "shape: the projected event stream is persisted once (one scan), "
+    "then three aggregates and three joins ALL key on user_id -- no "
+    "reshuffle onto any other key, no per-event window sort, no cross "
+    "product; at test scale AQE broadcasts the small aggregate sides, "
+    "at 100 TB they degrade gracefully to co-partitioned SMJs on the "
+    "same key.  All times in exact "
     "integer micros; delay sum emitted as an integer so no double "
     "ever forms.",
     tags=("events", "funnel", "pattern", "join"),
 )
 def events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.expr("unix_micros(ts)").alias("t"),
         "event_type",
     )
+    # Three stage frames branch from this projection; persist it so the
+    # source is scanned once, not once per branch.
+    _track_persist(ev)
     a = (
         ev.where(F.col("event_type") == "click")
         .groupBy("user_id")
