@@ -919,3 +919,138 @@ def orders_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("months_seasonal_wins"),
     )
+
+
+# --- Holt linear-trend forecast (double exponential smoothing) ----------------
+# SES extended with a trend term: l_t = (x_t + 3(l+b)) fdiv 4,
+# b_t = ((l_t - l) + 3b) fdiv 4 (alpha = beta = 1/4 on the integer-cents
+# grid).  The state is carried as (m, b) with m = l + b -- m IS the
+# one-step-ahead forecast.  The trend can go negative, so every division
+# is the explicit floor-division CASE (engines' integer '/' truncates).
+#
+# Oracle shape: TWO coupled recurrence fields cannot ride DuckDB's
+# list_reduce struct fold -- whichever field is written second reads the
+# other's NEW value under the in-place accumulator (the SES note), and
+# inlining cannot save both.  The oracle therefore walks the series with a
+# RECURSIVE CTE (each level reads only the previous row -- snapshot
+# semantics by construction); Spark's aggregate() builds a fresh struct
+# per step and keeps the natural fold.
+
+
+def _holt_fd(a: str, spark_side: bool) -> str:
+    d = "div" if spark_side else "//"
+    return (
+        f"(case when ({a}) >= 0 then ({a}) {d} 4"
+        f" else -((-({a}) + 3) {d} 4) end)"
+    )
+
+
+def _holt_steps(x: str, m: str, b: str, spark_side: bool) -> tuple[str, str]:
+    """(m_new, b_new) rendered from the OLD state only."""
+    lt = _holt_fd(f"{x} + 3 * {m}", spark_side)
+    bt = _holt_fd(f"{lt} - ({m} - {b}) + 3 * {b}", spark_side)
+    return f"({lt} + {bt})", bt
+
+
+_HOLT_M_D, _HOLT_B_D = _holt_steps(
+    "elems[step + 1].cents", "m", "b", spark_side=False
+)
+_HOLT_M_S, _HOLT_B_S = _holt_steps("e.m", "acc.m", "acc.b", spark_side=True)
+
+
+@register(
+    "events_forecast_holt",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY 1, 2
+),
+series AS MATERIALIZED (
+  SELECT event_type,
+         list_transform(list_sort(list({{'day': day, 'cents': cents}})),
+                        r -> {{'cents': r.cents}}) AS elems,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY event_type
+),
+walk AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS chk,
+         CAST(elems[1].cents AS BIGINT) AS m, CAST(0 AS BIGINT) AS b,
+         n, elems
+  FROM series
+  UNION ALL
+  SELECT event_type, step + 1,
+         (chk + m) % {SES_P},
+         CAST({_HOLT_M_D} AS BIGINT),
+         CAST({_HOLT_B_D} AS BIGINT),
+         n, elems
+  FROM walk WHERE step < n
+)
+SELECT event_type,
+       n AS n_days,
+       CAST(m AS BIGINT) AS forecast_next_cents,
+       CAST(b AS BIGINT) AS trend_cents,
+       CAST(m - b AS BIGINT) AS level_cents,
+       CAST((chk + m) % {SES_P} AS BIGINT) AS path_checksum
+FROM walk WHERE step = n
+""",
+    doc="Holt linear-trend forecasting (double exponential smoothing) on "
+    "the integer-cents grid: per event type the daily series folds "
+    "through level and trend recurrences with alpha = beta = 1/4 as "
+    "exact floor divisions, carrying (m = level + trend, trend) so the "
+    "final m IS the one-step-ahead forecast; a running checksum pins "
+    "the whole smoothed path.  Trend handles what SES cannot -- a "
+    "drifting series -- and the trend sign is itself the drift "
+    "diagnostic.  Spark runs one ordered-array fold per group "
+    "(fresh-struct semantics); the oracle walks the same recurrence "
+    "with a recursive CTE because two coupled state fields cannot "
+    "survive DuckDB's in-place struct-literal fold (module comment).  "
+    "Group state is |days| per key; one shuffle on event_type.",
+    tags=("timeseries", "forecast", "aggregation", "iterative"),
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, cents))),"
+            " r -> named_struct('m', r.cents))"
+        ).alias("elems")
+    )
+    folded = series.select(
+        "event_type",
+        F.expr(
+            f"""aggregate(
+              elems,
+              named_struct('chk', 0L, 'm', -1L, 'b', 0L, 'n', 0L),
+              (acc, e) -> CASE WHEN acc.n = 0
+                THEN named_struct('chk', 0L, 'm', e.m, 'b', 0L, 'n', 1L)
+                ELSE named_struct(
+                  'chk', (acc.chk + acc.m) % {SES_P},
+                  'm', cast({_HOLT_M_S} as bigint),
+                  'b', cast({_HOLT_B_S} as bigint),
+                  'n', acc.n + 1L)
+              END)"""
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("st.n").cast("bigint").alias("n_days"),
+        F.col("st.m").cast("bigint").alias("forecast_next_cents"),
+        F.col("st.b").cast("bigint").alias("trend_cents"),
+        F.expr("st.m - st.b").cast("bigint").alias("level_cents"),
+        F.expr(f"(st.chk + st.m) % {SES_P}")
+        .cast("bigint")
+        .alias("path_checksum"),
+    )
