@@ -4660,3 +4660,199 @@ def events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("bigint").alias("n_converted"),
         F.sum("delay_us").cast("bigint").alias("sum_delay_us"),
     )
+
+
+# --- Entity resolution (Fellegi-Sunter scoring over blocked candidates) ------
+# A derived "CRM import" snapshot plays the second source: every third
+# customer reappears (some with a reformatted name, a mis-keyed balance, or
+# a wrong country), and every (3k+1)-th customer appears as a brand-new
+# prospect that matches nobody.  Ground truth is therefore known, so the
+# query reports the full confusion readout -- the evaluation a real ER
+# deployment runs on labeled data before trusting its thresholds.
+
+_ER_W = {  # Fellegi-Sunter log-odds weights x10 (integer literals)
+    "name": (40, -20),
+    "cents": (30, -10),
+    "nation": (10, -5),
+    "seg": (5, -15),
+}
+_ER_MATCH, _ER_POSSIBLE = 45, 20
+_ER_BAND = 100_000  # $1000 blocking band on integer cents
+
+
+def _er_score(prefix_i: str, prefix_c: str) -> str:
+    """Engine-neutral additive FS score over the four agreement fields."""
+    terms = [
+        f"(case when {prefix_i}i_name = {prefix_c}c_name"
+        f" then {_ER_W['name'][0]} else {_ER_W['name'][1]} end)",
+        f"(case when {prefix_i}i_cents = {prefix_c}cents"
+        f" then {_ER_W['cents'][0]} else {_ER_W['cents'][1]} end)",
+        f"(case when {prefix_i}i_nation = {prefix_c}c_nationkey"
+        f" then {_ER_W['nation'][0]} else {_ER_W['nation'][1]} end)",
+        f"(case when {prefix_i}i_seg = {prefix_c}c_mktsegment"
+        f" then {_ER_W['seg'][0]} else {_ER_W['seg'][1]} end)",
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "join_entity_resolution",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+imp AS (
+  SELECT c_custkey + 10000000 AS import_id,
+         CASE WHEN c_custkey % 3 = 1
+                THEN 'Prospect#' || CAST(c_custkey AS VARCHAR)
+              WHEN c_custkey % 15 = 0
+                THEN replace(c_name, 'Customer#', 'CUST-')
+              ELSE c_name END AS i_name,
+         CASE WHEN c_custkey % 3 = 1 THEN (c_nationkey + 7) % 25
+              WHEN c_custkey % 21 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS i_nation,
+         CASE WHEN c_custkey % 3 = 1 THEN cents + 100000
+              WHEN c_custkey % 6 = 0 THEN cents + 10
+              ELSE cents END AS i_cents,
+         c_mktsegment AS i_seg,
+         CASE WHEN c_custkey % 3 = 1 THEN -1 ELSE c_custkey END AS true_key
+  FROM cust WHERE c_custkey % 3 IN (0, 1)
+),
+cand AS (
+  SELECT i.import_id, c.c_custkey FROM imp i
+  JOIN cust c ON c.c_nationkey = i.i_nation
+  UNION
+  SELECT i.import_id, c.c_custkey FROM imp i
+  JOIN cust c ON c.cents // {_ER_BAND} = i.i_cents // {_ER_BAND}
+),
+scored AS (
+  SELECT i.import_id, i.true_key, c.c_custkey,
+         {_er_score('i.', 'c.')} AS score
+  FROM cand
+  JOIN imp i USING (import_id)
+  JOIN cust c USING (c_custkey)
+),
+classed AS (
+  SELECT CASE WHEN score >= {_ER_MATCH} THEN 'match'
+              WHEN score >= {_ER_POSSIBLE} THEN 'possible'
+              ELSE 'non_match' END AS decision,
+         CASE WHEN true_key = c_custkey THEN 1 ELSE 0 END AS is_true
+  FROM scored
+),
+per_class AS (
+  SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(is_true) AS BIGINT) AS n_true_links
+  FROM classed GROUP BY decision
+),
+missed AS (
+  SELECT 'missed_by_blocking' AS decision,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(*) AS BIGINT) AS n_true_links
+  FROM imp i
+  WHERE i.true_key >= 0 AND NOT EXISTS (
+    SELECT 1 FROM cand WHERE cand.import_id = i.import_id
+                         AND cand.c_custkey = i.true_key)
+)
+SELECT * FROM per_class UNION ALL SELECT * FROM missed
+""",
+    doc="Record linkage / ENTITY RESOLUTION with Fellegi-Sunter additive "
+    "log-odds scoring: a derived CRM-import snapshot (reformatted "
+    "names, mis-keyed balances, wrong countries, plus never-matching "
+    "prospects) is linked back to the customer table through TWO "
+    "blocking passes (nation equi-join + $1000 balance band), the "
+    "union of candidates is scored field-by-field with integer "
+    "agree/disagree weights, and decisions at the match/possible "
+    "thresholds are reported AGAINST KNOWN GROUND TRUTH -- pairs and "
+    "true links per decision class plus the links no blocking pass "
+    "could reach (the blocking-recall cost every ER deployment must "
+    "measure).  Multi-pass blocking is the scale story: candidates "
+    "are |block|-bounded equi-joins, never a cross product, and a "
+    "field perturbed in one blocking key is recovered by the other "
+    "pass.  All scoring is integer; the derivation is deterministic "
+    "so both engines build the identical snapshot.",
+    tags=("relational", "join", "entity-resolution", "blocking"),
+)
+def join_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("cents"),
+    )
+    _track_persist(cust)
+    imp = cust.where(F.expr("c_custkey % 3 in (0, 1)")).select(
+        (F.col("c_custkey") + 10_000_000).alias("import_id"),
+        F.expr(
+            "case when c_custkey % 3 = 1"
+            " then concat('Prospect#', cast(c_custkey as string))"
+            " when c_custkey % 15 = 0"
+            " then replace(c_name, 'Customer#', 'CUST-')"
+            " else c_name end"
+        ).alias("i_name"),
+        F.expr(
+            "case when c_custkey % 3 = 1 then (c_nationkey + 7) % 25"
+            " when c_custkey % 21 = 0 then (c_nationkey + 1) % 25"
+            " else c_nationkey end"
+        ).alias("i_nation"),
+        F.expr(
+            "case when c_custkey % 3 = 1 then cents + 100000"
+            " when c_custkey % 6 = 0 then cents + 10"
+            " else cents end"
+        ).alias("i_cents"),
+        F.col("c_mktsegment").alias("i_seg"),
+        F.expr(
+            "case when c_custkey % 3 = 1 then -1 else c_custkey end"
+        ).alias("true_key"),
+    )
+    _track_persist(imp)
+    by_nation = imp.join(
+        cust, imp.i_nation == cust.c_nationkey
+    ).select("import_id", "c_custkey")
+    by_band = imp.join(
+        cust,
+        F.expr(f"cents div {_ER_BAND}") == F.expr(f"i_cents div {_ER_BAND}"),
+    ).select("import_id", "c_custkey")
+    cand = by_nation.union(by_band).distinct()
+    _track_persist(cand)
+    scored = (
+        cand.join(imp, "import_id")
+        .join(cust, "c_custkey")
+        .select(
+            "import_id",
+            "true_key",
+            "c_custkey",
+            F.expr(_er_score("", "")).alias("score"),
+        )
+    )
+    classed = scored.select(
+        F.expr(
+            f"case when score >= {_ER_MATCH} then 'match'"
+            f" when score >= {_ER_POSSIBLE} then 'possible'"
+            f" else 'non_match' end"
+        ).alias("decision"),
+        F.expr(
+            "case when true_key = c_custkey then 1 else 0 end"
+        ).alias("is_true"),
+    )
+    per_class = classed.groupBy("decision").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("is_true").cast("bigint").alias("n_true_links"),
+    )
+    true_pairs = imp.where("true_key >= 0").select(
+        "import_id", F.col("true_key").alias("c_custkey")
+    )
+    missed = (
+        true_pairs.join(cand, ["import_id", "c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            F.lit("missed_by_blocking").alias("decision"),
+            "n_pairs",
+            F.col("n_pairs").alias("n_true_links"),
+        )
+    )
+    return per_class.unionByName(missed)
