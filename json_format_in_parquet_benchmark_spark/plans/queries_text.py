@@ -1989,3 +1989,116 @@ def text_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("cosine").desc(), "doc_a", "doc_b"
     ).limit(COSINE_TOP_PAIRS)
+
+
+# --- PMI collocation mining (phrase detection) --------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_D} AS t FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+bg_counts AS (
+  SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM bigrams GROUP BY 1, 2
+),
+uni AS (
+  SELECT unnest(t) AS w FROM toks
+),
+uni_counts AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM uni GROUP BY w
+),
+tot AS (
+  SELECT CAST(SUM(n_ab) AS BIGINT) AS n_total FROM bg_counts
+),
+scored AS (
+  SELECT b.w1, b.w2, b.n_ab, ua.n_w AS n_a, ub.n_w AS n_b, tot.n_total,
+         CAST(tot.n_total * b.n_ab AS DOUBLE)
+           / CAST(ua.n_w * ub.n_w AS DOUBLE) AS pmi_odds
+  FROM bg_counts b
+  JOIN uni_counts ua ON ua.w = b.w1
+  JOIN uni_counts ub ON ub.w = b.w2
+  CROSS JOIN tot
+  WHERE b.n_ab >= {_PMI_MIN_COUNT}
+)
+SELECT * FROM scored
+ORDER BY pmi_odds DESC, w1, w2
+LIMIT {_PMI_TOP}
+""",
+    doc="Collocation / phrase mining by pointwise mutual information -- the "
+    "word2phrase pass a tokenizer pipeline runs to promote 'new york'-"
+    "style units before training: adjacent-bigram counts against "
+    "unigram marginals, scored by the PMI ODDS N*c(ab)/(c(a)*c(b)) "
+    "(the quantity PMI takes the log of; log itself diverges by 1 ulp "
+    "cross-engine, the BM25 idf lesson) with a min-count support "
+    f"filter at {_PMI_MIN_COUNT}.  Plan shape: one token explode for "
+    "unigram counts, one windowless adjacent-pair expand for bigram "
+    "counts, two vocabulary-bounded joins and one broadcast scalar -- "
+    "all counts are map-side-combinable, the heavy key space is the "
+    "vocabulary, not the corpus.  Score is integer-exact up to one "
+    "IEEE division; ties order by words so the top-k cut is "
+    "deterministic.",
+    tags=("text", "collocation", "statistics"),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(_TOKS_S).alias("t"))
+    from ..operators.dedup import _track_persist
+
+    _track_persist(toks)
+    bigrams = toks.where(F.expr("size(t) >= 2")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> named_struct('w1', t[i - 1], 'w2', t[i]))"
+            )
+        ).alias("bg")
+    )
+    bg_counts = bigrams.groupBy(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    uni_counts = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    )
+    tot = bg_counts.agg(F.sum("n_ab").cast("bigint").alias("n_total"))
+    scored = (
+        bg_counts.where(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(
+            F.broadcast(uni_counts.select(F.col("w").alias("w1"),
+                                          F.col("n_w").alias("n_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni_counts.select(F.col("w").alias("w2"),
+                                          F.col("n_w").alias("n_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_total",
+            F.expr(
+                "cast(n_total * n_ab as double)"
+                " / cast(n_a * n_b as double)"
+            ).alias("pmi_odds"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_odds"), "w1", "w2"
+    ).limit(_PMI_TOP)
