@@ -4856,3 +4856,146 @@ def join_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_class.unionByName(missed)
+
+
+# --- Uplift by score decile (targeting readout) --------------------------------
+
+
+@register(
+    "events_uplift_deciles",
+    oracle=f"""
+WITH pe AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) AS t
+  FROM events
+),
+bounds AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM pe),
+per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN t - lo < (hi - lo) // 2 THEN cents END),
+                       0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN t - lo >= (hi - lo) // 2 THEN cents END),
+                       0) AS BIGINT) AS y
+  FROM pe CROSS JOIN bounds
+  GROUP BY user_id
+),
+armed AS (
+  SELECT x, y,
+         {hash64_sql_duckdb("CAST(user_id AS VARCHAR)", "ab")} % 2 AS arm,
+         CAST(ntile(10) OVER (ORDER BY x DESC, user_id) AS INT) AS decile
+  FROM per_user
+),
+agg AS (
+  SELECT decile,
+         CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_t,
+         CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_c,
+         CAST(COALESCE(SUM(y) FILTER (arm = 0), 0) AS BIGINT) AS y_t,
+         CAST(COALESCE(SUM(y) FILTER (arm = 1), 0) AS BIGINT) AS y_c
+  FROM armed GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_t, n_c, y_t, y_c,
+         CAST(SUM(n_t) OVER w AS BIGINT) AS cn_t,
+         CAST(SUM(n_c) OVER w AS BIGINT) AS cn_c,
+         CAST(SUM(y_t) OVER w AS BIGINT) AS cy_t,
+         CAST(SUM(y_c) OVER w AS BIGINT) AS cy_c
+  FROM agg
+  WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+)
+SELECT decile, n_t, n_c, y_t, y_c,
+       CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+            ELSE CAST(y_t AS DOUBLE) / CAST(n_t * 100 AS DOUBLE)
+               - CAST(y_c AS DOUBLE) / CAST(n_c * 100 AS DOUBLE) END
+         AS uplift,
+       CASE WHEN cn_t = 0 OR cn_c = 0 THEN NULL
+            ELSE CAST(cy_t AS DOUBLE) / CAST(cn_t * 100 AS DOUBLE)
+               - CAST(cy_c AS DOUBLE) / CAST(cn_c * 100 AS DOUBLE) END
+         AS cum_uplift
+FROM cum
+ORDER BY decile
+""",
+    doc="Uplift-by-decile targeting readout (the Qini-curve table): users "
+    "ranked by their PRE-period spend (the targeting score -- same "
+    "covariate the CUPED query uses), cut into ntile(10) deciles with "
+    "a deterministic (score, user_id) tiebreak, and each decile "
+    "reports treatment-minus-control mean POST-period spend plus the "
+    "cumulative (top-k-deciles) uplift -- how a growth team decides "
+    "WHOM to target, not just whether the treatment works.  Exactness: "
+    "all mass is integer cents through the per-decile and cumulative "
+    "window sums; only the final per-row divisions are doubles, and "
+    "empty arms yield NULL identically on both sides.  Plan: one "
+    "user_id shuffle, a rank over the per-user frame (users, not "
+    "events), one 10-row rollup.",
+    tags=("events", "experimentation", "uplift", "window"),
+)
+def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pe = events.select(
+        "user_id",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+        F.expr("unix_micros(ts)").alias("t"),
+    )
+    bounds = pe.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    per_user = (
+        pe.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "cast(coalesce(sum(case when t - lo < (hi - lo) div 2"
+                " then cents end), 0) as bigint)"
+            ).alias("x"),
+            F.expr(
+                "cast(coalesce(sum(case when t - lo >= (hi - lo) div 2"
+                " then cents end), 0) as bigint)"
+            ).alias("y"),
+        )
+    )
+    armed = per_user.select(
+        "x",
+        "y",
+        F.expr(
+            f"{hash64_sql_spark('cast(user_id as string)', 'ab')} % 2"
+        ).alias("arm"),
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("x"), F.asc("user_id")))
+        .cast("int")
+        .alias("decile"),
+    )
+    agg = armed.groupBy("decile").agg(
+        F.expr("cast(count_if(arm = 0) as bigint)").alias("n_t"),
+        F.expr("cast(count_if(arm = 1) as bigint)").alias("n_c"),
+        F.expr(
+            "cast(coalesce(sum(case when arm = 0 then y end), 0) as bigint)"
+        ).alias("y_t"),
+        F.expr(
+            "cast(coalesce(sum(case when arm = 1 then y end), 0) as bigint)"
+        ).alias("y_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.select(
+        "*",
+        F.sum("n_t").over(w).cast("bigint").alias("cn_t"),
+        F.sum("n_c").over(w).cast("bigint").alias("cn_c"),
+        F.sum("y_t").over(w).cast("bigint").alias("cy_t"),
+        F.sum("y_c").over(w).cast("bigint").alias("cy_c"),
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "y_t",
+        "y_c",
+        F.expr(
+            "case when n_t = 0 or n_c = 0 then null"
+            " else cast(y_t as double) / cast(n_t * 100 as double)"
+            " - cast(y_c as double) / cast(n_c * 100 as double) end"
+        ).alias("uplift"),
+        F.expr(
+            "case when cn_t = 0 or cn_c = 0 then null"
+            " else cast(cy_t as double) / cast(cn_t * 100 as double)"
+            " - cast(cy_c as double) / cast(cn_c * 100 as double) end"
+        ).alias("cum_uplift"),
+    ).orderBy("decile")
