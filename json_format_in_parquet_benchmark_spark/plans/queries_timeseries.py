@@ -1054,3 +1054,79 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("path_checksum"),
     )
+
+
+# --- DAU / WAU engagement (stickiness ratio) ----------------------------------
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+WITH presence AS (
+  SELECT DISTINCT user_id,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM presence),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM presence GROUP BY day
+),
+wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+  FROM days d
+  JOIN presence p ON p.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON wau.day = dau.day
+ORDER BY day
+""",
+    doc="DAU/WAU engagement with the stickiness ratio -- the product-health "
+    "metric every growth dashboard leads with: per epoch-day distinct "
+    "actives, trailing-7-day distinct actives (a range join of the "
+    "deduplicated (user, day) PRESENCE table against the tiny day "
+    "dimension -- never the raw event stream), and their ratio as one "
+    "exact IEEE division.  Scale shape: presence is |users| x "
+    "|active days| after one distinct, the horizon bounds the range "
+    "join fan-out to 7 rows per presence row, and the day dimension "
+    "broadcasts -- the same bounded-horizon discipline as the "
+    "retention queries; raw events are touched exactly once.",
+    tags=("events", "timeseries", "engagement", "join"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    events = load_table(spark, sf_dir, "events")
+    presence = events.select(
+        "user_id",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias(
+            "day"
+        ),
+    ).distinct()
+    _track_persist(presence)
+    days = presence.select("day").distinct()
+    dau = presence.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    wau = (
+        F.broadcast(days.withColumnRenamed("day", "d"))
+        .join(
+            presence,
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.d)
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "dau",
+            "wau",
+            F.expr("cast(dau as double) / cast(wau as double)").alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
