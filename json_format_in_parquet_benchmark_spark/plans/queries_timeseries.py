@@ -1071,11 +1071,17 @@ days AS (SELECT DISTINCT day FROM presence),
 dau AS (
   SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM presence GROUP BY day
 ),
+covered AS (
+  -- a presence row (user, day) makes the user weekly-active for the 7
+  -- target days [day, day+6]; expanding to those days turns the range
+  -- join into an equi-shape distinct count (no nested-loop join).
+  SELECT DISTINCT p.user_id, unnest(range(p.day, p.day + 7)) AS day
+  FROM presence p
+),
 wau AS (
-  SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
-  FROM days d
-  JOIN presence p ON p.day BETWEEN d.day - 6 AND d.day
-  GROUP BY d.day
+  SELECT c.day, CAST(COUNT(*) AS BIGINT) AS wau
+  FROM covered c JOIN days d ON d.day = c.day
+  GROUP BY c.day
 )
 SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
        CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
@@ -1088,35 +1094,39 @@ ORDER BY day
     "deduplicated (user, day) PRESENCE table against the tiny day "
     "dimension -- never the raw event stream), and their ratio as one "
     "exact IEEE division.  Scale shape: presence is |users| x "
-    "|active days| after one distinct, the horizon bounds the range "
-    "join fan-out to 7 rows per presence row, and the day dimension "
-    "broadcasts -- the same bounded-horizon discipline as the "
-    "retention queries; raw events are touched exactly once.",
+    "|active days| after one distinct, each presence row expands to the "
+    "7 target days it covers (turning the range join into equi-joins "
+    "and map-side distinct -- no nested-loop join in the plan), and "
+    "the day dimension broadcasts -- the same bounded-horizon "
+    "discipline as the retention queries; raw events are touched "
+    "exactly once.",
     tags=("events", "timeseries", "engagement", "join"),
 )
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import _track_persist
-
     events = load_table(spark, sf_dir, "events")
+    # NOT persisted: presence is an aggregate (distinct), and caching an
+    # aggregate pins its exchange outside AQE -- 200-task stages on a
+    # vanilla session (round-3 lesson).  Recomputing it per branch is one
+    # extra scan and lets AQE coalesce every stage.
     presence = events.select(
         "user_id",
         F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias(
             "day"
         ),
     ).distinct()
-    _track_persist(presence)
     days = presence.select("day").distinct()
     dau = presence.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")
     )
+    covered = presence.select(
+        "user_id", F.explode(F.expr("sequence(day, day + 6)")).alias("d")
+    ).distinct()
     wau = (
-        F.broadcast(days.withColumnRenamed("day", "d"))
-        .join(
-            presence,
-            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        covered.join(
+            F.broadcast(days.withColumnRenamed("day", "d")), "d"
         )
         .groupBy("d")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
     )
     return (
         dau.join(wau, dau.day == wau.d)
