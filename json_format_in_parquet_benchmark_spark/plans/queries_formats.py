@@ -544,3 +544,51 @@ def scan_footer_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_footers,
         "tbl string, col string, n_rows bigint, min_v double, max_v double",
     )
+
+
+# --- Gzipped NDJSON source (compression-codec coverage) -----------------------
+
+
+@register(
+    "scan_ndjson_gzip",
+    oracle="""
+SELECT md5(props) AS line_hash FROM events
+""",
+    doc="GZIP NDJSON source round-trip: the events JSON corpus is exported "
+    "as .json.gz text (Spark's text sink with compression=gzip) and read "
+    "back through the line source, hashing every line -- the "
+    "compressed-drop format most external data actually arrives in.  "
+    "The read is lossless (oracle = md5 per original document), and the "
+    "SPLITTABILITY trap is pinned by a plan assertion in the builder: "
+    "gzip is a non-splittable codec, so each .gz file maps to exactly "
+    "ONE input partition no matter its size -- at 100 TB you either "
+    "receive many moderate .gz files (parallelism = file count), "
+    "recompress to a splittable codec (bzip2, or parquet+zstd), or "
+    "accept single-task decompression per file.  The export here "
+    "repartitions to 4 files so the read-back side demonstrates "
+    "file-count parallelism, and the builder asserts "
+    "partitions == files.",
+    tags=("source", "ndjson", "compression"),
+)
+def scan_ndjson_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = _tmp(sf_dir, "ndjson_gz")
+    n_files = 4
+    (
+        events.select(F.col("props").alias("value"))
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(out)
+    )
+    back = spark.read.text(out)
+    # Non-splittable codec contract: one input partition per .gz file.
+    parts = back.rdd.getNumPartitions()
+    files = len(
+        [f for f in os.listdir(out) if f.endswith(".gz")]
+    )
+    assert files == n_files and parts == files, (
+        f"gzip splittability contract broken: {files} files, "
+        f"{parts} partitions"
+    )
+    return back.select(F.md5(F.col("value")).alias("line_hash"))
