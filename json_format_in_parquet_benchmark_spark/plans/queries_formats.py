@@ -592,3 +592,41 @@ def scan_ndjson_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{parts} partitions"
     )
     return back.select(F.md5(F.col("value")).alias("line_hash"))
+
+
+@register(
+    "scan_pyds_ndjson_ranges",
+    oracle=f"""
+WITH lines AS (
+  SELECT unnest(string_split(content, chr(10))) AS doc
+  FROM read_text('{REFERENCE_LOGS}')
+)
+SELECT COUNT(*) AS n_lines,
+       bit_xor(('0x' || substr(md5(doc), 1, 15))::BIGINT) AS line_checksum,
+       CAST(SUM(length(doc)) AS BIGINT) AS total_chars
+FROM lines WHERE length(doc) > 0
+""",
+    doc="CUSTOM PYTHON DATA SOURCE (Spark 4 pyspark.sql.datasource API): "
+    "the reference NDJSON corpus read through a from-scratch connector "
+    "that plans one InputPartition per byte range and applies the "
+    "Hadoop LineRecordReader boundary rule in each task, so every line "
+    "is read exactly once wherever the split boundaries fall "
+    "(sources/py_datasource.py; split-count invariance pinned by a "
+    "plan test).  Same oracle as scan_ndjson -- the two sources must "
+    "agree byte-for-byte -- but this arm exercises the NEW pure-Python "
+    "connector surface with real partition planning: partitions() "
+    "touches only the file size, tasks stream their range, nothing is "
+    "read on the driver.",
+    tags=("source", "ndjson", "datasource", "python"),
+)
+def scan_pyds_ndjson_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.py_datasource import read_ndjson_ranges
+
+    raw = read_ndjson_ranges(spark, REFERENCE_LOGS, n_splits=4)
+    return raw.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(doc),1,15),16,10) as bigint))"
+        ).alias("line_checksum"),
+        F.sum(F.length("doc")).cast("bigint").alias("total_chars"),
+    )

