@@ -1120,3 +1120,89 @@ def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --- Custom Python STREAMING data source (deterministic replay) ---------------
+
+_REPLAY_LOGS = "/root/reference/json/logs.json"
+_REPLAY_CHUNK = 256
+
+
+@register(
+    "stream_pyds_replay",
+    oracle=f"""
+WITH lines AS (
+  SELECT unnest(string_split(content, chr(10))) AS doc
+  FROM read_text('{_REPLAY_LOGS}')
+)
+SELECT COUNT(*) AS n_lines,
+       bit_xor(('0x' || substr(md5(doc), 1, 15))::BIGINT) AS line_checksum,
+       CAST(SUM(length(doc)) AS BIGINT) AS total_chars
+FROM lines WHERE length(doc) > 0
+""",
+    doc="CUSTOM PYTHON STREAMING SOURCE (Spark 4 "
+    "SimpleDataSourceStreamReader): the reference NDJSON corpus "
+    f"replayed as a REAL micro-batch stream in {_REPLAY_CHUNK}-line "
+    "chunks with checkpointed line-index offsets (restart-exact; "
+    "readBetweenOffsets replays any batch byte-identically), "
+    "aggregated in complete mode and value-checked against the batch "
+    "oracle -- the mergeable count/xor/sum state makes the final "
+    "answer batch-split-independent, the same argument as "
+    "stream_upsert_foreachbatch.  Empirical API pin: availableNow "
+    "commits ONE read() per run for simple stream readers, so the "
+    "finite replay runs under a processingTime trigger and stops once "
+    "the sink holds every line (bounded poll; 4 deterministic "
+    "batches).  sources/py_datasource.py documents the offset "
+    "contract.",
+    tags=("streaming", "source", "datasource", "python"),
+)
+def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ..sources.py_datasource import read_ndjson_replay_stream
+
+    with open(_REPLAY_LOGS, "rb") as fh:
+        n_expected = len([ln for ln in fh.read().split(b"\n") if ln])
+
+    global _RUN_SEQ
+    _RUN_SEQ += 1
+    name = f"pyds_replay_{_RUN_SEQ}"
+    ckpt = tempfile.mkdtemp(prefix=f"jfipb_ckpt_{name}_")
+    stream = read_ndjson_replay_stream(
+        spark, _REPLAY_LOGS, chunk=_REPLAY_CHUNK
+    )
+    agg = stream.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(doc),1,15),16,10) as bigint))"
+        ).alias("line_checksum"),
+        F.sum(F.length("doc")).cast("bigint").alias("total_chars"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if rows and rows[0]["n_lines"] == n_expected:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = spark.table(name).collect()
+    assert rows and rows[0]["n_lines"] == n_expected, (
+        f"replay did not drain: {rows}"
+    )
+    return spark.table(name)

@@ -102,3 +102,87 @@ def read_ndjson_ranges(spark, path: str, n_splits: int = 4):
         .option("n_splits", str(n_splits))
         .load()
     )
+
+
+# --- Streaming side: deterministic replay source ------------------------------
+
+
+class _ReplayStreamReader:
+    """SimpleDataSourceStreamReader serving a fixed NDJSON file in
+    fixed-size line chunks -- a deterministic replay stream.  Offsets are
+    line indices, so restarts resume exactly (the checkpoint stores the
+    line offset) and readBetweenOffsets replays any batch byte-identically.
+
+    Empirical API notes (Spark 4.1.2): trigger(availableNow) commits ONE
+    read() call per run for simple stream readers -- it does not drain to
+    EOF -- so a finite replay is driven with a processingTime trigger and
+    stopped once the offset reaches the line count (the consumer polls the
+    sink; see plans/queries_streaming.py:stream_pyds_replay).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.chunk = int(options.get("chunk", "256"))
+
+    def _lines(self) -> list[bytes]:
+        with open(self.path, "rb") as fh:
+            return [ln for ln in fh.read().split(b"\n") if ln]
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def read(self, start: dict):
+        # Return a LIST ITERATOR: the runner's prefetch cache both
+        # next()s it and copy.copy()s it -- a generator fails the copy
+        # (no __reduce__), a bare list fails the next().
+        lines = self._lines()
+        lo = start["line"]
+        hi = min(lo + self.chunk, len(lines))
+        rows = [(lines[i].decode("utf-8"),) for i in range(lo, hi)]
+        return iter(rows), {"line": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lines = self._lines()
+        return iter([
+            (lines[i].decode("utf-8"),)
+            for i in range(start["line"], end["line"])
+        ])
+
+
+class NdjsonReplayStreamSource(DataSource):
+    """spark.readStream.format("jfipb_ndjson_replay").option("path", p)
+    .option("chunk", k).load() -- each micro-batch serves the next k
+    lines."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jfipb_ndjson_replay"
+
+    def schema(self) -> str:
+        return "doc string"
+
+    def simpleStreamReader(self, schema):
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        # _ReplayStreamReader FIRST: the MRO must find the real
+        # implementations before the base class's raising stubs.
+        class _R(_ReplayStreamReader, SimpleDataSourceStreamReader):
+            pass
+
+        return _R(self.options)
+
+
+_STREAM_REGISTERED: set[int] = set()
+
+
+def read_ndjson_replay_stream(spark, path: str, chunk: int = 256):
+    key = id(spark)
+    if key not in _STREAM_REGISTERED:
+        spark.dataSource.register(NdjsonReplayStreamSource)
+        _STREAM_REGISTERED.add(key)
+    return (
+        spark.readStream.format("jfipb_ndjson_replay")
+        .option("path", path)
+        .option("chunk", str(chunk))
+        .load()
+    )
