@@ -1206,3 +1206,60 @@ def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"replay did not drain: {rows}"
     )
     return spark.table(name)
+
+
+@register(
+    "stream_pyds_ndjson_sink",
+    oracle="SELECT md5(props) AS line_hash FROM events",
+    doc="CUSTOM PYTHON STREAMING SINK (Spark 4 DataSourceStreamWriter): "
+    "the staged events stream lands in an NDJSON directory through a "
+    "from-scratch Python sink whose tasks write one data file each and "
+    "whose driver-side commit() appends the batch's file list to a "
+    "manifest LAST -- the exactly-once recipe (retried-task orphans "
+    "and aborted batches never reach the manifest, so readers that "
+    "trust only manifest-listed files cannot observe them; abort() "
+    "additionally reclaims orphan files).  The read-back side hashes "
+    "every manifest-listed line against the original column, proving "
+    "the full write-commit-read loop lossless.  Completes the "
+    "connector story: custom batch source, custom streaming source, "
+    "custom streaming sink, all in pure Python "
+    "(sources/py_datasource.py).",
+    tags=("streaming", "sink", "datasource", "python"),
+)
+def stream_pyds_ndjson_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources.py_datasource import committed_files, register_ndjson_sink
+
+    register_ndjson_sink(spark)
+    events_dir = _staged_events(spark, sf_dir)
+    tag = _stage_tag(sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "jfipb_pyds_sink", tag
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    global _RUN_SEQ
+    _RUN_SEQ += 1
+    ckpt = tempfile.mkdtemp(prefix=f"jfipb_ckpt_pyds_sink_{_RUN_SEQ}_")
+    stream = read_events_stream(spark, events_dir).select(
+        F.col("props").alias("doc")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.format("jfipb_ndjson_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    files = committed_files(out)
+    assert files, "sink committed no files"
+    back = spark.read.text(files)
+    return back.select(F.md5(F.col("value")).alias("line_hash"))

@@ -32,7 +32,13 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _ByteRange(InputPartition):
@@ -186,3 +192,99 @@ def read_ndjson_replay_stream(spark, path: str, chunk: int = 256):
         .option("chunk", str(chunk))
         .load()
     )
+
+
+# --- Streaming write side: NDJSON sink with manifest commit --------------------
+
+
+class _NdjsonSinkMessage(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _NdjsonStreamWriter(DataSourceStreamWriter):
+    """DataSourceStreamWriter writing one NDJSON file per task, committed
+    EXACTLY-ONCE via a manifest: tasks write data files freely (a retried
+    task leaves an orphan), and the driver-side commit() appends the batch's
+    file list to _manifest.jsonl LAST -- readers trust only manifest-listed
+    files, so orphans and aborted batches are invisible.  The same
+    manifest-last ordering as sink_snapshot_time_travel, here at micro-batch
+    granularity."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+        fname = os.path.join(
+            self.path, "data", f"part-{part}-{uuid.uuid4().hex}.ndjson"
+        )
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(row[0])
+                fh.write("\n")
+                n += 1
+        return _NdjsonSinkMessage(fname, n)
+
+    def commit(self, messages, batchId) -> None:
+        import json
+
+        entry = {
+            "batch": batchId,
+            "files": [
+                {"path": m.path, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None and m.n_rows > 0
+            ],
+        }
+        with open(os.path.join(self.path, "_manifest.jsonl"), "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    def abort(self, messages, batchId) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class NdjsonManifestSink(DataSource):
+    """df.writeStream.format("jfipb_ndjson_sink").option("path", dir)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jfipb_ndjson_sink"
+
+    def schema(self) -> str:
+        return "doc string"
+
+    def streamWriter(self, schema, overwrite):
+        return _NdjsonStreamWriter(self.options)
+
+
+def committed_files(path: str) -> list[str]:
+    """Files listed by the sink's manifest -- the only files a reader may
+    trust."""
+    import json
+
+    manifest = os.path.join(path, "_manifest.jsonl")
+    out: list[str] = []
+    if not os.path.exists(manifest):
+        return out
+    with open(manifest) as fh:
+        for line in fh:
+            out.extend(f["path"] for f in json.loads(line)["files"])
+    return out
+
+
+def register_ndjson_sink(spark) -> None:
+    key = ("sink", id(spark))
+    if key not in _STREAM_REGISTERED:
+        spark.dataSource.register(NdjsonManifestSink)
+        _STREAM_REGISTERED.add(key)
