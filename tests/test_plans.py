@@ -364,3 +364,34 @@ def test_pyds_ndjson_split_invariance(spark):
         else:
             assert rows == base, f"split count {k} changed the content"
     assert base and len(base) == len(set(base)) or True  # content compared
+
+
+def test_pyds_sink_orphans_invisible(spark, sf_dir):
+    """Exactly-once contract of the Python streaming sink: a data file NOT
+    listed in the manifest (a retried task's orphan) must be invisible to
+    readers that follow the committed_files() protocol."""
+    import os
+
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        _stage_tag,
+    )
+    from json_format_in_parquet_benchmark_spark.sources.py_datasource import (
+        committed_files,
+    )
+    import tempfile
+
+    REGISTRY["stream_pyds_ndjson_sink"].fn(spark, sf_dir).collect()
+    out = os.path.join(
+        tempfile.gettempdir(), "jfipb_pyds_sink", _stage_tag(sf_dir)
+    )
+    before = committed_files(out)
+    assert before
+    orphan = os.path.join(out, "data", "part-9-deadbeef.ndjson")
+    with open(orphan, "w") as fh:
+        fh.write('{"orphan": true}\n')
+    after = committed_files(out)
+    assert after == before and orphan not in after
+    n = spark.read.text(after).count()
+    n_all = spark.read.text(os.path.join(out, "data")).count()
+    assert n_all == n + 1, "orphan write did not land where expected"
