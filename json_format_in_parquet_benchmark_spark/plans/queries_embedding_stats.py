@@ -361,3 +361,77 @@ def kcenter_select(
         picks.append((r, top["vec_id"], int(top["mind"])))
         center_qv = list(top["qv"])
     return picks
+
+
+# --- mapInArrow kernel: norm histogram -----------------------------------------
+
+NORM_GRID = 1_000_000  # same 1e6 grid as the Gram reduction
+NORM_BUCKET = 10**12
+
+
+@register(
+    "embedding_norms_arrow",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * {NORM_GRID}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS norm_q
+  FROM q
+)
+SELECT CAST(norm_q // {NORM_BUCKET} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(norm_q) AS BIGINT) AS sum_norm_q
+FROM n
+GROUP BY 1
+ORDER BY bucket
+""",
+    doc="Vector-norm histogram through a PURE-ARROW kernel (mapInArrow, "
+    "Spark 4's zero-pandas batch interface): each RecordBatch's "
+    "embedding column is viewed as a zero-copy numpy matrix, elements "
+    "are quantized to the 1e6 integer grid in float64 (promoting "
+    "float32 BEFORE arithmetic, so the grid agrees with the oracle's "
+    "::DOUBLE cast), and exact int64 squared norms stream back as an "
+    "Arrow batch -- no pandas conversion on either edge, the cheapest "
+    "Python-kernel path Spark offers.  The norm histogram itself is "
+    "the embedding-health diagnostic (collapsed or exploding norms "
+    "break cosine retrieval); per-batch work is one BLAS-free "
+    "square-and-sum, the groupBy state is |buckets|.  Completes the "
+    "Python-execution-surface set: pandas_udf, applyInPandas(+State), "
+    "mapInPandas, UDTF, and now mapInArrow.",
+    tags=("embedding", "statistics", "arrow", "pandas-udf"),
+)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def norm_batches(batches):
+        for batch in batches:
+            col = batch.column(0)
+            if len(col) == 0:
+                continue
+            flat = col.flatten() if hasattr(col, "flatten") else col.values
+            mat = flat.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ).reshape(len(col), DIM)
+            q = np.floor(mat * float(NORM_GRID)).astype(np.int64)
+            norms = (q * q).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(norms, type=pa.int64())], names=["norm_q"]
+            )
+
+    norms = emb.mapInArrow(norm_batches, schema="norm_q long")
+    return (
+        norms.groupBy(
+            F.expr(f"norm_q div {NORM_BUCKET}").cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("norm_q").cast("bigint").alias("sum_norm_q"),
+        )
+        .orderBy("bucket")
+    )
