@@ -99,3 +99,81 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.token, t.pos"
         " FROM docs_udtf d, LATERAL jfipb_tokenize(d.text) t"
     )
+
+
+@register(
+    "udtf_event_streaks",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+),
+flagged AS (
+  SELECT user_id, t, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type)
+),
+isl AS (
+  SELECT user_id, t, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_type
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS INT) AS streak_len,
+       CAST(MIN(t) AS BIGINT) AS start_us
+FROM isl GROUP BY user_id, event_type, g
+""",
+    doc="TABLE-ARGUMENT Python UDTF with PARTITION BY / ORDER BY (the "
+    "Spark 4 polymorphic-UDTF surface): per-user event streaks "
+    "detected by a stateful row iterator that Spark feeds each user's "
+    "rows IN ORDER -- 'SELECT * FROM streaks(TABLE(...) PARTITION BY "
+    "user_id ORDER BY (t, event_type))', the MATCH_RECOGNIZE-engine "
+    "execution shape (per-key ordered custom logic) as a first-class "
+    "relational table function rather than an applyInPandas detour.  "
+    "The oracle is the classic gaps-and-islands window SQL, so the "
+    "UDTF's streak semantics are value-pinned exactly.  Scale shape: "
+    "one shuffle on user_id + per-partition sort, state is one open "
+    "streak per key.  Parser pin: multiple ORDER BY expressions in a "
+    "TABLE argument need parentheses around the tuple.",
+    tags=("udf", "udtf", "pattern", "stateful"),
+)
+def udtf_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, event_type string, streak_len int,"
+        " start_us bigint"
+    )
+    class Streaks:
+        def __init__(self) -> None:
+            self.cur = None  # (user, type, len, start)
+            self.out = []
+
+        def eval(self, row):
+            u, t, typ = row["user_id"], row["t"], row["event_type"]
+            if self.cur is not None and self.cur[1] == typ:
+                self.cur = (u, typ, self.cur[2] + 1, self.cur[3])
+            else:
+                if self.cur is not None:
+                    self.out.append(self.cur)
+                self.cur = (u, typ, 1, t)
+
+        def terminate(self):
+            if self.cur is not None:
+                self.out.append(self.cur)
+            yield from self.out
+
+    spark.udtf.register("jfipb_streaks", Streaks)
+    events = load_table(spark, sf_dir, "events")
+    events.select("user_id", "event_type", "ts").createOrReplaceTempView(
+        "events_streaks_v"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM jfipb_streaks(
+          TABLE(SELECT user_id, unix_micros(ts) AS t, event_type
+                FROM events_streaks_v)
+          PARTITION BY user_id ORDER BY (t, event_type))
+        """
+    )
