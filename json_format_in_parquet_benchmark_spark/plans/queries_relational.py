@@ -4999,3 +4999,79 @@ def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - cast(cy_c as double) / cast(cn_c * 100 as double) end"
         ).alias("cum_uplift"),
     ).orderBy("decile")
+
+
+# --- In-flight metrics via the Observation API ---------------------------------
+
+
+@register(
+    "dq_observe_inflight",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (props IS NULL) AS BIGINT) AS n_null_props,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents_sum,
+       CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS max_cents
+FROM events
+""",
+    doc="IN-FLIGHT data-quality metrics via df.observe() + Observation "
+    "(Spark's AggregatingAccumulator channel): the metrics row -- count, "
+    "null count, exact cents sum, max cents (DISTINCT aggregates are "
+    "rejected by the observe analyzer) -- is captured DURING "
+    "a pass that consumes the frame for another purpose (here a "
+    "parquet write), not by a second scan; this is how production "
+    "pipelines validate while they load, paying zero extra jobs.  The "
+    "observed values come back through the query-execution listener "
+    "channel and are re-emitted as a one-row frame the oracle checks "
+    "against ground truth -- proving the side channel reports exactly "
+    "what a dedicated aggregation would.  At 100 TB the observe() "
+    "aggregates ride the existing scan's partial-aggregation path; "
+    "cost is a few accumulator updates per row.",
+    tags=("dq", "observe", "metrics", "aggregation"),
+)
+def dq_observe_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    events = load_table(spark, sf_dir, "events")
+    obs = Observation("dq_inflight")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_if(F.col("props").isNull()).cast("bigint").alias(
+            "n_null_props"
+        ),
+        F.sum(
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+        )
+        .cast("bigint")
+        .alias("cents_sum"),
+        F.max(
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+        )
+        .cast("bigint")
+        .alias("max_cents"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "jfipb_observe",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    # The consuming action the metrics piggyback on.
+    observed.write.mode("overwrite").parquet(out)
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_props"],
+                m["cents_sum"],
+                m["max_cents"],
+            )
+        ],
+        schema="n_rows bigint, n_null_props bigint, cents_sum bigint,"
+        " max_cents bigint",
+    )
