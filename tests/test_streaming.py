@@ -328,3 +328,73 @@ def test_late_data_actually_dropped_by_watermark(spark, sf_dir):
         op.get("numRowsTotal", 0) for op in progress[-2]["stateOperators"]
     )
     assert state_after_late <= prev_state, (state_after_late, prev_state)
+
+
+def test_pyds_replay_checkpoint_recovery(spark):
+    """Exactly-once across restart: stop the replay stream mid-corpus, then
+    restart from the SAME checkpoint -- the line-index offset resumes and
+    the final aggregate equals one full pass (no re-read, no gap)."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        _REPLAY_LOGS,
+    )
+    from json_format_in_parquet_benchmark_spark.sources.py_datasource import (
+        read_ndjson_replay_stream,
+    )
+
+    with open(_REPLAY_LOGS, "rb") as fh:
+        lines = [ln for ln in fh.read().split(b"\n") if ln]
+    n_total = len(lines)
+
+    ckpt = tempfile.mkdtemp(prefix="jfipb_replay_recover_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def start(name):
+        stream = read_ndjson_replay_stream(spark, _REPLAY_LOGS, chunk=256)
+        agg = stream.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("doc")).cast("bigint").alias("chars"),
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    try:
+        q1 = start("replay_rec_a")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = spark.table("replay_rec_a").collect()
+            if rows and rows[0]["n"] >= 256:
+                break
+            time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination(60)
+        seen = spark.table("replay_rec_a").collect()[0]["n"]
+        assert 0 < seen < n_total, f"stop window missed: saw {seen}"
+
+        q2 = start("replay_rec_b")
+        deadline = time.time() + 180
+        final = None
+        while time.time() < deadline:
+            rows = spark.table("replay_rec_b").collect()
+            if rows and rows[0]["n"] == n_total:
+                final = rows[0]
+                break
+            time.sleep(0.3)
+        q2.stop()
+        q2.awaitTermination(60)
+        assert final is not None, "restarted stream never drained"
+        want_chars = sum(len(ln) for ln in lines)
+        assert final["chars"] == want_chars, "restart duplicated or lost rows"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
