@@ -5075,3 +5075,65 @@ def dq_observe_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n_rows bigint, n_null_props bigint, cents_sum bigint,"
         " max_cents bigint",
     )
+
+
+# --- Sample-ratio-mismatch (SRM) integrity check -------------------------------
+
+
+@register(
+    "events_ab_srm_check",
+    oracle=f"""
+WITH armed AS (
+  SELECT DISTINCT user_id,
+         {hash64_sql_duckdb("CAST(user_id AS VARCHAR)", "ab")} % 2 AS arm
+  FROM events
+),
+counts AS (
+  SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_b
+  FROM armed
+)
+SELECT n_a, n_b,
+       CAST(2 * (n_a - n_b) * (n_a - n_b) AS DOUBLE)
+         / CAST(n_a + n_b AS DOUBLE) AS srm_chi2,
+       CAST(CAST(2 * (n_a - n_b) * (n_a - n_b) AS DOUBLE)
+              / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124e0 AS INT)
+         AS srm_flag
+FROM counts WHERE n_a + n_b > 0
+""",
+    doc="Sample-ratio-mismatch check -- the experiment-integrity gate that "
+    "must pass BEFORE any readout (Welch/CUPED/uplift) is trusted: "
+    "under a 50/50 split the unit counts are binomial, and the "
+    "chi-square statistic against the expected ratio reduces to the "
+    "exact rational 2*(n_a-n_b)^2/(n_a+n_b) -- integer arithmetic and "
+    "ONE IEEE division, flagged against the 95% critical value "
+    "(E-notation literal; bare decimals parse as DECIMAL).  A "
+    "triggered SRM means the assignment, logging, or bot filtering is "
+    "biased and every downstream effect estimate is invalid -- the "
+    "single most common silent failure in production experimentation.  "
+    "One distinct + one conditional-count row; scale-trivial.",
+    tags=("events", "experimentation", "dq", "stats"),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    armed = events.select("user_id").distinct().select(
+        F.expr(
+            f"{hash64_sql_spark('cast(user_id as string)', 'ab')} % 2"
+        ).alias("arm")
+    )
+    counts = armed.agg(
+        F.expr("cast(count_if(arm = 0) as bigint)").alias("n_a"),
+        F.expr("cast(count_if(arm = 1) as bigint)").alias("n_b"),
+    )
+    chi = (
+        "cast(2 * (n_a - n_b) * (n_a - n_b) as double)"
+        " / cast(n_a + n_b as double)"
+    )
+    return counts.where("n_a + n_b > 0").select(
+        "n_a",
+        "n_b",
+        F.expr(chi).alias("srm_chi2"),
+        F.expr(f"cast({chi} > 3.841458820694124e0 as int)").alias(
+            "srm_flag"
+        ),
+    )
