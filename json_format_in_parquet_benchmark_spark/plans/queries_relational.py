@@ -5137,3 +5137,136 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "srm_flag"
         ),
     )
+
+
+# --- KPI decomposition (metric-tree driver analysis) ----------------------------
+# Total value V = users x (events/user) x (value/event).  The change V1-V0
+# between the two halves of the time range is attributed to the three
+# factors by sequential substitution (users -> frequency -> value-per-event)
+# -- the standard BI "why did the metric move" decomposition; the order is
+# part of the metric definition and is fixed here.  Every input is an exact
+# integer (distinct users, event counts, cents); each contribution is a
+# fixed-shape IEEE expression over those integers, rendered once and shared
+# by both engines.
+
+
+def _kpi_snips() -> dict[str, str]:
+    out = {}
+    for p in ("0", "1"):
+        out[f"epu{p}"] = f"cast(e{p} as double) / cast(u{p} as double)"
+        out[f"vpe{p}"] = f"cast(v{p} as double) / cast(e{p} as double)"
+    out["contrib_users"] = (
+        "cast(u1 - u0 as double) * epu0 * vpe0"
+    )
+    out["contrib_freq"] = "cast(u1 as double) * (epu1 - epu0) * vpe0"
+    out["contrib_value"] = "cast(u1 as double) * epu1 * (vpe1 - vpe0)"
+    return out
+
+
+_KPI = _kpi_snips()
+
+
+@register(
+    "events_kpi_decomposition",
+    oracle=f"""
+WITH pe AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM pe),
+tagged AS (
+  SELECT user_id, cents,
+         CASE WHEN t - lo < (hi - lo) // 2 THEN 0 ELSE 1 END AS period
+  FROM pe CROSS JOIN bounds
+),
+m AS (
+  SELECT CAST(COUNT(DISTINCT user_id) FILTER (period = 0) AS BIGINT) AS u0,
+         CAST(COUNT(DISTINCT user_id) FILTER (period = 1) AS BIGINT) AS u1,
+         CAST(COUNT(*) FILTER (period = 0) AS BIGINT) AS e0,
+         CAST(COUNT(*) FILTER (period = 1) AS BIGINT) AS e1,
+         CAST(COALESCE(SUM(cents) FILTER (period = 0), 0) AS BIGINT) AS v0,
+         CAST(COALESCE(SUM(cents) FILTER (period = 1), 0) AS BIGINT) AS v1
+  FROM tagged
+),
+r AS (
+  SELECT *, {_KPI["epu0"]} AS epu0, {_KPI["epu1"]} AS epu1,
+         {_KPI["vpe0"]} AS vpe0, {_KPI["vpe1"]} AS vpe1
+  FROM m WHERE u0 > 0 AND u1 > 0 AND e0 > 0 AND e1 > 0
+)
+SELECT u0, u1, e0, e1, v0 AS v0_cents, v1 AS v1_cents,
+       {_KPI["contrib_users"]} AS contrib_users,
+       {_KPI["contrib_freq"]} AS contrib_freq,
+       {_KPI["contrib_value"]} AS contrib_value
+FROM r
+""",
+    doc="KPI DECOMPOSITION / metric-tree driver analysis: the "
+    "period-over-period change in total event value is attributed to "
+    "its three factors (active users x events-per-user x "
+    "value-per-event) by sequential substitution -- the 'why did the "
+    "metric move' readout every BI review starts from.  All base "
+    "quantities are exact integers from ONE conditional-aggregation "
+    "scan (distinct users per period folded in the same pass); each "
+    "contribution is a fixed-order IEEE expression shared verbatim "
+    "with the oracle.  The three contributions sum to V1-V0 by "
+    "construction (up to the final rounding of each term); degenerate "
+    "periods are excluded identically on both sides.",
+    tags=("events", "kpi", "aggregation", "stats"),
+)
+def events_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pe = events.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+    )
+    bounds = pe.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    tagged = pe.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "cents",
+        F.expr(
+            "case when t - lo < (hi - lo) div 2 then 0 else 1 end"
+        ).alias("period"),
+    )
+    m = tagged.agg(
+        F.countDistinct(
+            F.when(F.col("period") == 0, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("u0"),
+        F.countDistinct(
+            F.when(F.col("period") == 1, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("u1"),
+        F.expr("cast(count_if(period = 0) as bigint)").alias("e0"),
+        F.expr("cast(count_if(period = 1) as bigint)").alias("e1"),
+        F.expr(
+            "cast(coalesce(sum(case when period = 0 then cents end), 0)"
+            " as bigint)"
+        ).alias("v0"),
+        F.expr(
+            "cast(coalesce(sum(case when period = 1 then cents end), 0)"
+            " as bigint)"
+        ).alias("v1"),
+    )
+    r = m.where("u0 > 0 and u1 > 0 and e0 > 0 and e1 > 0").select(
+        "*",
+        F.expr(_KPI["epu0"]).alias("epu0"),
+        F.expr(_KPI["epu1"]).alias("epu1"),
+        F.expr(_KPI["vpe0"]).alias("vpe0"),
+        F.expr(_KPI["vpe1"]).alias("vpe1"),
+    )
+    return r.select(
+        "u0",
+        "u1",
+        "e0",
+        "e1",
+        F.col("v0").alias("v0_cents"),
+        F.col("v1").alias("v1_cents"),
+        F.expr(_KPI["contrib_users"]).alias("contrib_users"),
+        F.expr(_KPI["contrib_freq"]).alias("contrib_freq"),
+        F.expr(_KPI["contrib_value"]).alias("contrib_value"),
+    )
