@@ -29,6 +29,15 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 
 
+# ROUND-6 TODO (evidence): the ~25 queries added late in round 5 (bloom
+# lookup, coreset, CUPED, heavy hitters, bootstrap, l-diversity, GDPR,
+# funnel exclusion, inverted index, backtest, Holt, entity resolution,
+# PMI, uplift, DAU/WAU, gzip scan, snapshot time travel, the pyds
+# connector trio, norms-arrow, streaks UDTF, observe, SRM, KPI decomp)
+# register PAST the 50-query driver window and ship round 5 with
+# local-gate evidence only -- front them in the round-6 reorder once the
+# round-5 sample lands.
+#
 # Evidence-driven ordering, round 5: the external driver cross-checks the
 # FIRST 50 registered queries each round.  After round 4, 159 of 201
 # registered queries hold a cumulative green driver CORRECTNESS row; the
