@@ -751,3 +751,159 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_a",
         "supp_b",
     ).limit(LINKPRED_TOP)
+
+
+# --- Random-walk corpus generation (DeepWalk/node2vec input stage) ------------
+
+RW_WALKS = 2  # walks per start node
+RW_STEPS = 4  # steps per walk
+RW_P = 1_000_000_007
+
+
+def _rw_hash_d(start: str, walk: str, step: int) -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+
+    expr = (
+        f"CAST({start} AS VARCHAR) || ':' || CAST({walk} AS VARCHAR)"
+        f" || ':{step}'"
+    )
+    return hash64_sql_duckdb(expr, "rw")
+
+
+def _rw_hash_s(start: str, walk: str, step: int) -> str:
+    from ..functions.hashing import hash64_sql_spark
+
+    expr = (
+        f"concat(cast({start} as string), ':', cast({walk} as string),"
+        f" ':{step}')"
+    )
+    return hash64_sql_spark(expr, "rw")
+
+
+def _random_walks_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for t in range(1, RW_STEPS + 1):
+        h = _rw_hash_d("w.start_node", "w.walk_id", t)
+        steps.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w.start_node, w.walk_id,
+         a.nbrs[CAST({h} % a.deg AS INT) + 1] AS cur,
+         (w.chk * 31 + a.nbrs[CAST({h} % a.deg AS INT) + 1]) % {RW_P}
+           AS chk
+  FROM {prev} w JOIN adj a ON a.src = w.cur
+)"""
+        )
+        prev = f"w{t}"
+    chain = ",\n".join(steps)
+    return f"""WITH eraw AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey * 2 + 1 AS a, o.o_custkey * 2 AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM eraw
+ UNION ALL SELECT b AS src, a AS dst FROM eraw),
+adj AS MATERIALIZED (
+  SELECT src, list_sort(list(dst)) AS nbrs,
+         CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges GROUP BY src
+),
+w0 AS (
+  SELECT src AS start_node, wk.walk_id, src AS cur,
+         CAST(src % {RW_P} AS BIGINT) AS chk
+  FROM (SELECT DISTINCT src FROM edges)
+  CROSS JOIN (SELECT unnest([0, 1]) AS walk_id) wk
+),
+{chain}
+SELECT start_node, CAST(walk_id AS INT) AS walk_id,
+       CAST(cur AS BIGINT) AS final_node,
+       CAST(chk AS BIGINT) AS path_chk
+FROM {prev}
+"""
+
+
+@register(
+    "graph_random_walks",
+    oracle=_random_walks_oracle(),
+    doc=f"RANDOM-WALK corpus generation over the trading network -- the "
+    f"input stage of DeepWalk/node2vec graph embeddings: {RW_WALKS} "
+    f"walks of {RW_STEPS} steps start from every node, and each step "
+    "picks the next neighbor by a portable hash of (start, walk, step) "
+    "modulo the node's degree over its SORTED adjacency list -- the "
+    "deterministic stand-in for uniform sampling that both engines "
+    "replay bit-identically; the per-walk rolling checksum pins the "
+    "entire path, not just its endpoint.  Plan shape: the adjacency "
+    "list builds once and is locally checkpointed (a leaf, so its "
+    "aggregate exchange cannot pin vanilla 200-task stages), then each "
+    "step is ONE co-partitioned join of the walk frontier against it "
+    "-- walk state is |V|*walks rows regardless of step count, the "
+    "standard distributed-walk shape (at 100 TB the frontier join "
+    "shuffles on cur like any Pregel superstep).",
+    tags=("graph", "random-walk", "iterative", "embedding"),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    eraw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("a"),
+            (F.col("o_custkey") * 2).alias("b"),
+        )
+        .distinct()
+    )
+    edges = eraw.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        eraw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    adj = (
+        edges.groupBy("src")
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"),
+            F.count(F.lit(1)).cast("bigint").alias("deg"),
+        )
+        .localCheckpoint()
+    )
+    walks = (
+        edges.select("src")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                adj.sparkSession.range(RW_WALKS).select(
+                    F.col("id").cast("int").alias("walk_id")
+                )
+            )
+        )
+        .select(
+            F.col("src").alias("start_node"),
+            "walk_id",
+            F.col("src").alias("cur"),
+            F.expr(f"cast(src % {RW_P} as bigint)").alias("chk"),
+        )
+    )
+    for t in range(1, RW_STEPS + 1):
+        h = _rw_hash_s("start_node", "walk_id", t)
+        step = (
+            walks.join(adj, walks.cur == adj.src)
+            .select(
+                "start_node",
+                "walk_id",
+                F.expr(
+                    f"element_at(nbrs, cast({h} % deg as int) + 1)"
+                ).alias("nxt"),
+                "chk",
+            )
+            .select(
+                "start_node",
+                "walk_id",
+                F.col("nxt").alias("cur"),
+                F.expr(f"(chk * 31 + nxt) % {RW_P}").alias("chk"),
+            )
+        )
+        walks = step
+    return walks.select(
+        "start_node",
+        F.col("walk_id").cast("int").alias("walk_id"),
+        F.col("cur").cast("bigint").alias("final_node"),
+        F.col("chk").cast("bigint").alias("path_chk"),
+    )
