@@ -340,6 +340,7 @@ def kcenter_select(
     center_qv = list(seed["qv"])
     mind = None  # column expression state folded into a materialized frame
     cur = q
+    prev_round = None
     for r in range(2, k + 2):
         arr = "array(" + ",".join(f"{v}L" for v in center_qv) + ")"
         dist = (
@@ -358,6 +359,13 @@ def kcenter_select(
         _track_persist(cur)
         mind = "mind"
         top = cur.orderBy(F.desc("mind"), F.asc("vec_id")).first()
+        # cur is materialized now; the round before it can never be read
+        # again -- free it so peak cache stays at 2 frames, not k+1 (the
+        # 2M-vector probe tier would otherwise pin multi-GB of dead
+        # copies until release_caches()).
+        if prev_round is not None:
+            prev_round.unpersist()
+        prev_round = cur
         picks.append((r, top["vec_id"], int(top["mind"])))
         center_qv = list(top["qv"])
     return picks

@@ -3850,6 +3850,56 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# Shared pre/post-period covariate block (CUPED + uplift): per-user
+# integer-cents spend in each half of the global time range, split at the
+# integer-micros midpoint.  ONE definition on each side -- a midpoint or
+# coalesce change cannot silently diverge the consumers.
+_PRE_POST_CTE_D = """pe AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) AS t
+  FROM events
+),
+bounds AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM pe),
+per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN t - lo < (hi - lo) // 2 THEN cents END),
+                       0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN t - lo >= (hi - lo) // 2 THEN cents END),
+                       0) AS BIGINT) AS y
+  FROM pe CROSS JOIN bounds
+  GROUP BY user_id
+)"""
+
+
+def _per_user_pre_post(events: DataFrame) -> DataFrame:
+    """Spark twin of _PRE_POST_CTE_D: per-user (x, y) = pre/post cents."""
+    pe = events.select(
+        "user_id",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+        F.expr("unix_micros(ts)").alias("t"),
+    )
+    bounds = pe.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    return (
+        pe.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "cast(coalesce(sum(case when t - lo < (hi - lo) div 2"
+                " then cents end), 0) as bigint)"
+            ).alias("x"),
+            F.expr(
+                "cast(coalesce(sum(case when t - lo >= (hi - lo) div 2"
+                " then cents end), 0) as bigint)"
+            ).alias("y"),
+        )
+    )
+
+
 # --- CUPED variance-reduced experiment readout -------------------------------
 # Companion to events_ab_welch_ttest: the industry-standard pre-experiment
 # covariate adjustment (Deng et al., WSDM 2013).  Each user's PRE-period
@@ -3896,22 +3946,7 @@ _CUPED = _cuped_snippets()
 @register(
     "events_ab_cuped",
     oracle=f"""
-WITH pe AS (
-  SELECT user_id,
-         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-         epoch_us(ts) AS t
-  FROM events
-),
-bounds AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM pe),
-per_user AS (
-  SELECT user_id,
-         CAST(COALESCE(SUM(CASE WHEN t - lo < (hi - lo) // 2 THEN cents END),
-                       0) AS BIGINT) AS x,
-         CAST(COALESCE(SUM(CASE WHEN t - lo >= (hi - lo) // 2 THEN cents END),
-                       0) AS BIGINT) AS y
-  FROM pe CROSS JOIN bounds
-  GROUP BY user_id
-),
+WITH {_PRE_POST_CTE_D},
 armed AS (
   SELECT x, y,
          {hash64_sql_duckdb("CAST(user_id AS VARCHAR)", "ab")} % 2 AS arm
@@ -3976,28 +4011,7 @@ FROM adj
 )
 def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    pe = events.select(
-        "user_id",
-        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
-            "cents"
-        ),
-        F.expr("unix_micros(ts)").alias("t"),
-    )
-    bounds = pe.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
-    per_user = (
-        pe.crossJoin(F.broadcast(bounds))
-        .groupBy("user_id")
-        .agg(
-            F.expr(
-                "cast(coalesce(sum(case when t - lo < (hi - lo) div 2"
-                " then cents end), 0) as bigint)"
-            ).alias("x"),
-            F.expr(
-                "cast(coalesce(sum(case when t - lo >= (hi - lo) div 2"
-                " then cents end), 0) as bigint)"
-            ).alias("y"),
-        )
-    )
+    per_user = _per_user_pre_post(events)
     armed = per_user.select(
         "x",
         "y",
@@ -4864,22 +4878,7 @@ def join_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_uplift_deciles",
     oracle=f"""
-WITH pe AS (
-  SELECT user_id,
-         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-         epoch_us(ts) AS t
-  FROM events
-),
-bounds AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM pe),
-per_user AS (
-  SELECT user_id,
-         CAST(COALESCE(SUM(CASE WHEN t - lo < (hi - lo) // 2 THEN cents END),
-                       0) AS BIGINT) AS x,
-         CAST(COALESCE(SUM(CASE WHEN t - lo >= (hi - lo) // 2 THEN cents END),
-                       0) AS BIGINT) AS y
-  FROM pe CROSS JOIN bounds
-  GROUP BY user_id
-),
+WITH {_PRE_POST_CTE_D},
 armed AS (
   SELECT x, y,
          {hash64_sql_duckdb("CAST(user_id AS VARCHAR)", "ab")} % 2 AS arm,
@@ -4931,28 +4930,7 @@ ORDER BY decile
 )
 def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    pe = events.select(
-        "user_id",
-        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
-            "cents"
-        ),
-        F.expr("unix_micros(ts)").alias("t"),
-    )
-    bounds = pe.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
-    per_user = (
-        pe.crossJoin(F.broadcast(bounds))
-        .groupBy("user_id")
-        .agg(
-            F.expr(
-                "cast(coalesce(sum(case when t - lo < (hi - lo) div 2"
-                " then cents end), 0) as bigint)"
-            ).alias("x"),
-            F.expr(
-                "cast(coalesce(sum(case when t - lo >= (hi - lo) div 2"
-                " then cents end), 0) as bigint)"
-            ).alias("y"),
-        )
-    )
+    per_user = _per_user_pre_post(events)
     armed = per_user.select(
         "x",
         "y",

@@ -93,15 +93,10 @@ class NdjsonRangesDataSource(DataSource):
         return _NdjsonRangeReader(self.options)
 
 
-_REGISTERED_SESSIONS: set[int] = set()
-
-
 def read_ndjson_ranges(spark, path: str, n_splits: int = 4):
-    """Register the source once per session and read ``path`` through it."""
-    key = id(spark)
-    if key not in _REGISTERED_SESSIONS:
-        spark.dataSource.register(NdjsonRangesDataSource)
-        _REGISTERED_SESSIONS.add(key)
+    """Register the source (idempotent -- a session-id cache would break
+    when id() is reused after GC) and read ``path`` through it."""
+    spark.dataSource.register(NdjsonRangesDataSource)
     return (
         spark.read.format("jfipb_ndjson_ranges")
         .option("path", path)
@@ -129,10 +124,18 @@ class _ReplayStreamReader:
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
         self.chunk = int(options.get("chunk", "256"))
+        self._lines_cache: list[bytes] | None = None
 
     def _lines(self) -> list[bytes]:
-        with open(self.path, "rb") as fh:
-            return [ln for ln in fh.read().split(b"\n") if ln]
+        # Cached per reader instance: read() / readBetweenOffsets() are
+        # called once per micro-batch, and re-splitting the whole corpus
+        # each time makes the driver O(L^2/chunk) over a replay.
+        if self._lines_cache is None:
+            with open(self.path, "rb") as fh:
+                self._lines_cache = [
+                    ln for ln in fh.read().split(b"\n") if ln
+                ]
+        return self._lines_cache
 
     def initialOffset(self) -> dict:
         return {"line": 0}
@@ -178,14 +181,8 @@ class NdjsonReplayStreamSource(DataSource):
         return _R(self.options)
 
 
-_STREAM_REGISTERED: set[int] = set()
-
-
 def read_ndjson_replay_stream(spark, path: str, chunk: int = 256):
-    key = id(spark)
-    if key not in _STREAM_REGISTERED:
-        spark.dataSource.register(NdjsonReplayStreamSource)
-        _STREAM_REGISTERED.add(key)
+    spark.dataSource.register(NdjsonReplayStreamSource)
     return (
         spark.readStream.format("jfipb_ndjson_replay")
         .option("path", path)
@@ -227,7 +224,7 @@ class _NdjsonStreamWriter(DataSourceStreamWriter):
             self.path, "data", f"part-{part}-{uuid.uuid4().hex}.ndjson"
         )
         n = 0
-        with open(fname, "w") as fh:
+        with open(fname, "w", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write(row[0])
                 fh.write("\n")
@@ -284,7 +281,4 @@ def committed_files(path: str) -> list[str]:
 
 
 def register_ndjson_sink(spark) -> None:
-    key = ("sink", id(spark))
-    if key not in _STREAM_REGISTERED:
-        spark.dataSource.register(NdjsonManifestSink)
-        _STREAM_REGISTERED.add(key)
+    spark.dataSource.register(NdjsonManifestSink)

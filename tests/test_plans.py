@@ -363,7 +363,7 @@ def test_pyds_ndjson_split_invariance(spark):
             base = rows
         else:
             assert rows == base, f"split count {k} changed the content"
-    assert base and len(base) == len(set(base)) or True  # content compared
+    assert base, "source returned no rows for any split count"
 
 
 def test_pyds_sink_orphans_invisible(spark, sf_dir):

