@@ -5248,3 +5248,96 @@ def events_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KPI["contrib_freq"]).alias("contrib_freq"),
         F.expr(_KPI["contrib_value"]).alias("contrib_value"),
     )
+
+
+# --- Time-to-activation (distinct-action milestone) ----------------------------
+
+_ACT_K = 3  # distinct event types that define "activated"
+
+
+@register(
+    "events_time_to_activation",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+),
+firsts AS (
+  -- first occurrence of each (user, event_type)
+  SELECT user_id, event_type, MIN(t) AS t_first_type
+  FROM e GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, t_first_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY t_first_type,
+                            event_type) AS k
+  FROM firsts
+),
+u AS (
+  SELECT user_id, MIN(t) AS t_start FROM e GROUP BY user_id
+),
+act AS (
+  SELECT r.user_id, r.t_first_type AS t_act, u.t_start
+  FROM ranked r JOIN u ON u.user_id = r.user_id
+  WHERE r.k = {_ACT_K}
+)
+SELECT CAST((t_act - t_start) // 86400000000 AS BIGINT) AS days_to_activation,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(t_act - t_start) AS BIGINT) AS sum_lag_us
+FROM act
+GROUP BY 1
+ORDER BY 1
+""",
+    doc="TIME-TO-ACTIVATION funnel -- the onboarding metric growth teams "
+    f"tune against: a user activates when they have performed {_ACT_K} "
+    "DISTINCT event types, and the readout is the distribution of "
+    "days from their first event to that milestone (plus the exact "
+    "integer-microsecond lag sum per bucket for downstream means).  "
+    "Plan shape: first-occurrence per (user, type) is one grouped min; "
+    "the k-th distinct action falls out of a row_number over that "
+    "TYPE-LEVEL frame (|users| x |types| rows -- never the raw event "
+    "stream) with a deterministic (time, type) tiebreak; one join "
+    "back to the per-user start.  Everything shuffles on user_id "
+    "once; all arithmetic is integer micros.",
+    tags=("events", "activation", "window", "funnel"),
+)
+def events_time_to_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        "event_type",
+    )
+    firsts = e.groupBy("user_id", "event_type").agg(
+        F.min("t").alias("t_first_type")
+    )
+    ranked = firsts.select(
+        "user_id",
+        "t_first_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                "t_first_type", "event_type"
+            )
+        )
+        .alias("k"),
+    )
+    u = e.groupBy("user_id").agg(F.min("t").alias("t_start"))
+    act = (
+        ranked.where(F.col("k") == _ACT_K)
+        .join(u, "user_id")
+        .select(
+            (F.col("t_first_type") - F.col("t_start")).alias("lag_us")
+        )
+    )
+    return (
+        act.groupBy(
+            F.expr("lag_us div 86400000000")
+            .cast("bigint")
+            .alias("days_to_activation")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("lag_us").cast("bigint").alias("sum_lag_us"),
+        )
+        .orderBy("days_to_activation")
+    )
