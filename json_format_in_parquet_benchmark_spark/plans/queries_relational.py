@@ -5341,3 +5341,66 @@ def events_time_to_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("days_to_activation")
     )
+
+
+# --- Market concentration (Herfindahl-Hirschman index) --------------------------
+
+
+@register(
+    "suppliers_market_hhi",
+    oracle="""
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+)
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+         / (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS hhi
+FROM rev
+GROUP BY s_nationkey
+HAVING SUM(cents) > 0
+ORDER BY s_nationkey
+""",
+    doc="Market-concentration HHI per supplier nation -- the antitrust / "
+    "supply-risk metric: the Herfindahl-Hirschman index sum(share_i^2) "
+    "computed WITHOUT ever materializing shares, as "
+    "sum(cents_i^2) / (sum(cents_i))^2 -- integer numerators and ONE "
+    "final double division per nation, so the cross-engine hash is "
+    "exact (both engines square-sum in a 128-bit domain -- HUGEINT / "
+    "DECIMAL(38,0) -- then convert the same integer to double).  An HHI near 1 means one supplier owns the nation's "
+    "flow (procurement risk); near 1/n means perfect fragmentation.  "
+    "Plan: one grouped sum per (nation, supplier), one nation rollup "
+    "-- two map-side-combinable aggregates, no join-back.",
+    tags=("relational", "aggregation", "concentration", "stats"),
+)
+def suppliers_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.expr(
+                "cast(sum(cast(cast(l_extendedprice as decimal(18,2))"
+                " * 100 as bigint)) as bigint)"
+            ).alias("cents")
+        )
+    )
+    return (
+        rev.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.expr(
+                "cast(sum(cast(cents as decimal(38,0)) * cents) as double)"
+                " / (cast(sum(cents) as double) * cast(sum(cents) as double))"
+            ).alias("hhi"),
+        )
+        .where("total_cents > 0")
+        .orderBy("s_nationkey")
+    )
