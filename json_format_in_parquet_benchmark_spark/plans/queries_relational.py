@@ -5404,3 +5404,75 @@ def suppliers_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("total_cents > 0")
         .orderBy("s_nationkey")
     )
+
+
+# --- Spend inequality (exact Gini coefficient) ----------------------------------
+
+
+@register(
+    "customers_gini_spend",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk
+  FROM spend
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total,
+         CAST(SUM(rk * cents) AS BIGINT) AS wsum
+  FROM ranked
+)
+SELECT n AS n_customers, total AS total_cents,
+       CAST(2 * wsum - (n + 1) * total AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+FROM m WHERE total > 0
+""",
+    doc="Exact GINI COEFFICIENT of customer spend -- the inequality "
+    "diagnostic behind 'what share of revenue do the top customers "
+    "carry' (pairs with suppliers_market_hhi and parts_abc_pareto as "
+    "the concentration family): the rank formula "
+    "(2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over cents ranked "
+    "ascending with a deterministic custkey tiebreak (ties don't "
+    "change the value -- equal x_i swap freely in the weighted sum "
+    "only by equal terms... they receive consecutive ranks whose "
+    "weights sum identically under any tie order).  Integer "
+    "numerators, ONE IEEE division.  Plan: per-customer grouped sum, "
+    "a global rank (single ordered pass -- at 100 TB customers, not "
+    "events, and a rank over a pre-aggregated frame), one moment row.",
+    tags=("relational", "aggregation", "concentration", "stats"),
+)
+def customers_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100"
+            " as bigint)) as bigint)"
+        ).alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("rk") * F.col("cents")).cast("bigint").alias("wsum"),
+    )
+    return m.where("total > 0").select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.expr(
+            "cast(2 * wsum - (n + 1) * total as double)"
+            " / (cast(n as double) * cast(total as double))"
+        ).alias("gini"),
+    )
