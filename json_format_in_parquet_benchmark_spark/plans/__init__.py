@@ -33,7 +33,8 @@ from . import queries_pipeline  # noqa: E402,F401
 # lookup, coreset, CUPED, heavy hitters, bootstrap, l-diversity, GDPR,
 # funnel exclusion, inverted index, backtest, Holt, entity resolution,
 # PMI, uplift, DAU/WAU, gzip scan, snapshot time travel, the pyds
-# connector trio, norms-arrow, streaks UDTF, observe, SRM, KPI decomp)
+# connector trio, norms-arrow, streaks UDTF, observe, SRM, KPI decomp,
+# random walks, time-to-activation, HHI, Gini)
 # register PAST the 50-query driver window and ship round 5 with
 # local-gate evidence only -- front them in the round-6 reorder once the
 # round-5 sample lands.
