@@ -2102,3 +2102,92 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_odds"), "w1", "w2"
     ).limit(_PMI_TOP)
+
+
+# --- Term burstiness (dispersion / Fano factor) --------------------------------
+
+_BURST_MIN_DOCS = 10
+_BURST_TOP = 20
+
+
+@register(
+    "text_term_burstiness",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_D} AS t FROM documents
+),
+n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+tf AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+),
+per_doc AS (
+  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tf GROUP BY w, doc_id
+),
+stats AS (
+  SELECT w,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per_doc GROUP BY w
+),
+scored AS (
+  -- Fano factor over ALL docs (zeros included): var/mean
+  -- = (n*s2 - s1^2) / (n*s1)  -- integer numerator, one division.
+  SELECT s.w, s.df, s.s1, s.s2,
+         CAST(nd.n * s.s2 - s.s1 * s.s1 AS DOUBLE)
+           / CAST(nd.n * s.s1 AS DOUBLE) AS fano
+  FROM stats s CROSS JOIN n_docs nd
+  WHERE s.df >= {_BURST_MIN_DOCS} AND s.s1 > 0
+)
+SELECT w, df, s1, s2, fano FROM scored
+ORDER BY fano DESC, w
+LIMIT {_BURST_TOP}
+""",
+    doc="TERM BURSTINESS by the exact Fano factor (variance-to-mean of "
+    "per-document counts, zeros included): bursty terms concentrate "
+    "their occurrences in few documents (content words, names, spam "
+    "signatures) while function words spread evenly near Fano=1 -- "
+    "the dispersion diagnostic behind Church-Gale burstiness, "
+    "stop-list induction and spam-phrase surfacing.  Exactness: "
+    "(n*s2 - s1^2)/(n*s1) from integer per-doc count moments, one "
+    "IEEE division; the min-df support filter and (fano, word) "
+    "ordering make the top-k cut deterministic.  Plan: one token "
+    "explode, two vocabulary-keyed map-side-combinable aggregates, a "
+    "broadcast scalar -- corpus touched once.",
+    tags=("text", "statistics", "burstiness"),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS_S).alias("t"))
+    _track_persist(toks)
+    n_docs = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per_doc = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stats = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    scored = (
+        stats.where(
+            (F.col("df") >= _BURST_MIN_DOCS) & (F.col("s1") > 0)
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w",
+            "df",
+            "s1",
+            "s2",
+            F.expr(
+                "cast(n * s2 - s1 * s1 as double)"
+                " / cast(n * s1 as double)"
+            ).alias("fano"),
+        )
+    )
+    return scored.orderBy(F.desc("fano"), "w").limit(_BURST_TOP)
