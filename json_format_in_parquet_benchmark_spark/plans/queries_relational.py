@@ -4603,6 +4603,7 @@ FROM flags
     "integer micros; delay sum emitted as an integer so no double "
     "ever forms.",
     tags=("events", "funnel", "pattern", "join"),
+    bench=True,
 )
 def events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _track_persist
@@ -4927,6 +4928,7 @@ ORDER BY decile
     "user_id shuffle, a rank over the per-user frame (users, not "
     "events), one 10-row rollup.",
     tags=("events", "experimentation", "uplift", "window"),
+    bench=True,
 )
 def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -5377,6 +5379,7 @@ ORDER BY s_nationkey
     "Plan: one grouped sum per (nation, supplier), one nation rollup "
     "-- two map-side-combinable aggregates, no join-back.",
     tags=("relational", "aggregation", "concentration", "stats"),
+    bench=True,
 )
 def suppliers_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
