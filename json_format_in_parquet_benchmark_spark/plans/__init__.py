@@ -34,7 +34,8 @@ from . import queries_pipeline  # noqa: E402,F401
 # funnel exclusion, inverted index, backtest, Holt, entity resolution,
 # PMI, uplift, DAU/WAU, gzip scan, snapshot time travel, the pyds
 # connector trio, norms-arrow, streaks UDTF, observe, SRM, KPI decomp,
-# random walks, time-to-activation, HHI, Gini)
+# random walks, time-to-activation, HHI, Gini, burstiness, planted
+# corpus generator)
 # register PAST the 50-query driver window and ship round 5 with
 # local-gate evidence only -- front them in the round-6 reorder once the
 # round-5 sample lands.
