@@ -600,6 +600,23 @@ def _local_checkpoint_rdd(df: DataFrame):
     return None
 
 
+class _CheckpointHandle:
+    """Duck-typed stand-in registered in ``_ACTIVE_CACHES`` for the FINAL
+    locally-checkpointed label frame: ``release_caches`` calls
+    ``unpersist()`` on every tracked entry, which is a no-op on the
+    checkpointed DataFrame itself, so this handle frees the underlying
+    checkpointed RDD's blocks instead.  Freed only when a DIFFERENT query's
+    build releases the owner's caches -- the same already-consumed
+    assumption every tracked persist makes (the checkpoint is merely
+    non-recomputable rather than recomputable after release)."""
+
+    def __init__(self, jrdd) -> None:
+        self._jrdd = jrdd
+
+    def unpersist(self) -> None:
+        _free_checkpoint_rdd(self._jrdd)
+
+
 def _free_checkpoint_rdd(jrdd) -> None:
     """Release a locally-checkpointed RDD's blocks (non-blocking).
 
@@ -763,6 +780,13 @@ def connected_components(
             stacklevel=2,
         )
     _ACTIVE_CACHES.append((_CACHE_OWNER[0], labels))
+    if prev_ckpt_rdd is not None:
+        # The final checkpoint's blocks are invisible to labels.unpersist()
+        # (they belong to the checkpointed internal RDD, not the
+        # CacheManager); track them so release_caches reclaims them when
+        # this query's caches are released instead of pinning them for the
+        # life of the session.
+        _ACTIVE_CACHES.append((_CACHE_OWNER[0], _CheckpointHandle(prev_ckpt_rdd)))
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 

@@ -3222,11 +3222,14 @@ def dq_fd_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT n_nationkey AS box_id,
        COUNT(*) AS n_points,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events, nation
-WHERE (event_id * 2654435761) % 180000 >= n_nationkey * 7200
-  AND (event_id * 2654435761) % 180000 <  n_nationkey * 7200 + 14400
-  AND (event_id * 1597334677) % 360000 >= ((n_nationkey * 13) % 24) * 15000
-  AND (event_id * 1597334677) % 360000 <  ((n_nationkey * 13) % 24) * 15000 + 30000
+FROM (SELECT value,
+             (('0x' || substr(md5('lat:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 180000 AS plat,
+             (('0x' || substr(md5('lon:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 360000 AS plon
+      FROM events), nation
+WHERE plat >= n_nationkey * 7200
+  AND plat <  n_nationkey * 7200 + 14400
+  AND plon >= ((n_nationkey * 13) % 24) * 15000
+  AND plon <  ((n_nationkey * 13) % 24) * 15000 + 30000
 GROUP BY 1
 """,
     doc="Spatial grid join (point-in-box): the inequality join every naive "
@@ -3236,7 +3239,10 @@ GROUP BY 1
     "and the containment predicate runs only on cell-collided pairs.  A "
     "(point, box) pair can collide only in the point's own cell, so no "
     "dedup is needed.  Coordinates are derived deterministically from "
-    "event_id (Knuth multiplicative hashes) on a NON-NEGATIVE milli-degree "
+    "event_id via the repo's portable 60-bit md5 hash (always non-negative "
+    "in int64, no overflow at ANY id range -- a Knuth multiplicative hash "
+    "would wrap negative in Spark and raise in DuckDB past event_id~3.5e9) "
+    "on a NON-NEGATIVE milli-degree "
     "grid so integer division floors identically in both engines; boxes "
     "come from the 25-row nation table and are broadcast.  The oracle is "
     "the plain theta join -- same result, quadratic plan.",
@@ -3245,11 +3251,13 @@ GROUP BY 1
 )
 def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = 15_000  # milli-degrees; box lat span 14400 <= cell, lon span 2 cells
+    lat_h = hash64_sql_spark("cast(event_id as string)", salt="lat:")
+    lon_h = hash64_sql_spark("cast(event_id as string)", salt="lon:")
     points = load_table(spark, sf_dir, "events").selectExpr(
         "event_id",
         "value",
-        "(event_id * 2654435761L) % 180000 AS plat",
-        "(event_id * 1597334677L) % 360000 AS plon",
+        f"({lat_h}) % 180000 AS plat",
+        f"({lon_h}) % 360000 AS plon",
     )
     boxes = load_table(spark, sf_dir, "nation").selectExpr(
         "n_nationkey AS box_id",
@@ -4222,7 +4230,9 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"unix_micros(ts) div {_BM_DAY_US}").alias("day"),
         "user_id",
     ).distinct()
-    bm = (
+    from ..operators.dedup import _track_persist
+
+    bm = _track_persist(
         pres.groupBy(
             "day", F.expr("user_id div 63").alias("word")
         )
@@ -4232,7 +4242,6 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " cast(user_id % 63 as int))) as bigint)"
             ).alias("mask")
         )
-        .persist()
     )
     day_n = bm.groupBy("day").agg(
         F.expr("cast(sum(bit_count(mask)) as bigint)").alias("n_active")

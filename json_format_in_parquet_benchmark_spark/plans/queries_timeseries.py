@@ -784,8 +784,10 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * 1e-6) as bigint)"
             ).alias("d2_q"),
         )
-        .persist()
     )
+    from ..operators.dedup import _track_persist
+
+    dev = _track_persist(dev)
     denom = dev.groupBy("event_type").agg(
         F.sum("d2_q").cast("bigint").alias("ss_q")
     )

@@ -203,11 +203,20 @@ class _NdjsonSinkMessage(WriterCommitMessage):
 class _NdjsonStreamWriter(DataSourceStreamWriter):
     """DataSourceStreamWriter writing one NDJSON file per task, committed
     EXACTLY-ONCE via a manifest: tasks write data files freely (a retried
-    task leaves an orphan), and the driver-side commit() appends the batch's
-    file list to _manifest.jsonl LAST -- readers trust only manifest-listed
-    files, so orphans and aborted batches are invisible.  The same
-    manifest-last ordering as sink_snapshot_time_travel, here at micro-batch
-    granularity."""
+    task leaves an orphan), and the driver-side commit() publishes the
+    batch's file list LAST -- readers trust only manifest-listed files, so
+    orphans and aborted batches are invisible.  The same manifest-last
+    ordering as sink_snapshot_time_travel, here at micro-batch granularity.
+
+    Idempotence: the manifest is one file PER batchId
+    (_manifest/batch-<id>.json), published by write-to-temp + atomic
+    os.replace.  A micro-batch replayed after a restart (commit ran but the
+    engine's own commit log had not yet recorded the batch) re-runs commit()
+    for the same batchId and simply overwrites the batch's manifest file with
+    the fresh task outputs -- the stale file paths from the first attempt drop
+    out of committed_files(), so readers never see a batch twice.  The atomic
+    rename also means a crash mid-publish leaves either the old complete file
+    or none at all, never a torn JSON tail."""
 
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
@@ -242,8 +251,15 @@ class _NdjsonStreamWriter(DataSourceStreamWriter):
                 if m is not None and m.n_rows > 0
             ],
         }
-        with open(os.path.join(self.path, "_manifest.jsonl"), "a") as fh:
-            fh.write(json.dumps(entry) + "\n")
+        mdir = os.path.join(self.path, "_manifest")
+        os.makedirs(mdir, exist_ok=True)
+        final = os.path.join(mdir, f"batch-{int(batchId)}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(entry))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, final)  # atomic publish; replayed batchId overwrites
 
     def abort(self, messages, batchId) -> None:
         for m in messages:
@@ -267,16 +283,27 @@ class NdjsonManifestSink(DataSource):
 
 def committed_files(path: str) -> list[str]:
     """Files listed by the sink's manifest -- the only files a reader may
-    trust."""
+    trust.  One manifest file per batch; batches are returned in batchId
+    order.  An unparseable manifest file is by definition an uncommitted
+    batch (the atomic-rename publish makes this near-impossible, but a
+    defensive reader never fails on someone else's torn write) and is
+    skipped rather than raised."""
+    import glob as _glob
     import json
 
-    manifest = os.path.join(path, "_manifest.jsonl")
+    mdir = os.path.join(path, "_manifest")
     out: list[str] = []
-    if not os.path.exists(manifest):
+    if not os.path.isdir(mdir):
         return out
-    with open(manifest) as fh:
-        for line in fh:
-            out.extend(f["path"] for f in json.loads(line)["files"])
+    batches: list[tuple[int, list[str]]] = []
+    for mf in _glob.glob(os.path.join(mdir, "batch-*.json")):
+        try:
+            entry = json.loads(open(mf).read())
+            batches.append((int(entry["batch"]), [f["path"] for f in entry["files"]]))
+        except (ValueError, KeyError, OSError):
+            continue  # torn/partial manifest == uncommitted batch
+    for _, files in sorted(batches):
+        out.extend(files)
     return out
 
 

@@ -395,3 +395,30 @@ def test_pyds_sink_orphans_invisible(spark, sf_dir):
     n = spark.read.text(after).count()
     n_all = spark.read.text(os.path.join(out, "data")).count()
     assert n_all == n + 1, "orphan write did not land where expected"
+
+
+def test_pyds_sink_commit_replay_idempotent(tmp_path):
+    """Restart-replay contract: if a micro-batch is replayed after a restart
+    (commit() ran but the engine's offset log had not recorded the batch),
+    the second commit() for the same batchId must REPLACE the first attempt's
+    manifest entry, not append a duplicate -- committed_files() sees each
+    batch exactly once, with the replay's fresh file list."""
+    from json_format_in_parquet_benchmark_spark.sources.py_datasource import (
+        _NdjsonSinkMessage,
+        _NdjsonStreamWriter,
+        committed_files,
+    )
+
+    out = str(tmp_path / "sink")
+    w = _NdjsonStreamWriter({"path": out})
+    w.commit([_NdjsonSinkMessage(f"{out}/data/a0.ndjson", 3)], batchId=0)
+    w.commit([_NdjsonSinkMessage(f"{out}/data/b0.ndjson", 5)], batchId=1)
+    # replay of batch 1 after a simulated restart: fresh task output files
+    w.commit([_NdjsonSinkMessage(f"{out}/data/b1-replay.ndjson", 5)], batchId=1)
+    files = committed_files(out)
+    assert files == [f"{out}/data/a0.ndjson", f"{out}/data/b1-replay.ndjson"]
+
+    # torn/garbage manifest file == uncommitted batch: skipped, not raised
+    torn = tmp_path / "sink" / "_manifest" / "batch-2.json"
+    torn.write_text('{"batch": 2, "files": [{"pa')
+    assert committed_files(out) == files
