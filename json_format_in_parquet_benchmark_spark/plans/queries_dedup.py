@@ -78,9 +78,11 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _minhash_pairs_cte() -> str:
+def _minhash_pairs_cte(src: str = "documents") -> str:
     """CTE chain (no WITH prefix) ending in the verified near-dup `pairs`
     table -- shared by the pair query and the cluster query's oracle.
+    ``src`` is the (doc_id, text) relation to shingle -- `documents` for
+    the corpus queries, a generated CTE for the planted-recall harness.
 
     Cost notes (the oracle runs inside the driver's time-capped correctness
     pass): signatures aggregate k universal-hash permutations of ONE md5 per
@@ -104,7 +106,7 @@ def _minhash_pairs_cte() -> str:
     )
     return f"""docsets AS MATERIALIZED (
   SELECT doc_id, {shingles_duckdb(_TOKS_D, n)} AS shset
-  FROM documents
+  FROM {src}
 ),
 sh AS MATERIALIZED (
   SELECT doc_id, unnest(shset) AS sh FROM docsets
@@ -813,14 +815,198 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_recall_oracle() -> str:
+    """Recall of three dedup detectors against the PLANTED ground truth of
+    the generated corpus: the oracle regenerates the byte-identical corpus
+    (portable md5 text), derives the structural truth pairs, then re-runs
+    the banded MinHash chain over the full corpus plus pairwise SimHash /
+    4-shingle Jaccard restricted to the truth docs."""
+    from .queries_generator import DOCGEN_N, _docgen_text
+
+    N = DOCGEN_N
+    bits = SIMHASH_BITS
+    bit_sums = ",\n         ".join(
+        f"SUM((h >> {j}) & 1) AS b{j}" for j in range(bits)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN 2 * b{j} - n_tok >= 0 THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(range AS BIGINT) AS doc_id,
+         CASE WHEN range % 20 = 19 THEN range - 3
+              WHEN range % 20 = 18 THEN range - 2
+              ELSE range END AS src_id,
+         CAST(range % 20 = 18 AS INT) AS mutate
+  FROM range({N})
+),
+docs_g AS MATERIALIZED (
+  SELECT doc_id, {_docgen_text(spark_side=False)} AS text FROM base
+),
+truth AS MATERIALIZED (
+  SELECT src_id AS doc_a, doc_id AS doc_b, 'exact' AS kind
+  FROM base WHERE doc_id % 20 = 19
+  UNION ALL
+  SELECT src_id, doc_id, 'near' FROM base WHERE doc_id % 20 = 18
+  UNION ALL
+  SELECT doc_id, doc_id + 1, 'near'
+  FROM base WHERE doc_id % 20 = 18 AND doc_id + 1 < {N}
+),
+tdocs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM truth UNION ALL SELECT doc_b FROM truth
+  )
+),
+{_minhash_pairs_cte(src="docs_g")},
+tok AS (
+  SELECT d.doc_id,
+         ('0x' || substr(md5(unnest({_TOKS_D})), 1, 15))::BIGINT AS h
+  FROM docs_g d SEMI JOIN tdocs t ON d.doc_id = t.doc_id
+),
+sums AS (
+  SELECT doc_id,
+         {bit_sums},
+         COUNT(*) AS n_tok
+  FROM tok GROUP BY doc_id
+),
+sims AS MATERIALIZED (SELECT doc_id, {sim_expr} AS simhash FROM sums),
+sh4 AS MATERIALIZED (
+  SELECT doc_id, unnest({shingles_duckdb(_TOKS_D, NGRAM_N)}) AS sh
+  FROM docs_g SEMI JOIN tdocs USING (doc_id)
+),
+sizes4 AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh4 GROUP BY 1),
+inter4 AS (
+  SELECT t.doc_a, t.doc_b, COUNT(*) AS inter
+  FROM truth t
+  JOIN sh4 a ON a.doc_id = t.doc_a
+  JOIN sh4 b ON b.doc_id = t.doc_b AND a.sh = b.sh
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT t.kind, 'minhash_lsh' AS detector,
+         CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN pairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+  UNION ALL
+  SELECT t.kind, 'simhash',
+         CASE WHEN bit_count(xor(a.simhash, b.simhash))
+                   <= {SIMHASH_MAX_HAMMING} THEN 1 ELSE 0 END
+  FROM truth t
+  JOIN sims a ON a.doc_id = t.doc_a
+  JOIN sims b ON b.doc_id = t.doc_b
+  UNION ALL
+  SELECT t.kind, 'ngram_prefix',
+         CASE WHEN i.inter IS NOT NULL AND 5 * i.inter
+                   >= 2 * (sa.n_sh + sb.n_sh - i.inter) THEN 1 ELSE 0 END
+  FROM truth t
+  LEFT JOIN inter4 i ON i.doc_a = t.doc_a AND i.doc_b = t.doc_b
+  JOIN sizes4 sa ON sa.doc_id = t.doc_a
+  JOIN sizes4 sb ON sb.doc_id = t.doc_b
+)
+SELECT detector, kind AS dup_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(hit) AS BIGINT) AS n_found,
+       CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+FROM hits GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_planted_recall",
+    oracle=_planted_recall_oracle(),
+    doc="Measured recall of the three near-dup detectors against PLANTED "
+    "ground truth: the generated corpus (generator_documents_planted -- "
+    "every 20th doc an exact copy, every other 20th a one-token "
+    "near-dup) carries its truth pairs structurally, so recall needs no "
+    "reference-detector circularity: n_found/n_true per (detector, "
+    "dup_kind) for banded MinHash-LSH (probabilistic -- THE number a "
+    "100 TB run needs before committing banding knobs), band-blocked "
+    "SimHash at Hamming<=3, and the exact prefix-filtered 4-shingle "
+    "Jaccard (sanity arm: planted pairs all sit above threshold, so "
+    "its recall must be 1.0).  All three detectors and the corpus use "
+    "the portable md5 hash, so the oracle regenerates corpus, truth, "
+    "and detection byte-identically.  The scale probe runs the same "
+    "measurement at 5M docs (results/scale_probe.txt).",
+    tags=("dedup", "evaluation", "generator"),
+)
+def dedup_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        _track_persist,
+        ngram_jaccard_pairs_prefix,
+    )
+    from .queries_generator import DOCGEN_N, _docgen_text
+
+    base = spark.range(DOCGEN_N).selectExpr(
+        "id as doc_id",
+        "case when id % 20 = 19 then id - 3"
+        " when id % 20 = 18 then id - 2 else id end as src_id",
+        "cast(id % 20 = 18 as int) as mutate",
+    )
+    docs = _track_persist(
+        base.selectExpr("doc_id", f"{_docgen_text(spark_side=True)} as text")
+    )
+    truth = _track_persist(
+        base.where("doc_id % 20 = 19")
+        .selectExpr("src_id as doc_a", "doc_id as doc_b", "'exact' as kind")
+        .unionByName(
+            base.where("doc_id % 20 = 18").selectExpr(
+                "src_id as doc_a", "doc_id as doc_b", "'near' as kind"
+            )
+        )
+        .unionByName(
+            base.where(f"doc_id % 20 = 18 and doc_id + 1 < {DOCGEN_N}")
+            .selectExpr(
+                "doc_id as doc_a", "doc_id + 1 as doc_b", "'near' as kind"
+            )
+        )
+    )
+    detectors = {
+        "minhash_lsh": minhash_lsh_pairs(docs, "text", "doc_id"),
+        "simhash": simhash_pairs(
+            docs, "text", "doc_id",
+            bits=SIMHASH_BITS, bands=SIMHASH_BANDS,
+            max_hamming=SIMHASH_MAX_HAMMING,
+        ),
+        "ngram_prefix": ngram_jaccard_pairs_prefix(
+            docs, "text", "doc_id", n=NGRAM_N,
+            threshold_num=2, threshold_den=5,
+        ),
+    }
+    out = None
+    for det, found in detectors.items():
+        f = found.select(
+            F.col("doc_a").alias("fa"), F.col("doc_b").alias("fb")
+        )
+        scored = truth.join(
+            f, (truth.doc_a == f.fa) & (truth.doc_b == f.fb), "left"
+        ).select(
+            F.lit(det).alias("detector"),
+            F.col("kind").alias("dup_kind"),
+            F.when(F.col("fa").isNotNull(), 1).otherwise(0).alias("hit"),
+        )
+        part = scored.groupBy("detector", "dup_kind").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum("hit").cast("bigint").alias("n_found"),
+            (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 SUBSTR_L = 40  # anchor gram length (chars): duplicate-span sensitivity
+SUBSTR_STRIDE = 8  # mod-p anchor sampling rate for the 100 TB strided form
 
 
-def _substring_exact_oracle() -> str:
+def _substring_exact_oracle(stride: int = 1) -> str:
     from ..functions.hashing import hash64_sql_duckdb
 
     L = SUBSTR_L
     gh = hash64_sql_duckdb(f"substr(text, CAST(pos AS INT), {L})")
+    # gh is a 60-bit NON-NEGATIVE int64 in both engines, so plain % here
+    # equals Spark's pmod -- the content-defined anchor selection is
+    # bit-identical cross-engine.
+    strided = f"WHERE (gh % {stride}) = 0" if stride > 1 else ""
     prev_max = (
         f"MAX(pos + {L} - 1) OVER (PARTITION BY doc_id ORDER BY pos "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
@@ -832,7 +1018,7 @@ WITH pos_ AS (
   FROM documents WHERE n_chars >= {L}
 ),
 grams AS (
-  SELECT doc_id, n_chars, pos, {gh} AS gh FROM pos_
+  SELECT * FROM (SELECT doc_id, n_chars, pos, {gh} AS gh FROM pos_) {strided}
 ),
 dupg AS (
   SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM grams)
@@ -902,6 +1088,40 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
         anchor_len=SUBSTR_L,
+    )
+
+
+@register(
+    "dedup_substring_strided",
+    oracle=_substring_exact_oracle(stride=SUBSTR_STRIDE),
+    doc="The 100 TB form of the exact-substring census: content-defined "
+    f"(mod-{SUBSTR_STRIDE}) anchor sampling keeps only windows whose "
+    "60-bit content hash is 0 mod the stride (Manber 1994 fingerprint "
+    "selection), cutting every downstream shuffle's row volume by "
+    f"~{SUBSTR_STRIDE}x while the map stage stays identical.  Because "
+    "selection depends on window CONTENT alone, both copies of a "
+    "duplicated passage select exactly the same relative anchors "
+    "regardless of byte offset, so cross-document matching is "
+    "unaffected for spans a few strides longer than the anchor -- "
+    "P(miss) = (1 - 1/stride)^(span_len - L + 1), and island "
+    "boundaries truncate by O(stride) expected chars (loss model at "
+    "operators/dedup.py substring_dup_islands).  The selection is "
+    "DETERMINISTIC (shared md5-based hash), so this sampled form is "
+    "still exactly oracle-able: the oracle applies the identical "
+    "mod-filter.  Measured at 5M docs the stride-1 census is "
+    "super-linear (1,249.6 s) while stride-8 holds ~linear (130.8 s, "
+    "results/scale_probe.txt) -- this entry pins the form you would "
+    "actually run at 100 TB; dedup_substring_exact remains the "
+    "exactness pin.",
+    tags=("dedup", "substring", "contamination", "scale"),
+    bench=True,
+)
+def dedup_substring_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        anchor_len=SUBSTR_L, anchor_stride=SUBSTR_STRIDE,
     )
 
 
