@@ -29,92 +29,103 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 
 
-# ROUND-6 TODO (evidence): the ~25 queries added late in round 5 (bloom
-# lookup, coreset, CUPED, heavy hitters, bootstrap, l-diversity, GDPR,
-# funnel exclusion, inverted index, backtest, Holt, entity resolution,
-# PMI, uplift, DAU/WAU, gzip scan, snapshot time travel, the pyds
-# connector trio, norms-arrow, streaks UDTF, observe, SRM, KPI decomp,
-# random walks, time-to-activation, HHI, Gini, burstiness, planted
-# corpus generator)
-# register PAST the 50-query driver window and ship round 5 with
-# local-gate evidence only -- front them in the round-6 reorder once the
-# round-5 sample lands.
-#
-# Evidence-driven ordering, round 5: the external driver cross-checks the
-# FIRST 50 registered queries each round.  After round 4, 159 of 201
-# registered queries hold a cumulative green driver CORRECTNESS row; the
-# 42 that have NEVER appeared in a driver sample (including the three
-# long-running tail queries deliberately parked past the window last
-# round, and the no-oracle `format_storage_metrics` which still gets a
-# rows-only driver check) are promoted into the first 42 slots so the
-# round-5 sample turns cumulative coverage into 201/201.  Ordering within
-# the 42: the stateful streaming plans first (most failure-prone:
-# watermark/session-window semantics), then the 9 un-sampled TPC-H spec
-# queries, then the rest in prior registration order, with the three
-# slowest (k-core peel, MinHash recall harness, pretrain pipeline) at
-# positions 40-42 -- inside the window this time; the round-4 first-50
-# pass ran in 75.5 s at sf0.01 so the time budget exists.  Slots 43-50
-# fall through to fast already-green queries.  All 200 oracled queries
-# stay green under the local typed parity gate regardless of order.
+# Evidence-driven ordering, round 6: the external driver cross-checks the
+# FIRST 50 registered queries each round.  After round 5, 202 of 261
+# round-5 registry entries hold a cumulative driver CORRECTNESS row; 59
+# never appeared in a driver sample, and round 6 adds two queries the
+# verdict explicitly wants driver-pinned (the strided substring census --
+# the 100 TB form -- and the planted-duplicate recall harness).  61
+# candidates > 50 slots, so 11 are deferred to round 7, chosen as the
+# LOWEST-RISK residue per the round-5 verdict's ranking ("rank by
+# failure-proneness ... then the dq_* set"): five dq_* single-scan
+# aggregates (benford, referential-integrity, outlier-MAD, drift-chisq,
+# l-diversity) and six simple grouped/windowed aggregates whose plan
+# families already have multiple driver-green members (HHI, Gini,
+# DAU/WAU, time-to-activation, cohort-LTV, KPI-decomposition).  All 11
+# stay green under the local driver-faithful gate
+# (tests/test_oracle_parity.py parametrizes the full registry).
+# Ordering within the 50: the most failure-prone first -- the custom
+# Python streaming source/sink trio and the other stateful streaming
+# plans, then API-exotic surfaces (lateral/TABLE-arg UDTF, observe(),
+# RANGE frame, shredded-scan pushdown, snapshot time travel, the pyds
+# batch scanner), then the round-6 additions, then everything else with
+# the slowest (MMR, RAG pipeline, containment, planted recall) parked at
+# the window's tail so a budget truncation costs the least evidence.
 _EVIDENCE_PRIORITY = (
-    # -- round-5 addition, never driver-sampled --
-    "format_roundtrip_jsonb_shredded",
-    # -- streaming, never driver-sampled (stateful, watermark-dependent) --
-    "stream_session_window",
-    "stream_session_window_batch",
-    "stream_late_data_dropped",
-    # -- TPC-H spec queries with local-gate-only evidence --
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_ship_delay_priority",
-    "q16_part_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    # -- remaining never-sampled queries, prior registration order --
-    "embedding_gram_matrix",
-    "embedding_pca_power",
-    "similarity_matryoshka_recall",
-    "text_adaptive_length_filter",
-    "profile_token_zipf",
-    "dq_skew_profile",
-    "join_fuzzy_part_names",
-    "customers_rfm_segments",
-    "orders_open_interval_sweep",
-    "events_interarrival_stats",
-    "scan_xml_events",
-    "multimodal_pack_shards",
-    "dq_k_anonymity",
-    "pipeline_multimodal_curation",
-    "text_bpe_pair_counts",
-    "sketch_histogram_rollup",
-    "events_heatmap_dow_hour",
-    "orders_seasonality_index",
-    "multimodal_phash_neardup",
-    "join_bloom_prefilter",
-    "dq_fd_audit",
-    "text_classifier_score",
-    "sample_language_temperature",
-    "text_chunk_overlap",
-    "graph_communities_trading",
-    "profile_table_columns",
-    # rows-only driver check (no oracle by design: file-size metrics)
-    "format_storage_metrics",
-    # -- the three slowest, now INSIDE the 50-query window (slots 40-42) --
-    "graph_kcore_word",
-    "dedup_minhash_recall",
-    "pipeline_pretrain_corpus",
-    # -- slots 43-50: fast, already driver-green fillers so the window
-    #    budget absorbs the three slow queries above --
-    "scan_ndjson",
-    "json_path_get",
-    "json_variant_get",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "agg_rollup_region_nation",
-    "join_broadcast_region_revenue",
+    # -- custom Python streaming source + sink (most failure-prone) --
+    "stream_pyds_replay",
+    "stream_pyds_ndjson_sink",
+    # -- other never-sampled streaming plans --
+    "stream_parquet_file_sink",
+    "stream_topk_heavy_hitters",
+    "stream_lsh_dedup_gate",
+    # -- API-exotic surfaces --
+    "udtf_event_streaks",
+    "window_range_frame",
+    "format_scan_shredded_pushdown",
+    "sink_snapshot_time_travel",
+    "scan_pyds_ndjson_ranges",
+    "scan_ndjson_gzip",
+    "scan_footer_stats_manifest",
+    "dq_observe_inflight",
+    "sink_parquet_bloom_lookup",
+    "sink_gdpr_erasure",
+    "sink_inverted_index",
+    "json_paths_census",
+    # -- round-6 additions (verdict items 2 and 5) --
+    "dedup_substring_strided",
+    "generator_documents_planted",
+    # -- graph family --
+    "graph_bfs_distance",
+    "graph_link_prediction",
+    "graph_random_walks",
+    # -- forecasting / time-series --
+    "events_forecast_ses",
+    "events_forecast_holt",
+    "events_autocorr",
+    "orders_backtest_naive",
+    "events_bitmap_retention",
+    # -- experimentation family --
+    "events_ab_welch_ttest",
+    "events_ab_cuped",
+    "events_ab_srm_check",
+    "events_bootstrap_ci",
+    "events_uplift_deciles",
+    "events_funnel_exclusion",
+    "events_attribution_lasttouch",
+    "events_sankey_paths",
+    # -- joins / sampling / embeddings --
+    "join_spatial_grid",
+    "join_entity_resolution",
+    "sample_stratified_exact",
+    "sample_coreset_kcenter",
+    "similarity_range_radius",
+    "embedding_norms_arrow",
+    # -- text analysis --
+    "text_novelty_curve",
+    "text_tf_cosine_pairs",
+    "text_collocations_pmi",
+    "text_term_burstiness",
+    # -- slow tail (slots 45-50): inside the window, costs the least if
+    #    the driver's budget truncates --
+    "search_mmr_diversify",
+    "dedup_repeated_segments",
+    "dedup_containment_pairs",
+    "pipeline_rag_ingest",
+    "dedup_planted_recall",
+    # ---- past the 50-slot window: the 11 deferred to round 7, first in
+    #      line next reorder ----
+    "dq_benford_digits",
+    "dq_referential_integrity",
+    "dq_outlier_mad",
+    "dq_drift_chisq",
+    "dq_l_diversity",
+    "suppliers_market_hhi",
+    "customers_gini_spend",
+    "events_dau_wau",
+    "events_time_to_activation",
+    "orders_cohort_ltv",
+    "events_kpi_decomposition",
 )
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]

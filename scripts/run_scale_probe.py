@@ -309,6 +309,85 @@ def main() -> None:
                 docs, "text", "doc_id"
             ).count()
         )
+        # --- measured RECALL against planted truth (round-6 verdict) ----
+        # The synthetic corpus plants its duplicate structure (exact: 19s
+        # copy 16s; near: 18s copy 16s one token off), so ground truth is
+        # structural -- no reference-detector circularity.  Reports
+        # n_found/n_true per (detector, kind) so the runtime arms above
+        # get the companion answer: did the banded/blocked shapes still
+        # FIND the duplicates at this scale?  Runs each detector once
+        # (the number, not the time, is the point here).
+        if (OPS is None or "planted_recall" in OPS) and docs is not None:
+            t0 = time.time()
+            base = spark.range(n).selectExpr(
+                "id as doc_id",
+                "case when id % 20 = 19 then id - 3 "
+                "     when id % 20 = 18 then id - 2 else id end as src_id",
+            )
+            truth = (
+                base.where("doc_id % 20 = 19")
+                .selectExpr("src_id as doc_a", "doc_id as doc_b",
+                            "'exact' as kind")
+                .union(
+                    base.where("doc_id % 20 = 18").selectExpr(
+                        "src_id as doc_a", "doc_id as doc_b", "'near' as kind"
+                    )
+                )
+                .union(
+                    base.where(f"doc_id % 20 = 18 and doc_id + 1 < {n}")
+                    .selectExpr("doc_id as doc_a", "doc_id + 1 as doc_b",
+                                "'near' as kind")
+                )
+            ).persist()
+            n_truth = truth.count()
+            for det, pairs_fn in (
+                ("minhash_lsh",
+                 lambda: dedup.minhash_lsh_pairs(docs, "text", "doc_id")),
+                ("simhash",
+                 lambda: dedup.simhash_pairs(docs, "text", "doc_id")),
+                ("ngram_prefix",
+                 lambda: dedup.ngram_jaccard_pairs_prefix(
+                     docs, "text", "doc_id")),
+            ):
+                print(f"[probe] start recall_{det}", file=sys.stderr,
+                      flush=True)
+                f = pairs_fn().select(
+                    F.col("doc_a").alias("fa"), F.col("doc_b").alias("fb")
+                )
+                got = (
+                    truth.join(
+                        f,
+                        (truth.doc_a == F.col("fa"))
+                        & (truth.doc_b == F.col("fb")),
+                        "left",
+                    )
+                    .groupBy("kind")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_true"),
+                        F.sum(
+                            F.expr("case when fa is not null then 1 else 0 end")
+                        ).alias("n_found"),
+                    )
+                    .collect()
+                )
+                for row in got:
+                    print(
+                        json.dumps(
+                            {
+                                "n_docs": n,
+                                "op": f"recall_{det}_{row['kind']}",
+                                "n_true": row["n_true"],
+                                "n_found": int(row["n_found"]),
+                                "recall": round(
+                                    row["n_found"] / row["n_true"], 4
+                                ),
+                            }
+                        ),
+                        flush=True,
+                    )
+                dedup.release_caches()
+            truth.unpersist()
+            r["planted_recall"] = (round(time.time() - t0, 2), n_truth)
         r["embedding_near_dup"] = timed_l("embedding_near_dup",
             lambda: dedup.embedding_near_dup_pairs(
                 embs, "embedding", "vec_id", n_planes=n_planes
