@@ -1135,26 +1135,40 @@ def containment_pairs(
     (src != dst) sharing >= 1 shingle in <= ``df_cap`` docs, with
     C >= ``threshold`` computed EXACTLY over the full shingle sets.
 
-    Physical shape: one undirected candidate pass over the DF-capped
-    inverted index (hot shingles dropped, so posting-list fan-out is
-    df_cap-bounded), then one verify join emitting both directions of
-    each surviving pair -- candidates are generated once, not per
-    direction.  The division is a single double op on identical int64
-    operands in both engines."""
-    docsets = _track_persist(
-        _spread(df).select(
+    Physical shape (reworked after the round-6 5M probe OOMed the string
+    form): every stage runs on the 60-bit PORTABLE hash of each shingle,
+    never the string -- the shingle table is hashed right after the
+    explode (codegen'd, not a lambda), per-doc sizes ride along via ONE
+    window over doc_id (no groupBy+join-back for AQE to broadcast), the
+    DF-capped candidate index and the verify all shuffle int64 triples,
+    and intersections come from a posting-list join restricted to
+    candidate pairs (no array payloads shuffled, no broadcast of the
+    many-million-row candidate table).  A hash collision is identical in
+    both engines (same md5 arithmetic in the oracle), so cross-engine
+    parity is exact; candidates are generated once undirected and the
+    persisted inter frame fans out to both directions.  The division is
+    a single double op on identical int64 operands in both engines."""
+    from ..functions.hashing import hash64_sql_spark
+
+    wdoc = Window.partitionBy("doc_id")
+    sh = _track_persist(
+        _spread(df)
+        .select(
             F.col(id_col).alias("doc_id"),
-            F.expr(shingles_spark(tokens_spark(text_col), n)).alias("shset"),
+            F.explode(
+                F.expr(shingles_spark(tokens_spark(text_col), n))
+            ).alias("s"),
         )
+        .select("doc_id", F.expr(hash64_sql_spark("s")).alias("sh"))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
     )
-    sh = docsets.select("doc_id", F.explode("shset").alias("sh"))
     hot = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > df_cap)
         .select("sh")
     )
-    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
+    idx = sh.select("doc_id", "sh").join(F.broadcast(hot), "sh", "left_anti")
     a = idx.alias("a")
     b = idx.alias("b")
     cand = (
@@ -1168,26 +1182,29 @@ def containment_pairs(
         )
         .distinct()
     )
-    left = docsets.select(
+    left = sh.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("shset").alias("sha"),
-        F.size("shset").alias("na"),
+        F.col("sh").alias("sha"),
+        F.col("n_sh").alias("na"),
     )
-    right = docsets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shset").alias("shb"),
-        F.size("shset").alias("nb"),
+    right = sh.select(
+        F.col("doc_id").alias("doc_b2"),
+        F.col("sh").alias("shb"),
+        F.col("n_sh").alias("nb"),
     )
     # PERSIST before the two-direction fan-out: fwd and bwd both consume
-    # `verified`, and an unpersisted plan evaluates the whole verify chain
-    # -- including the candidate broadcast build -- TWICE CONCURRENTLY
-    # (measured: heap OOM at the 500k probe tier; the cached frame is
-    # |pairs| rows of five numerics, the natural materialization point).
+    # the verified frame, and an unpersisted plan evaluates the whole
+    # verify chain twice concurrently (measured: heap OOM at the 500k
+    # probe tier before the persist existed; the cached frame is |pairs|
+    # rows of five numerics, the natural materialization point).
     verified = _track_persist(
-        left.join(F.broadcast(cand), "doc_a")
-        .join(right, "doc_b")
-        .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
-        .select("doc_a", "doc_b", "na", "nb", "inter")
+        cand.join(left, "doc_a")
+        .join(
+            right,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sha") == F.col("shb")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
     fwd = verified.select(
         F.col("doc_a").alias("doc_src"),

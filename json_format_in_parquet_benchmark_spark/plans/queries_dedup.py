@@ -1279,12 +1279,20 @@ CONT_DF_CAP = 50
 
 
 def _containment_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+
     n = 4
     return f"""
 WITH docsets AS MATERIALIZED (
   SELECT doc_id, {shingles_duckdb(_TOKS_D, n)} AS shset FROM documents
 ),
-sh AS MATERIALIZED (SELECT doc_id, unnest(shset) AS sh FROM docsets),
+sh AS MATERIALIZED (
+  -- the operator runs every stage on the 60-bit portable hash of each
+  -- shingle (never the string); the oracle applies the identical hash so
+  -- any collision is shared and parity stays exact
+  SELECT doc_id, {hash64_sql_duckdb('sh_s')} AS sh
+  FROM (SELECT doc_id, unnest(shset) AS sh_s FROM docsets)
+),
 hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {CONT_DF_CAP}),
 idx AS (SELECT s.doc_id, s.sh FROM sh s ANTI JOIN hot h ON s.sh = h.sh),
 cand AS (

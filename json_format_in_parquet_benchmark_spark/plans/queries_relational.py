@@ -2346,8 +2346,29 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Skew decision rule, measured by the round-5 zipf probe
+# (results/scale_probe.txt): broadcast always wins when the dim side fits;
+# otherwise AQE skew-join handles moderate skew (it beat manual salting at
+# zipf 1.2, hot key ~13%); manual salting only pays once ONE key holds
+# tens of percent of all rows (zipf 2.0, hot key ~61%, salting won 1.6x
+# where AQE's partition split did not recover).  Algebraic aggregates
+# never need either -- map-side partial aggregation collapses hot keys
+# before the shuffle.
+SKEW_SALT_HOT_FRAC = 0.25  # top-1 key holds >= 25% of rows -> salt
+SKEW_AQE_RATIO = 4.0  # skew_ratio above this -> let AQE skew-join handle it
+
+_SKEW_ARM_SQL = (
+    f"CASE WHEN CAST(top1_freq AS DOUBLE) / CAST(n_rows AS DOUBLE) >= 2.5e-1"
+    f" THEN 'salt' WHEN skew_ratio > 4e0 THEN 'aqe_skew_join'"
+    f" ELSE 'plain' END"
+)
+
+
 def _skew_block(label: str, table: str, key: str) -> str:
     return f"""
+SELECT key_col, n_rows, ndv, top1_freq, top10_freq, skew_ratio,
+       {_SKEW_ARM_SQL} AS recommended_arm
+FROM (
 SELECT '{label}' AS key_col,
        a.n_rows, a.ndv, a.top1_freq, t.top10_freq,
        CAST(a.top1_freq * a.ndv AS DOUBLE) / CAST(a.n_rows AS DOUBLE)
@@ -2361,7 +2382,8 @@ FROM (
   SELECT CAST(SUM(c) AS BIGINT) AS top10_freq
   FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {key}
         ORDER BY COUNT(*) DESC, {key} LIMIT 10)
-) t"""
+) t
+)"""
 
 
 @register(
@@ -2375,8 +2397,16 @@ FROM (
     ),
     doc="Join-key skew diagnostics: for each hot join/shuffle key, the "
     "row count, distinct count, heaviest-key frequency, top-10 "
-    "frequency mass, and the skew ratio top1 * ndv / rows (1.0 = "
-    "perfectly uniform; >> 1 = a salting/AQE-skew-join candidate).  "
+    "frequency mass, the skew ratio top1 * ndv / rows (1.0 = "
+    "perfectly uniform; >> 1 = a salting/AQE-skew-join candidate), "
+    "and the RECOMMENDED ARM from the measured decision rule "
+    "(round-5 zipf probe, results/scale_probe.txt): broadcast always "
+    "precedes when the dim side fits; otherwise 'plain' for "
+    "near-uniform keys, 'aqe_skew_join' for moderate skew (AQE beat "
+    "manual salting at zipf 1.2), and 'salt' only when one key holds "
+    ">= 25% of all rows (zipf 2.0 regime, where AQE's split did not "
+    "recover and salting won 1.6x).  Algebraic aggregations need "
+    "NEITHER -- map-side combine collapses hot keys pre-shuffle.  "
     "This is the measurement that DECIDES whether "
     "agg_salted_skew_user-style salting is worth its extra shuffle at "
     "100 TB -- run it on a sample before committing the plan.  Each "
@@ -2412,6 +2442,7 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("n_rows").cast("double")
                 ).alias("skew_ratio"),
             )
+            .withColumn("recommended_arm", F.expr(_SKEW_ARM_SQL))
         )
 
     li = load_table(spark, sf_dir, "lineitem")

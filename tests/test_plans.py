@@ -397,6 +397,43 @@ def test_pyds_sink_orphans_invisible(spark, sf_dir):
     assert n_all == n + 1, "orphan write did not land where expected"
 
 
+def test_skew_profile_recommends_measured_arm(spark, sf_dir):
+    """The zipf study's decision rule (broadcast -> AQE skew-join -> salt
+    only at tens-of-percent hot keys) must be emitted per key as the
+    recommended_arm column: near-uniform testdata keys recommend 'plain',
+    and the rule's boundary arms fire on crafted skew."""
+    from pyspark.sql import functions as F
+
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+    from json_format_in_parquet_benchmark_spark.plans.queries_relational import (
+        _SKEW_ARM_SQL,
+    )
+
+    rows = REGISTRY["dq_skew_profile"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["recommended_arm"] in ("plain", "aqe_skew_join", "salt")
+    # testdata keys are near-uniform: none should demand manual salting
+    assert all(r["recommended_arm"] != "salt" for r in rows)
+
+    # crafted profiles pin the rule's arms and boundaries
+    crafted = spark.createDataFrame(
+        [
+            # (top1_freq, n_rows, skew_ratio): hot key 61% -> salt
+            (61, 100, 30.0, "salt"),
+            # exactly at the 25% boundary -> salt (rule is >=)
+            (25, 100, 10.0, "salt"),
+            # moderate skew: ratio above 4 but hot key < 25% -> AQE
+            (10, 100, 8.0, "aqe_skew_join"),
+            # near-uniform -> plain
+            (2, 100, 1.3, "plain"),
+        ],
+        "top1_freq long, n_rows long, skew_ratio double, want string",
+    ).withColumn("got", F.expr(_SKEW_ARM_SQL))
+    bad = crafted.where("got != want").collect()
+    assert not bad, f"decision rule mismatches: {bad}"
+
+
 def test_pyds_sink_commit_replay_idempotent(tmp_path):
     """Restart-replay contract: if a micro-batch is replayed after a restart
     (commit() ran but the engine's offset log had not recorded the batch),
