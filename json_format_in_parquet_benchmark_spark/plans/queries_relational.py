@@ -5519,3 +5519,153 @@ def customers_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (cast(n as double) * cast(total as double))"
         ).alias("gini"),
     )
+
+
+# --- Difference-in-differences experiment readout ----------------------------
+# The pre/post x treatment/control 2x2 causal estimator (Card & Krueger
+# 1994 form): each user's outcome CHANGE (post minus pre cents, the shared
+# _PRE_POST_CTE_D split) is compared across the md5-hashed arms, removing
+# any time-invariant per-user level -- the panel-data complement to the
+# CUPED and Welch readouts above.  All moments are exact integer-cents
+# sums; the double stage is rendered once below and reused verbatim by
+# both engines.  Integer budget: per-user |delta| <= ~1e6 cents at the
+# test SFs, so sum(delta^2) ~ 1e12 per user -- int64 holds ~9e6 users per
+# arm at that magnitude; at larger corpora the six moment cells move to
+# DECIMAL(38,0)/HUGEINT with the plan shape unchanged (one mergeable row).
+
+
+def _did_snippets() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for arm, n in (("a", "n_a"), ("b", "n_b")):
+        out[f"mean_delta_{arm}"] = (
+            f"cast(sd{arm} as double) / cast({n} * 100 as double)"
+        )
+        out[f"var_delta_{arm}"] = (
+            f"cast({n} * sdd{arm} - sd{arm} * sd{arm} as double)"
+            f" / (cast({n} as double) * cast({n} - 1 as double)"
+            " * cast(10000 as double))"
+        )
+    out["did_dollars"] = "mean_delta_a - mean_delta_b"
+    out["se_did"] = (
+        "sqrt(var_delta_a / cast(n_a as double)"
+        " + var_delta_b / cast(n_b as double))"
+    )
+    out["t_stat"] = (
+        "case when se_did > 0 then did_dollars / se_did end"
+    )
+    return out
+
+
+_DID = _did_snippets()
+
+
+@register(
+    "events_did_estimator",
+    oracle=f"""
+WITH {_PRE_POST_CTE_D},
+armed AS (
+  SELECT y - x AS delta,
+         {hash64_sql_duckdb("CAST(user_id AS VARCHAR)", "ab")} % 2 AS arm
+  FROM per_user
+),
+m AS (
+  SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+         CAST(COALESCE(SUM(delta) FILTER (arm = 0), 0) AS BIGINT) AS sda,
+         CAST(COALESCE(SUM(delta) FILTER (arm = 1), 0) AS BIGINT) AS sdb,
+         CAST(COALESCE(SUM(delta * delta) FILTER (arm = 0), 0) AS BIGINT)
+           AS sdda,
+         CAST(COALESCE(SUM(delta * delta) FILTER (arm = 1), 0) AS BIGINT)
+           AS sddb
+  FROM armed
+),
+g AS (SELECT * FROM m WHERE n_a > 1 AND n_b > 1),
+s1 AS (
+  SELECT *,
+         {_DID["mean_delta_a"]} AS mean_delta_a,
+         {_DID["mean_delta_b"]} AS mean_delta_b,
+         {_DID["var_delta_a"]} AS var_delta_a,
+         {_DID["var_delta_b"]} AS var_delta_b
+  FROM g
+),
+s2 AS (
+  SELECT *, {_DID["did_dollars"]} AS did_dollars, {_DID["se_did"]} AS se_did
+  FROM s1
+)
+SELECT n_a, n_b, mean_delta_a, mean_delta_b, did_dollars, se_did,
+       {_DID["t_stat"]} AS t_stat
+FROM s2
+""",
+    doc="Difference-in-differences treatment-effect estimate: per-user "
+    "outcome change across the shared integer-micros pre/post split "
+    "(_PRE_POST_CTE_D, the same covariate block CUPED and the uplift "
+    "deciles use) compared between md5-hashed arms, with the Welch-form "
+    "standard error on the per-user deltas.  Differencing removes every "
+    "time-invariant user effect -- the standard panel guard against "
+    "selection on levels that a raw post-period comparison (the Welch "
+    "query) is exposed to.  Plan shape: one user_id shuffle for the "
+    "per-user (pre, post) pair, then ONE mergeable six-moment row per "
+    "arm pair -- state is one row at any corpus size; assignment is "
+    "re-derived from the hash, no join against an assignment table.  "
+    "Exactness: integer-cents moments; every double op is rendered "
+    "from the shared _DID snippet on both sides; degenerate arms "
+    "(n <= 1) and zero-variance guards excluded identically.",
+    tags=("events", "experimentation", "aggregation", "stats"),
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = _per_user_pre_post(events)
+    armed = per_user.select(
+        F.expr("y - x").alias("delta"),
+        F.expr(
+            f"{hash64_sql_spark('cast(user_id as string)', 'ab')} % 2"
+        ).alias("arm"),
+    )
+    m = armed.agg(
+        F.expr("cast(count(case when arm = 0 then 1 end) as bigint)").alias(
+            "n_a"
+        ),
+        F.expr("cast(count(case when arm = 1 then 1 end) as bigint)").alias(
+            "n_b"
+        ),
+        F.expr(
+            "cast(coalesce(sum(case when arm = 0 then delta end), 0)"
+            " as bigint)"
+        ).alias("sda"),
+        F.expr(
+            "cast(coalesce(sum(case when arm = 1 then delta end), 0)"
+            " as bigint)"
+        ).alias("sdb"),
+        F.expr(
+            "cast(coalesce(sum(case when arm = 0 then delta * delta end), 0)"
+            " as bigint)"
+        ).alias("sdda"),
+        F.expr(
+            "cast(coalesce(sum(case when arm = 1 then delta * delta end), 0)"
+            " as bigint)"
+        ).alias("sddb"),
+    )
+    s1 = (
+        m.where("n_a > 1 and n_b > 1")
+        .selectExpr(
+            "*",
+            f"{_DID['mean_delta_a']} as mean_delta_a",
+            f"{_DID['mean_delta_b']} as mean_delta_b",
+            f"{_DID['var_delta_a']} as var_delta_a",
+            f"{_DID['var_delta_b']} as var_delta_b",
+        )
+    )
+    s2 = s1.selectExpr(
+        "*",
+        f"{_DID['did_dollars']} as did_dollars",
+        f"{_DID['se_did']} as se_did",
+    )
+    return s2.selectExpr(
+        "n_a",
+        "n_b",
+        "mean_delta_a",
+        "mean_delta_b",
+        "did_dollars",
+        "se_did",
+        f"{_DID['t_stat']} as t_stat",
+    )

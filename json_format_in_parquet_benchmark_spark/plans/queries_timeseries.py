@@ -1142,3 +1142,175 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- Kaplan-Meier survival (time-to-conversion with right censoring) ----------
+# Survival analysis over the event stream: per user, entry = first event of
+# any type, event = first 'purchase'; users who never purchase are
+# right-censored at their last observed event.  The KM estimator
+# S(t) = prod_{t_i <= t} (n_i - d_i) / n_i is a sequential product, carried
+# on an integer grid (surv_q = floor-scaled by SURV_SCALE each step) so
+# both engines walk bit-identical states -- the SES/Holt integer-fold
+# recipe applied to survival curves.  Standard KM tie convention: subjects
+# censored at t remain at risk for events at t.
+#
+# Integer budget: acc.s <= SURV_SCALE = 1e9 and n_risk multiplies it once
+# before the floor division, so the intermediate is <= 1e9 * n_users --
+# safe in int64 through ~9e9 users (any realistic corpus; above that drop
+# the scale to 1e6).
+#
+# 100 TB shape: ONE shuffle on user_id for the per-user triple
+# (entry, conversion, last-seen), then the day-level table is bounded by
+# the calendar span (|distinct durations| rows), so the global window and
+# the ordered fold are k-bounded driver-free operations on a tiny frame --
+# the same bounded-state argument as the forecast folds above.
+
+SURV_SCALE = 1_000_000_000
+DAY_US = 86_400_000_000
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+WITH RECURSIVE pe AS (
+  SELECT user_id, epoch_us(ts) AS t, (event_type = 'purchase') AS isp
+  FROM events
+),
+pu AS (
+  SELECT user_id, MIN(t) AS t0, MIN(t) FILTER (isp) AS tp, MAX(t) AS tmax
+  FROM pe GROUP BY user_id
+),
+du AS (
+  SELECT CAST((COALESCE(tp, tmax) - t0) // {DAY_US} AS BIGINT) AS dur,
+         (tp IS NOT NULL) AS observed
+  FROM pu
+),
+pd AS (
+  SELECT dur,
+         CAST(COUNT(*) FILTER (observed) AS BIGINT) AS d,
+         CAST(COUNT(*) FILTER (NOT observed) AS BIGINT) AS c
+  FROM du GROUP BY dur
+),
+nr AS (
+  SELECT dur, d, c,
+         CAST(SUM(d + c) OVER ()
+              - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS nrk
+  FROM pd
+),
+series AS MATERIALIZED (
+  SELECT list_sort(list({{'dur': dur, 'd': d, 'c': c, 'nr': nrk}})) AS elems,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM nr
+),
+walk AS (
+  SELECT CAST(1 AS BIGINT) AS step,
+         CAST((CAST({SURV_SCALE} AS BIGINT) * (elems[1].nr - elems[1].d))
+              // elems[1].nr AS BIGINT) AS s,
+         n, elems
+  FROM series
+  UNION ALL
+  SELECT step + 1,
+         CAST((s * (elems[step + 1].nr - elems[step + 1].d))
+              // elems[step + 1].nr AS BIGINT),
+         n, elems
+  FROM walk WHERE step < n
+)
+SELECT CAST(elems[step].dur AS BIGINT) AS dur_days,
+       CAST(elems[step].nr AS BIGINT) AS n_risk,
+       CAST(elems[step].d AS BIGINT) AS n_event,
+       CAST(elems[step].c AS BIGINT) AS n_censor,
+       CAST(s AS BIGINT) AS surv_q
+FROM walk
+ORDER BY dur_days
+""",
+    doc="Kaplan-Meier survival curve for time-to-first-purchase with right "
+    "censoring at last-seen: per user one (entry, conversion, last-seen) "
+    "triple (one user_id shuffle), then the day-level life table "
+    "(at-risk / events / censored per distinct duration, standard "
+    "censored-after-events tie convention) and the survival product "
+    f"S(t) carried exactly as floor(s * (n-d) / n) on the {SURV_SCALE} "
+    "integer grid -- a sequential recurrence, so both engines walk it "
+    "as ONE ordered fold over the bounded day-level array (F.aggregate "
+    "/ recursive CTE), the SES/Holt integer-fold recipe (module note "
+    "on the int64 budget).  The curve is the churn/conversion readout "
+    "product teams plot; the life-table columns are the auditable "
+    "intermediates.",
+    tags=("events", "timeseries", "survival", "stats", "iterative"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pe = events.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        F.expr("event_type = 'purchase'").alias("isp"),
+    )
+    pu = pe.groupBy("user_id").agg(
+        F.min("t").alias("t0"),
+        F.min(F.when(F.col("isp"), F.col("t"))).alias("tp"),
+        F.max("t").alias("tmax"),
+    )
+    du = pu.select(
+        F.expr(f"cast((coalesce(tp, tmax) - t0) div {DAY_US} as bigint)").alias(
+            "dur"
+        ),
+        F.expr("tp is not null").alias("observed"),
+    )
+    pd_ = du.groupBy("dur").agg(
+        F.expr("cast(count(case when observed then 1 end) as bigint)").alias(
+            "d"
+        ),
+        F.expr(
+            "cast(count(case when not observed then 1 end) as bigint)"
+        ).alias("c"),
+    )
+    # Day-level frame: |rows| = distinct durations <= calendar span, so the
+    # single-partition windows below are k-bounded, not data-sized.
+    w_all = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = F.col("d") + F.col("c")
+    nr = pd_.select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.sum(risk).over(w_all)
+            - F.coalesce(F.sum(risk).over(w_prev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("nr"),
+    )
+    arr = nr.agg(
+        F.expr("sort_array(collect_list(struct(dur, d, c, nr)))").alias("arr")
+    )
+    folded = arr.select(
+        F.expr(
+            f"""aggregate(
+          arr,
+          named_struct(
+            'out',
+            cast(array() as
+                 array<struct<dur:bigint,d:bigint,c:bigint,nr:bigint,
+                              surv:bigint>>),
+            's', cast({SURV_SCALE} as bigint)),
+          (acc, e) -> named_struct(
+            'out', concat(acc.out, array(named_struct(
+              'dur', e.dur, 'd', e.d, 'c', e.c, 'nr', e.nr,
+              'surv', (acc.s * (e.nr - e.d)) div e.nr))),
+            's', (acc.s * (e.nr - e.d)) div e.nr))"""
+        ).alias("st")
+    )
+    return (
+        folded.select(F.expr("inline(st.out)"))
+        .select(
+            F.col("dur").alias("dur_days"),
+            F.col("nr").alias("n_risk"),
+            F.col("d").alias("n_event"),
+            F.col("c").alias("n_censor"),
+            F.col("surv").alias("surv_q"),
+        )
+        .orderBy("dur_days")
+    )
