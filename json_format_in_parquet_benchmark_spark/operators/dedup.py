@@ -1147,7 +1147,15 @@ def containment_pairs(
     both engines (same md5 arithmetic in the oracle), so cross-engine
     parity is exact; candidates are generated once undirected and the
     persisted inter frame fans out to both directions.  The division is
-    a single double op on identical int64 operands in both engines."""
+    a single double op on identical int64 operands in both engines.
+
+    Measured scale (results/scale_probe.txt, round 6): 29.2 s at 500k
+    docs -> 392.5 s at 5M; output pairs grow exactly 10x with the
+    corpus, so time-per-emitted-pair grows only 1.34x per 10x -- the
+    verify join is ~linear in output.  Provisioning floor: the
+    posting-list HashAggregate wants ~0.5 GB/core of execution memory
+    (at 0.25 GB/core it spills to ~2x wall and can OOM); ordinary
+    executor sizing at 100 TB."""
     from ..functions.hashing import hash64_sql_spark
 
     wdoc = Window.partitionBy("doc_id")

@@ -1314,3 +1314,251 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_days")
     )
+
+
+# --- interval analytics: peak concurrency via a distributed sweep-line --------
+# Max concurrent user sessions per day.  Sessions come from the repo's
+# gap-sessionization (lag + running flag sum, one shuffle on user_id); a
+# session is "active" on [first_event, last_event + gap) -- the half-open
+# convention means touching sessions never overlap.  The sweep line is the
+# classic +1/-1 boundary scan, but expressed as a DISTRIBUTED two-phase
+# prefix sum instead of one global ordered window: boundaries partition by
+# day, each day computes its local running sum, and a per-day carry (the
+# cumulative boundary total of all earlier days) shifts the local sums to
+# global concurrency.  The carry table has |days| rows, so its ordered
+# window is driver-bounded and broadcasts back -- no single-partition sort
+# of the full boundary stream ever exists in the plan.  At 100 TB the
+# bucket is a KNOB: drop day -> hour and the same two-phase shape holds
+# with 24x more carry rows and 24x less per-bucket sort volume.
+#
+# Tie discipline (cross-engine exact): boundaries order by (t, delta), so
+# ends (-1) sort before starts (+1) at the same microsecond -- the
+# half-open convention again.  Both engines' default cumulative frame is
+# RANGE (peer-inclusive); within a tie group all deltas are equal, so the
+# peer-inclusive value is order-independent, and the per-day MAX sees the
+# true post-group concurrency either way.
+#
+# Reference scope: interval/sweep analytics is north-star surface (the
+# reference engine has no session or interval operators).
+
+CONC_GAP_MIN = 480  # same testdata-tuned gap as the streaming family
+CONC_GAP_US = CONC_GAP_MIN * 60 * 1_000_000
+
+_CONC_SESSIONS_CTE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {CONC_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+  FROM sess GROUP BY user_id, session_seq
+)
+"""
+
+
+@register(
+    "events_concurrency_peak",
+    oracle=_CONC_SESSIONS_CTE
+    + f""",
+bounds AS (
+  SELECT start_us AS t, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT end_us + {CONC_GAP_US} AS t, -1 AS delta FROM sessions
+),
+conc AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t, delta) AS c FROM bounds
+),
+d AS (
+  SELECT t // {DAY_US} AS day, t, c,
+         MAX(c) OVER (PARTITION BY t // {DAY_US}) AS peak
+  FROM conc
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(peak AS BIGINT) AS peak_concurrency,
+       CAST(MIN(CASE WHEN c = peak THEN t END) AS BIGINT) AS peak_at_us
+FROM d GROUP BY day, peak ORDER BY day
+""",
+    doc="Per-day peak concurrent sessions + the first instant attaining "
+    "it, via a distributed two-phase sweep line: per-day local prefix "
+    "sums plus a |days|-row carry table, never a global ordered sort.  "
+    "The oracle runs the textbook single-window sweep -- pinning that "
+    "the carry decomposition is exact.",
+    tags=("events", "timeseries", "intervals", "window"),
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = sessionize_batch(events, gap_minutes=CONC_GAP_MIN)
+    # One pass, not a self-union: each session EXPLODES into its two
+    # boundaries, so the sessionize pipeline (scan + user_id shuffle)
+    # exists once in the plan instead of once per union branch.
+    bounds = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_us").alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("end_us") + F.lit(CONC_GAP_US)).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.t", "b.delta")
+    b = bounds.withColumn("day", F.expr(f"t div {DAY_US}"))
+    # Phase 1: within-day running sum (shuffle on day; per-day volume is
+    # the scale knob -- see module comment).
+    w_in = Window.partitionBy("day").orderBy("t", "delta")
+    local = b.withColumn("pref", F.sum("delta").over(w_in))
+    # Phase 2: per-day carry = total boundary delta of all EARLIER days.
+    # Derived from the already-day-partitioned windowed frame: the day's
+    # total is its LAST running value (max struct by the window's own
+    # (t, delta) order), and grouping by day on a day-partitioned frame
+    # needs no new exchange -- phase 2 rides phase 1's shuffle.
+    # |days| rows -- the unpartitioned window is bounded by the calendar.
+    day_tot = local.groupBy("day").agg(
+        F.max(F.struct("t", "delta", "pref"))["pref"].alias("tot")
+    )
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("tot").over(w_prev), F.lit(0)).alias("carry")
+    )
+    conc = local.join(F.broadcast(carry), "day").withColumn(
+        "c", (F.col("carry") + F.col("pref")).cast("bigint")
+    )
+    w_day = Window.partitionBy("day")
+    peaked = conc.withColumn("peak", F.max("c").over(w_day))
+    return (
+        peaked.groupBy("day", "peak")
+        .agg(
+            F.min(F.when(F.col("c") == F.col("peak"), F.col("t")))
+            .cast("bigint")
+            .alias("peak_at_us")
+        )
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("peak").cast("bigint").alias("peak_concurrency"),
+            "peak_at_us",
+        )
+        .orderBy("day")
+    )
+
+
+# --- sequence-pattern funnel (MATCH_RECOGNIZE-style, regex over sessions) -----
+# Share of sessions whose ordered event-type sequence matches
+# view -> (anything) -> click -> (anything) -> purchase.  Each session
+# becomes one compact string (one char per event, first letter of the
+# type -- unique across the five testdata types), and the pattern is a
+# plain regex: the same declarative shape SQL MATCH_RECOGNIZE compiles
+# to, expressed with engine-portable pieces.  Ordering inside a session
+# is pinned by (ts_us, event_id) in BOTH engines: Spark sorts the
+# collected (ts_us, event_id, step) structs (sort_array is a total
+# order on structs), DuckDB uses STRING_AGG ... ORDER BY.  One shuffle
+# on user_id (sessionize), one on (user_id, session_seq) collapse;
+# session strings are bounded by session length, the day rollup is tiny.
+@register(
+    "events_pattern_funnel",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         substr(event_type, 1, 1) AS step
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, event_id, step,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {CONC_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us, event_id, step,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_seq, MIN(ts_us) AS start_us,
+         STRING_AGG(step, '' ORDER BY ts_us, event_id) AS path
+  FROM sess GROUP BY user_id, session_seq
+),
+agg AS (
+  SELECT start_us // {DAY_US} AS day,
+         COUNT(*) AS n_sessions,
+         COUNT(*) FILTER (regexp_matches(path, 'v.*c.*p')) AS n_matched
+  FROM paths GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(n_matched AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS match_rate
+FROM agg ORDER BY day
+""",
+    doc="MATCH_RECOGNIZE-style ordered-sequence funnel: regex "
+    "'v.*c.*p' over per-session event-type strings, rolled up to "
+    "matched-session share per day.",
+    tags=("events", "timeseries", "funnel", "pattern"),
+)
+def events_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.expr("substring(event_type, 1, 1)").alias("step"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > CONC_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("is_new").over(wrun))
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("start_us"),
+        F.expr(
+            "concat_ws('', transform("
+            "sort_array(collect_list(struct(ts_us, event_id, step))),"
+            " x -> x.step))"
+        ).alias("path"),
+    )
+    agg = paths.groupBy(
+        F.expr(f"start_us div {DAY_US}").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(
+            F.when(F.col("path").rlike("v.*c.*p"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_matched"),
+    )
+    return agg.select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_sessions",
+        "n_matched",
+        (
+            F.col("n_matched").cast("double")
+            / F.col("n_sessions").cast("double")
+        ).alias("match_rate"),
+    ).orderBy("day")

@@ -459,3 +459,31 @@ def test_pyds_sink_commit_replay_idempotent(tmp_path):
     torn = tmp_path / "sink" / "_manifest" / "batch-2.json"
     torn.write_text('{"batch": 2, "files": [{"pa')
     assert committed_files(out) == files
+
+
+def test_concurrency_sweep_is_two_phase(spark):
+    """events_concurrency_peak: the distributed sweep line must never
+    globally sort the boundary stream -- the only single-partition
+    exchange is the |days|-row carry window, the carry joins back by
+    broadcast, and the boundary stream itself moves on at most two keys
+    (user_id for sessionize, day for the local prefix; the plan shows
+    each at most twice pre-AQE because two consumers share the subtree,
+    deduped by ReusedExchange at runtime)."""
+    plan = plan_of(spark, "events_concurrency_peak")
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pattern_funnel_two_shuffles_no_python(spark):
+    """events_pattern_funnel: sessionize shuffles on user_id; the
+    per-session collapse groups by (user_id, session_seq), a SUPERSET of
+    the window's partitioning, so it must reuse that distribution with
+    no new exchange -- two hash exchanges total (user_id + the day
+    rollup), the regex runs JVM-side (no Python eval)."""
+    plan = plan_of(spark, "events_pattern_funnel")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
