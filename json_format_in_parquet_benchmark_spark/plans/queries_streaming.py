@@ -288,6 +288,91 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_outer",
+    oracle="""
+WITH c AS (
+  SELECT user_id AS cu, event_id AS click_id, epoch_us(ts) AS cts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id AS pu, event_id AS purchase_id, epoch_us(ts) AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT ((LEAST((SELECT MAX(epoch_us(ts)) FROM events
+                  WHERE event_type = 'click'),
+                 (SELECT MAX(epoch_us(ts)) FROM events
+                  WHERE event_type = 'purchase')) // 1000)
+          - 7200000) * 1000 AS wm_us
+),
+m AS (
+  SELECT cu, click_id, purchase_id
+  FROM c JOIN p
+    ON pu = cu AND pts >= cts AND pts <= cts + 3600000000
+),
+u AS (
+  SELECT cu, click_id, CAST(NULL AS BIGINT) AS purchase_id
+  FROM c, wm
+  WHERE cts + 3600000000 < wm_us
+    AND NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE pu = cu AND pts >= cts AND pts <= cts + 3600000000
+    )
+)
+SELECT cu AS c_user, click_id, purchase_id FROM m
+UNION ALL
+SELECT cu AS c_user, click_id, purchase_id FROM u
+""",
+    doc="LEFT OUTER stream-stream join -- the state-EVICTION semantics "
+    "the inner join never exercises.  Matched pairs emit as rows "
+    "arrive; a never-matched click emits with nulls only when the "
+    "global watermark passes its join-window end.  The boundary is "
+    "empirically pinned (see test_stream_louter_eviction_boundary): "
+    "null-emit iff c_ts + 1h < wm STRICTLY, where wm = min(per-side "
+    "max event time, FLOORED TO MILLISECONDS -- Spark tracks event "
+    "time in ms) - 2h; at exact equality the row is retained.  The "
+    "oracle spells that rule: the batch left join split into the "
+    "matched part (unconditional) plus the unmatched part gated on "
+    "the watermark predicate.  At 100 TB the state store holds only "
+    "rows younger than the watermark on both sides -- bounded by "
+    "rate x (2h + 1h window), independent of stream length.",
+    tags=("streaming", "join", "stateful", "watermark", "outer"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events_dir = _staged_events(spark, sf_dir)
+    stream = read_events_stream(spark, events_dir)
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("c_user", "click_id", "purchase_id")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return _run_to_memory(joined, f"sslouter_{tag}", "append")
+
+
+@register(
     "stream_static_enrich",
     oracle="""
 SELECT c_mktsegment,

@@ -406,3 +406,60 @@ def test_pyds_replay_checkpoint_recovery(spark):
         assert final["chars"] == want_chars, "restart duplicated or lost rows"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_stream_louter_eviction_boundary(spark):
+    """Pins the LEFT OUTER null-emission rule the oracle of
+    stream_stream_left_outer encodes: a never-matched left row emits
+    with nulls iff its join-window end is STRICTLY below the global
+    watermark (min of both sides' ms-floored max event time, minus the
+    2h delay).  Two crafted corpora sit exactly on the boundary: at
+    equality (late rows at click+3h) nothing emits; one millisecond
+    later the null row appears."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        _run_to_memory,
+    )
+    from json_format_in_parquet_benchmark_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    def run(late_ts: str, tag: str) -> list:
+        rows = [
+            (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+            (3, late_ts, 98, "click", 1.0, "{}"),
+            (2, late_ts, 99, "purchase", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        d = tempfile.mkdtemp(prefix=f"louter_bnd_{tag}_")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = read_events_stream(spark, d)
+        clicks = (
+            stream.where("event_type = 'click'")
+            .withWatermark("ts", "2 hours")
+            .selectExpr("user_id c_user", "event_id click_id", "ts c_ts")
+        )
+        purchases = (
+            stream.where("event_type = 'purchase'")
+            .withWatermark("ts", "2 hours")
+            .selectExpr("user_id p_user", "event_id purchase_id", "ts p_ts")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        ).select("c_user", "click_id", "purchase_id")
+        out = _run_to_memory(joined, f"louter_bnd_{tag}", "append")
+        return sorted(
+            r.click_id for r in out.collect() if r.purchase_id is None
+        )
+
+    # wm = 03:00 - 2h = 01:00 == click window end exactly -> retained
+    assert run("2024-01-01 03:00:00", "eq") == []
+    # wm = 01:00 + 1ms > window end -> null-emitted
+    assert run("2024-01-01 03:00:00.001", "gt") == [1]
