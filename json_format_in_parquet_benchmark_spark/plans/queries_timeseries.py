@@ -1562,3 +1562,55 @@ def events_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_sessions").cast("double")
         ).alias("match_rate"),
     ).orderBy("day")
+
+
+# --- global ordered enumeration without a global sort --------------------------
+# Assign CONTIGUOUS global row numbers over events ordered by
+# (ts, event_id) -- the index a training pipeline stamps on shuffled
+# samples, or an export needs for resumable pagination.  The naive
+# ROW_NUMBER() OVER (ORDER BY ...) plans a single-partition sort of the
+# whole table (the one shape that cannot survive 100 TB); this query is
+# the two-phase replacement: rows partition by a DATA-DERIVED range key
+# (day of ts), each bucket numbers itself locally, and per-bucket counts
+# (the local window's own max, so phase 2 rides phase 1's shuffle)
+# cumulate into carry offsets on a |days|-row frame that broadcasts
+# back.  global_rownum = carry + local_rownum is exact because the
+# bucket key is a PREFIX of the global order: day(ts) is monotone in ts,
+# so every row in an earlier day precedes every row in a later day.
+# The oracle runs the textbook single-window ROW_NUMBER, pinning the
+# decomposition.  No rangepartitioning and no full-stream single
+# partition exist in the plan (pinned by test).
+@register(
+    "events_global_rownum",
+    oracle=f"""
+SELECT event_id,
+       ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) AS rownum
+FROM events
+""",
+    doc="Contiguous global row numbers ordered by (ts, event_id) via "
+    "two-phase enumeration (per-day local row_number + |days|-row "
+    "carry offsets) -- no global sort; the oracle is the "
+    "single-window ROW_NUMBER.",
+    tags=("events", "window", "enumeration"),
+)
+def events_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.unix_micros("ts").alias("ts_us"), "event_id"
+    ).withColumn("day", F.expr(f"ts_us div {DAY_US}"))
+    w_in = Window.partitionBy("day").orderBy("ts_us", "event_id")
+    local = e.withColumn("lrn", F.row_number().over(w_in))
+    # Per-day row counts from the numbered frame itself (max local
+    # row_number) -- grouping by the partition key adds no exchange.
+    day_cnt = local.groupBy("day").agg(F.max("lrn").alias("cnt"))
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_cnt.select(
+        "day",
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("offset"),
+    )
+    return local.join(F.broadcast(carry), "day").select(
+        "event_id",
+        (F.col("offset") + F.col("lrn")).cast("bigint").alias("rownum"),
+    )

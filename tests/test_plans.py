@@ -487,3 +487,16 @@ def test_pattern_funnel_two_shuffles_no_python(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_global_rownum_has_no_global_sort(spark):
+    """events_global_rownum: the whole point is replacing the
+    single-partition ROW_NUMBER sort -- the boundary stream must never
+    range-partition or single-partition; the only SinglePartition
+    exchange is the |days|-row carry window and the offsets come back
+    by broadcast."""
+    plan = plan_of(spark, "events_global_rownum")
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
