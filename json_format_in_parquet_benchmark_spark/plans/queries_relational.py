@@ -5669,3 +5669,89 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "se_did",
         f"{_DID['t_stat']} as t_stat",
     )
+
+
+# --- differential privacy: geometric mechanism on exact integer grid ----------
+# Noisy per-type event counts under the discrete Laplace (two-sided
+# geometric) mechanism at epsilon = 1, sensitivity 1 -- the standard DP
+# release for counting queries.  Cross-engine exactness WITHOUT ln():
+# the inverse-CDF is a 255-entry integer threshold table computed ONCE
+# in Python (floor(CDF(k) * 2^60) for k in [-127, 127]) and embedded as
+# identical int64 literals in both dialects; the per-cell uniform u is
+# the portable 60-bit md5 hash of the cell key, and the sampled noise
+# is (count of thresholds <= u) - 128 -- pure integer comparisons, no
+# transcendental functions anywhere.  The tail truncation at |k| > 126
+# carries probability ~e^-127: unobservable, documented.
+#
+# The query emits BOTH true and noisy counts because it is a MECHANISM
+# CORRECTNESS PIN (the oracle must reproduce the exact noise), not a
+# privacy release -- a real release ships only the noisy column.  The
+# 255-literal array evaluates once per OUTPUT CELL (5 rows), so the
+# array-literal-per-row perf trap does not apply.
+import math as _math
+
+_DP_EPS = 1.0
+_DP_ALPHA = _math.exp(-_DP_EPS)
+
+
+def _dp_thresholds() -> list[int]:
+    # CDF of the two-sided geometric: P(K=k) = (1-a)/(1+a) * a^|k|.
+    p0 = (1.0 - _DP_ALPHA) / (1.0 + _DP_ALPHA)
+    cdf, acc, out = 0.0, 0.0, []
+    for k in range(-127, 128):
+        acc += p0 * (_DP_ALPHA ** abs(k))
+        out.append(min(1 << 60, int(_math.floor(acc * (1 << 60)))))
+    return out
+
+
+_DP_T = ",".join(str(t) for t in _dp_thresholds())
+_DP_U_SPARK = hash64_sql_spark("concat('dp1:', event_type)")
+_DP_U_DUCK = hash64_sql_duckdb("('dp1:' || event_type)")
+
+
+@register(
+    "dq_dp_noisy_counts",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(len(list_filter([{_DP_T}], t -> t <= {_DP_U_DUCK}))
+            - 128 AS BIGINT) AS noise,
+       CAST(COUNT(*) + len(list_filter([{_DP_T}],
+                                       t -> t <= {_DP_U_DUCK}))
+            - 128 AS BIGINT) AS noisy_count,
+       CAST({_DP_EPS!r} AS DOUBLE) AS epsilon
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Differentially-private per-type event counts via the geometric "
+    "(discrete Laplace) mechanism at epsilon=1: noise sampled by pure "
+    "integer threshold comparisons against a Python-precomputed "
+    "inverse-CDF table -- bit-identical cross-engine, no ln().  "
+    "Emits true+noisy side by side as a mechanism pin (a real "
+    "release ships only the noisy column).",
+    tags=("dq", "privacy", "dp", "aggregation"),
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .withColumn(
+            "noise",
+            F.expr(
+                f"size(filter(array({_DP_T}),"
+                f" t -> t <= {_DP_U_SPARK})) - 128"
+            ).cast("bigint"),
+        )
+        .select(
+            "event_type",
+            "n_true",
+            "noise",
+            (F.col("n_true") + F.col("noise"))
+            .cast("bigint")
+            .alias("noisy_count"),
+            F.lit(_DP_EPS).cast("double").alias("epsilon"),
+        )
+        .orderBy("event_type")
+    )
