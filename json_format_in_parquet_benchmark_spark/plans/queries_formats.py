@@ -630,3 +630,91 @@ def scan_pyds_ndjson_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("line_checksum"),
         F.sum(F.length("doc")).cast("bigint").alias("total_chars"),
     )
+
+
+# --- partition-layout evolution: two generations, one pruned read --------------
+# A 100 TB lake never rewrites history to change partition granularity:
+# old data stays week-partitioned, new data lands day-partitioned, and
+# every reader unions TWO pruned scans (Iceberg calls this partition
+# evolution; plain parquet does it with explicit layout roots).  This
+# query stages both generations from the events table (epoch-day d <
+# SPLIT under pblock = d div 7, d >= SPLIT under pday = d), then answers
+# a day-range question crossing the split: the old scan prunes to the
+# overlapping week blocks and refines by the in-file day column, the
+# new scan prunes to exact days.  PartitionFilters on BOTH scans are
+# pinned by test -- the plan proof that neither generation is read in
+# full.  The oracle answers from the original table, so a pruning bug
+# that drops or double-reads a boundary day fails the value check.
+from datetime import date as _date
+
+_PE_EPOCH = _date(1970, 1, 1)
+_PE_SPLIT = (_date(2024, 1, 16) - _PE_EPOCH).days  # day-partitioning starts
+_PE_LO = (_date(2024, 1, 13) - _PE_EPOCH).days  # query window lo (old side)
+_PE_HI = (_date(2024, 1, 19) - _PE_EPOCH).days  # query window hi (new side)
+_PE_DAY_US = 86_400_000_000
+
+
+@register(
+    "scan_partition_evolution",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(epoch_us(ts) % 1000000) AS BIGINT) AS us_checksum
+FROM events
+WHERE epoch_us(ts) // {_PE_DAY_US} BETWEEN {_PE_LO} AND {_PE_HI}
+GROUP BY event_type
+""",
+    doc="Partition-layout evolution read: week-partitioned history + "
+    "day-partitioned present answered as one union with BOTH scans "
+    "partition-pruned (pinned in-plan); the oracle recomputes from "
+    "the unpartitioned original.",
+    tags=("source", "partition-evolution", "pruning"),
+)
+def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr(f"unix_micros(ts) div {_PE_DAY_US}").alias("d"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "jfipb_part_evo", tag)
+    old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
+    # Generation 1: week blocks (d div 7).  Generation 2: exact days.
+    events.where(F.col("d") < _PE_SPLIT).withColumn(
+        "pblock", F.expr("d div 7")
+    ).write.mode("overwrite").partitionBy("pblock").parquet(old_dir)
+    events.where(F.col("d") >= _PE_SPLIT).withColumn(
+        "pday", F.col("d")
+    ).write.mode("overwrite").partitionBy("pday").parquet(new_dir)
+    blocks = sorted({dd // 7 for dd in range(_PE_LO, min(_PE_HI, _PE_SPLIT - 1) + 1)})
+    old_side = (
+        spark.read.parquet(old_dir)
+        # Prune to the overlapping week blocks (partition filter), then
+        # refine to exact days on the in-file column.
+        .where(F.col("pblock").isin(blocks))
+        .where((F.col("d") >= _PE_LO) & (F.col("d") <= _PE_HI))
+        .select("event_type", "value", "ts_us")
+    )
+    new_side = (
+        spark.read.parquet(new_dir)
+        .where((F.col("pday") >= _PE_LO) & (F.col("pday") <= _PE_HI))
+        .select("event_type", "value", "ts_us")
+    )
+    return (
+        old_side.unionAll(new_side)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.expr(
+                "cast(sum(cast(value as decimal(18,2))) as double)"
+            ).alias("total_value"),
+            F.expr("cast(sum(ts_us % 1000000) as bigint)").alias(
+                "us_checksum"
+            ),
+        )
+    )

@@ -500,3 +500,17 @@ def test_global_rownum_has_no_global_sort(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_partition_evolution_prunes_both_generations(spark):
+    """scan_partition_evolution: the union's two FileScans must BOTH
+    carry PartitionFilters (week blocks on the old layout, exact days
+    on the new) -- the claim is that neither generation is read in
+    full."""
+    plan = plan_of(spark, "scan_partition_evolution")
+    assert plan.count("FileScan parquet") == 2, plan
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    non_empty = [p for p in pf if p.strip()]
+    assert len(non_empty) == 2, plan
+    assert any("pblock" in p for p in non_empty), plan
+    assert any("pday" in p for p in non_empty), plan
