@@ -4047,6 +4047,7 @@ FROM adj
     "(an arm with n<=1, zero covariate or outcome variance) are "
     "excluded identically on both sides.",
     tags=("events", "experimentation", "aggregation", "stats"),
+    bench=True,
 )
 def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -5731,6 +5732,7 @@ ORDER BY event_type
     "Emits true+noisy side by side as a mechanism pin (a real "
     "release ships only the noisy column).",
     tags=("dq", "privacy", "dp", "aggregation"),
+    bench=True,
 )
 def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

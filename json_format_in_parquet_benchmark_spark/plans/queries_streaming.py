@@ -1240,6 +1240,7 @@ FROM lines WHERE length(doc) > 0
     "batches).  sources/py_datasource.py documents the offset "
     "contract.",
     tags=("streaming", "source", "datasource", "python"),
+    bench=True,
 )
 def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
@@ -1310,6 +1311,7 @@ def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "custom streaming sink, all in pure Python "
     "(sources/py_datasource.py).",
     tags=("streaming", "sink", "datasource", "python"),
+    bench=True,
 )
 def stream_pyds_ndjson_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

@@ -1011,6 +1011,7 @@ FROM walk WHERE step = n
     "survive DuckDB's in-place struct-literal fold (module comment).  "
     "Group state is |days| per key; one shuffle on event_type.",
     tags=("timeseries", "forecast", "aggregation", "iterative"),
+    bench=True,
 )
 def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -1398,6 +1399,7 @@ FROM d GROUP BY day, peak ORDER BY day
     "The oracle runs the textbook single-window sweep -- pinning that "
     "the carry decomposition is exact.",
     tags=("events", "timeseries", "intervals", "window"),
+    bench=True,
 )
 def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import sessionize_batch
@@ -1592,6 +1594,7 @@ FROM events
     "carry offsets) -- no global sort; the oracle is the "
     "single-window ROW_NUMBER.",
     tags=("events", "window", "enumeration"),
+    bench=True,
 )
 def events_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
