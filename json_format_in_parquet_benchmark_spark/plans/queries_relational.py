@@ -5757,3 +5757,143 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- point-in-polygon: exact integer ray casting, zero-join map-side ----------
+# Membership of md5-derived event points in four fixed polygons (an
+# L-shape, a triangle, a diamond, a rectangle) on the same non-negative
+# milli-degree grid as join_spatial_grid.  The classic formulation
+# joins points x edges; this plan JOINS NOTHING: each point evaluates
+# its ray-crossing count against a <= 6-element literal edge array in
+# one codegen'd filter/size expression -- constant work per point, the
+# whole scan stays map-side, and the only exchange is the final 4-row
+# conditional rollup.  At 100 TB that is the shape you want: polygon
+# sets small enough to inline (or broadcast) make point-in-polygon a
+# pure map, never a shuffle.
+#
+# Exactness: the crossing ray sits at lat + 0.5 and the left-test at
+# lon + 0.5 (half-integer offsets make vertex/edge hits IMPOSSIBLE on
+# an integer grid), and the x-intersection comparison is cleared of
+# division -- edges are pre-normalized to dy > 0 in Python, so
+# x_int < lon + 0.5 becomes (2*lat+1-2*y1)*dx < (2*lon+1-2*x1)*dy,
+# pure int64 products (< 2^40) identical in both engines.  Horizontal
+# edges never cross the offset ray and are dropped at build time.
+
+_PIP_POLYGONS = {
+    1: [(20000, 20000), (80000, 20000), (80000, 60000),
+        (50000, 60000), (50000, 100000), (20000, 100000)],  # L-shape
+    2: [(100000, 150000), (160000, 150000), (130000, 220000)],  # triangle
+    3: [(120000, 40000), (150000, 70000), (120000, 100000),
+        (90000, 70000)],  # diamond
+    4: [(10000, 300000), (40000, 300000), (40000, 355000),
+        (10000, 355000)],  # rectangle
+}
+
+
+def _pip_edges(poly: list[tuple[int, int]]) -> list[tuple[int, int, int, int]]:
+    """Closed-ring edges normalized to dy > 0; horizontal edges dropped."""
+    out = []
+    for (y1, x1), (y2, x2) in zip(poly, poly[1:] + poly[:1]):
+        if y1 == y2:
+            continue
+        if y1 > y2:
+            (y1, x1), (y2, x2) = (y2, x2), (y1, x1)
+        out.append((y1, x1, y2, x2))
+    return out
+
+
+def _pip_inside_spark(pid: int) -> str:
+    # Unrolled per-edge CASE terms, not a higher-order filter() over a
+    # struct array: lambda-bearing expressions run INTERPRETED (the
+    # round-3 lesson), while this scalar sum stays inside whole-stage
+    # codegen -- the hot path is one branch-free expression per point.
+    terms = [
+        f"(case when {y1}L <= plat AND plat < {y2}L"
+        f" AND (2*plat + 1 - {2 * y1}L) * {x2 - x1}L"
+        f" < (2*plon + 1 - {2 * x1}L) * {y2 - y1}L then 1 else 0 end)"
+        for y1, x1, y2, x2 in _pip_edges(_PIP_POLYGONS[pid])
+    ]
+    return f"({' + '.join(terms)}) % 2 = 1"
+
+
+def _pip_inside_duck(pid: int) -> str:
+    arr = ",".join(
+        f"{{'y1':{y1}::BIGINT,'x1':{x1}::BIGINT,'y2':{y2}::BIGINT,"
+        f"'dx':{x2 - x1}::BIGINT,'dy':{y2 - y1}::BIGINT}}"
+        for y1, x1, y2, x2 in _pip_edges(_PIP_POLYGONS[pid])
+    )
+    return (
+        f"len(list_filter([{arr}], e -> e.y1 <= plat AND plat < e.y2"
+        f" AND (2*plat + 1 - 2*e.y1) * e.dx"
+        f" < (2*plon + 1 - 2*e.x1) * e.dy)) % 2 = 1"
+    )
+
+
+_PIP_POINTS_DUCK = """
+SELECT value,
+       (('0x' || substr(md5('lat:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 180000 AS plat,
+       (('0x' || substr(md5('lon:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 360000 AS plon
+FROM events
+"""
+
+
+@register(
+    "join_point_in_polygon",
+    oracle=f"""
+WITH pts AS ({_PIP_POINTS_DUCK}),
+m AS (
+  SELECT {" , ".join(
+      f'''CAST(COUNT(*) FILTER ({_pip_inside_duck(p)}) AS BIGINT)
+            AS n_{p},
+          CAST(SUM(CAST(value AS DECIMAL(18,2)))
+               FILTER ({_pip_inside_duck(p)}) AS DOUBLE) AS v_{p}'''
+      for p in sorted(_PIP_POLYGONS))}
+  FROM pts
+)
+{" UNION ALL ".join(
+    f"SELECT CAST({p} AS BIGINT) AS poly_id, n_{p} AS n_points,"
+    f" v_{p} AS sum_value FROM m"
+    for p in sorted(_PIP_POLYGONS))}
+""",
+    doc="Exact integer ray-casting point-in-polygon over four inlined "
+    "polygons: zero joins -- each point evaluates a literal edge "
+    "array map-side (half-integer ray offsets make vertex hits "
+    "impossible; division-free left test in int64), one 4-row "
+    "conditional rollup.  The scalable shape for small polygon sets "
+    "at any point cardinality.",
+    tags=("relational", "join", "spatial", "polygon"),
+    bench=True,
+)
+def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat_h = hash64_sql_spark("cast(event_id as string)", salt="lat:")
+    lon_h = hash64_sql_spark("cast(event_id as string)", salt="lon:")
+    pts = load_table(spark, sf_dir, "events").selectExpr(
+        "value",
+        f"({lat_h}) % 180000 AS plat",
+        f"({lon_h}) % 360000 AS plon",
+    )
+    agg_cols = []
+    for p in sorted(_PIP_POLYGONS):
+        cond = _pip_inside_spark(p)
+        agg_cols.append(
+            F.expr(
+                f"cast(count(if({cond}, 1, null)) as bigint)"
+            ).alias(f"n_{p}")
+        )
+        agg_cols.append(
+            F.expr(
+                f"cast(sum(if({cond}, cast(value as decimal(18,2)),"
+                f" null)) as double)"
+            ).alias(f"v_{p}")
+        )
+    m = pts.agg(*agg_cols)
+    stacked = m.selectExpr(
+        "stack({n}, {args}) as (poly_id, n_points, sum_value)".format(
+            n=len(_PIP_POLYGONS),
+            args=", ".join(
+                f"cast({p} as bigint), n_{p}, v_{p}"
+                for p in sorted(_PIP_POLYGONS)
+            ),
+        )
+    )
+    return stacked

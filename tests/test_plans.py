@@ -514,3 +514,17 @@ def test_partition_evolution_prunes_both_generations(spark):
     assert len(non_empty) == 2, plan
     assert any("pblock" in p for p in non_empty), plan
     assert any("pday" in p for p in non_empty), plan
+
+
+def test_point_in_polygon_is_pure_map(spark):
+    """join_point_in_polygon: membership is evaluated inline per point
+    (unrolled codegen-able CASE terms, no higher-order lambdas) -- the
+    plan must contain NO join and exactly one exchange (the single-row
+    conditional rollup); the scan reads only (event_id, value)."""
+    plan = plan_of(spark, "join_point_in_polygon")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "event_id" in m.group(1) and "value" in m.group(1), plan
+    assert "lambdafunction" not in plan, plan
