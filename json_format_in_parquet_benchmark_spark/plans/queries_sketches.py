@@ -11,7 +11,7 @@ correctness gate, not just trusted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_duckdb, tokens_spark
@@ -778,3 +778,150 @@ def sketch_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("week_start", "bin")
     )
     return weekly
+
+
+# --- rolling sketch merge: 7-day HLL WAU ---------------------------------------
+# The ROLLING twin of events_rollup_hll: per-day HLL registers over
+# user_id merged across a 7-day RANGE window (register max) give a
+# rolling weekly-active-users estimate per day.  This is the shape that
+# survives when exact rolling distincts stop fitting: the raw scan is
+# touched ONCE to build |days| x m register rows; every downstream
+# operation (dense grid, rolling max, estimate) runs on that
+# calendar-bounded table.  Exact rolling distincts ride along for the
+# error column (at 100 TB you ship only the sketch arm).  The portable
+# hash makes every estimate bit-identical in the DuckDB oracle; the
+# window frame is RANGE BETWEEN 6 PRECEDING AND CURRENT ROW on the
+# integer epoch-day in both engines.
+
+_ROLL_DAY_US = 86_400_000_000
+
+
+def _rolling_hll_oracle() -> str:
+    from ..functions.hashing import hash64_sql_duckdb
+    from ..operators.sketches import alpha_m
+
+    h = hash64_sql_duckdb("CAST(user_id AS VARCHAR)")
+    alpha = alpha_m(_R_M)
+    est = (
+        f"CAST(CAST({alpha!r} AS DOUBLE) * {_R_M} * {_R_M}"
+        f" * CAST((1::BIGINT << 61) AS DOUBLE)"
+        f" / CAST(SUM(CAST((1::BIGINT << (61 - Mroll)) AS DECIMAL(38,0)))"
+        f" AS DOUBLE) AS DOUBLE)"
+    )
+    return f"""
+WITH sel AS (
+  SELECT epoch_us(ts) // {_ROLL_DAY_US} AS day,
+         ({h}) % {_R_M} AS bucket, (({h}) >> {ROLLUP_B}) AS w,
+         user_id
+  FROM events
+), rho AS (
+  SELECT day, bucket,
+         CASE WHEN w = 0 THEN {_R_TOP + 1}
+              ELSE {_R_TOP} - length(format('{{:b}}', w)) + 1 END AS rho
+  FROM sel
+), regs_day AS (
+  SELECT day, bucket, MAX(rho) AS M FROM rho GROUP BY 1, 2
+), days AS (
+  SELECT DISTINCT day FROM regs_day
+), grid AS (
+  SELECT d.day, r.bucket, COALESCE(g.M, 0) AS M
+  FROM days d CROSS JOIN range({_R_M}) r(bucket)
+  LEFT JOIN regs_day g ON g.day = d.day AND g.bucket = r.bucket
+), rolled AS (
+  SELECT day, bucket,
+         MAX(M) OVER (PARTITION BY bucket ORDER BY day
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS Mroll
+  FROM grid
+), est AS (
+  SELECT CAST(day AS BIGINT) AS day, {est} AS est_wau
+  FROM rolled GROUP BY day
+), presence AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_ROLL_DAY_US} AS day FROM events
+), exact AS (
+  SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS exact_wau
+  FROM days d JOIN presence p
+    ON p.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT e.day, e.est_wau, x.exact_wau,
+       (e.est_wau - CAST(x.exact_wau AS DOUBLE))
+         / CAST(x.exact_wau AS DOUBLE) AS rel_err
+FROM est e JOIN exact x ON x.day = e.day
+ORDER BY e.day
+"""
+
+
+@register(
+    "events_rolling_hll_wau",
+    oracle=_rolling_hll_oracle(),
+    doc="Rolling 7-day weekly-active-users via HLL register merge over a "
+    "RANGE window: one raw scan builds |days| x m registers, the "
+    "rolling max and estimate run on the calendar-bounded register "
+    "table -- the sketch path that replaces exact rolling distincts "
+    "at scale; exact values ride along for the error column.",
+    tags=("sketch", "events", "window", "rolling", "custom-operator"),
+    bench=True,
+)
+def events_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+    from ..operators.sketches import alpha_m
+
+    h = hash64_sql_spark("cast(user_id as string)")
+    alpha = alpha_m(_R_M)
+    est_expr = (
+        f"cast({alpha!r}D * {_R_M} * {_R_M}"
+        f" * cast(shiftleft(1L, 61) as double)"
+        f" / cast(sum(cast(shiftleft(1L, 61 - Mroll) as decimal(38,0)))"
+        f" as double) as double)"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    rho = ev.selectExpr(
+        f"unix_micros(ts) div {_ROLL_DAY_US} as day",
+        f"({h}) % {_R_M} as bucket",
+        f"shiftright({h}, {ROLLUP_B}) as w",
+    ).selectExpr(
+        "day",
+        "bucket",
+        f"case when w = 0 then {_R_TOP + 1}"
+        f" else {_R_TOP} - length(bin(w)) + 1 end as rho",
+    )
+    regs_day = rho.groupBy("day", "bucket").agg(F.max("rho").alias("M"))
+    days = regs_day.select("day").distinct()
+    grid = days.selectExpr(
+        "day", f"explode(sequence(0, {_R_M - 1})) as bucket"
+    ).join(regs_day, ["day", "bucket"], "left").selectExpr(
+        "day", "bucket", "coalesce(M, 0) as M"
+    )
+    w_roll = (
+        Window.partitionBy("bucket").orderBy("day").rangeBetween(-6, 0)
+    )
+    rolled = grid.withColumn("Mroll", F.max("M").over(w_roll))
+    est = rolled.groupBy("day").agg(F.expr(est_expr).alias("est_wau"))
+    # Exact rolling distinct for the error column: presence explodes to
+    # the <= 7 target days it covers (equi-join shape, no range join).
+    presence = ev.selectExpr(
+        "user_id", f"unix_micros(ts) div {_ROLL_DAY_US} as day"
+    ).distinct()
+    covered = presence.selectExpr(
+        "user_id", "explode(sequence(day, day + 6)) as d"
+    ).distinct()
+    exact = (
+        covered.join(
+            F.broadcast(days.withColumnRenamed("day", "d")), "d"
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_wau"))
+    )
+    return (
+        est.join(exact, est.day == exact.d)
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "est_wau",
+            "exact_wau",
+            (
+                (F.col("est_wau") - F.col("exact_wau").cast("double"))
+                / F.col("exact_wau").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("day")
+    )
