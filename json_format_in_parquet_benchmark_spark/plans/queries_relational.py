@@ -5897,3 +5897,237 @@ def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked
+
+
+# --- Markov removal-effect attribution ----------------------------------------
+# Data-driven multi-touch attribution (Anderl et al. 2014, the model
+# behind GA4's data-driven attribution): user journeys up to the FIRST
+# purchase become an absorbing Markov chain over channel states
+# (START, click, error, signup, view, CONV, NULL); a channel's credit
+# is its REMOVAL EFFECT -- how much the chain's conversion probability
+# drops when every visit to that channel is redirected to NULL.
+#
+# Exactness: absorption probabilities are K-STEP value iteration on a
+# 1e9 integer grid (p'(s) = sum_d cnt[s][d]*p(d) div tot[s]) -- a
+# well-defined deterministic quantity both engines compute identically
+# (K=24; the chain's absorbing mass makes further steps move < 1 grid
+# unit on this corpus).  Spark folds all five arms (FULL + 4 removals)
+# inside ONE aggregate() expression over a one-row matrix frame (the
+# projection-collapse rule: shared subtrees re-inline per column, so
+# one column carries all arms); the oracle unrolls 24 MATERIALIZED
+# CTE rounds carrying an `arm` dimension.
+#
+# 100 TB shape: one shuffle on user_id builds the journeys, one tiny
+# (<= 7x7) transition-count aggregate; the value iteration itself
+# touches seven states -- constant work regardless of corpus size.
+
+_MKV_SCALE = 1_000_000_000
+_MKV_K = 24
+_MKV_CHANNELS = [(1, "click"), (2, "error"), (3, "signup"), (4, "view")]
+_MKV_STATE_CASE_SPARK = (
+    "case event_type when 'click' then 1 when 'error' then 2"
+    " when 'signup' then 3 when 'view' then 4 end"
+)
+_MKV_STATE_CASE_DUCK = _MKV_STATE_CASE_SPARK  # identical syntax
+
+
+def _mkv_oracle() -> str:
+    ctes = [
+        """ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+)""",
+        """fp AS (
+  SELECT user_id, us, event_id FROM (
+    SELECT user_id, us, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+)""",
+        f"""pre AS (
+  SELECT e.user_id, e.us, e.event_id,
+         {_MKV_STATE_CASE_DUCK} AS state
+  FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (fp.user_id IS NULL OR (e.us, e.event_id) < (fp.us, fp.event_id))
+)""",
+        """steps AS (
+  SELECT user_id, state,
+         COALESCE(LAG(state) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id), 0) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY us DESC, event_id DESC) AS rdesc
+  FROM pre
+)""",
+        """edges AS (
+  SELECT prev AS si, state AS di FROM steps
+  UNION ALL
+  SELECT s.state AS si,
+         CASE WHEN fp.user_id IS NULL THEN 6 ELSE 5 END AS di
+  FROM steps s LEFT JOIN fp ON fp.user_id = s.user_id
+  WHERE s.rdesc = 1
+  UNION ALL
+  SELECT 0 AS si, 5 AS di
+  FROM fp WHERE fp.user_id NOT IN (SELECT user_id FROM pre)
+)""",
+        """counts AS MATERIALIZED (
+  SELECT si, di, CAST(COUNT(*) AS BIGINT) AS cnt FROM edges GROUP BY 1, 2
+)""",
+        """tots AS MATERIALIZED (
+  SELECT si, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1
+)""",
+        """arms AS (SELECT unnest([-1, 1, 2, 3, 4]) AS arm)""",
+        """states AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS s)""",
+        f"""p0 AS (
+  SELECT arm, s,
+         CAST(CASE WHEN s = 5 THEN {_MKV_SCALE} ELSE 0 END AS BIGINT) AS p
+  FROM arms CROSS JOIN states
+)""",
+    ]
+    prev = "p0"
+    for r in range(1, _MKV_K + 1):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT a.arm, st.s,
+         CAST(CASE WHEN st.s = 5 THEN {_MKV_SCALE}
+                   WHEN st.s = 6 THEN 0
+                   WHEN st.s = a.arm THEN 0
+                   ELSE COALESCE(g.num, 0)
+                        // GREATEST(COALESCE(t.tot, 1), 1) END
+              AS BIGINT) AS p
+  FROM arms a CROSS JOIN states st
+  LEFT JOIN (
+    SELECT p.arm, c.si AS s, CAST(SUM(c.cnt * p.p) AS BIGINT) AS num
+    FROM {prev} p JOIN counts c ON c.di = p.s
+    GROUP BY 1, 2
+  ) g ON g.arm = a.arm AND g.s = st.s
+  LEFT JOIN tots t ON t.si = st.s
+)"""
+        )
+        prev = f"p{r}"
+    chan_vals = ", ".join(f"({i}, '{n}')" for i, n in _MKV_CHANNELS)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+pf AS (SELECT p FROM {prev} WHERE arm = -1 AND s = 0)
+SELECT ch.nm AS channel,
+       pa.p AS p_removed_q,
+       pf.p AS p_full_q,
+       (CAST(pf.p AS DOUBLE) - CAST(pa.p AS DOUBLE))
+         / CAST(pf.p AS DOUBLE) AS removal_effect
+FROM {prev} pa
+CROSS JOIN pf
+JOIN (VALUES {chan_vals}) ch(ci, nm) ON ch.ci = pa.arm
+WHERE pa.s = 0
+ORDER BY channel
+"""
+    )
+
+
+@register(
+    "events_attribution_markov",
+    oracle=_mkv_oracle(),
+    doc="Markov removal-effect multi-touch attribution: journeys to "
+    "first purchase as an absorbing chain, channel credit = drop in "
+    "K-step conversion probability when the channel is removed -- "
+    "integer-grid value iteration, one user_id shuffle + a 7x7 "
+    "transition table, constant iteration cost at any corpus size.",
+    tags=("events", "attribution", "markov", "iterative"),
+    bench=True,
+)
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    fp = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("us", "event_id")).alias("fpk"))
+    )
+    pre = (
+        ev.where("event_type <> 'purchase'")
+        .join(fp, "user_id", "left")
+        .where("fpk IS NULL OR struct(us, event_id) < fpk")
+        .selectExpr(
+            "user_id",
+            "us",
+            "event_id",
+            f"{_MKV_STATE_CASE_SPARK} as state",
+            "fpk is not null as converted",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    steps = pre.select(
+        "user_id",
+        "state",
+        "converted",
+        F.coalesce(F.lag("state").over(w), F.lit(0)).alias("prev"),
+        F.row_number().over(wdesc).alias("rdesc"),
+    )
+    edges = (
+        steps.selectExpr("prev as si", "state as di")
+        .unionAll(
+            steps.where("rdesc = 1").selectExpr(
+                "state as si", "case when converted then 5 else 6 end as di"
+            )
+        )
+        .unionAll(
+            # Converted users whose very first event is the purchase:
+            # their journey is START -> CONV directly.
+            fp.join(pre.select("user_id").distinct(), "user_id", "left_anti")
+            .selectExpr("0 as si", "5 as di")
+        )
+    )
+    counts = edges.groupBy("si", "di").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # One-row matrix frame; ALL five arms fold inside one expression.
+    one = counts.agg(
+        F.map_from_arrays(
+            F.collect_list(F.expr("si * 16 + di")),
+            F.collect_list("cnt"),
+        ).alias("cmap")
+    )
+    mat = (
+        "transform(sequence(0, 6), i -> transform(sequence(0, 6),"
+        " j -> coalesce(element_at(cmap, i * 16 + j), 0L)))"
+    )
+    fold = f"""
+transform(array(-1, 1, 2, 3, 4), arm ->
+  element_at(
+    aggregate(
+      sequence(1, {_MKV_K}),
+      transform(sequence(0, 6),
+                s -> cast(if(s = 5, {_MKV_SCALE}, 0) as bigint)),
+      (acc, _r) -> transform(sequence(0, 6), s ->
+        case when s = 5 then cast({_MKV_SCALE} as bigint)
+             when s = 6 then 0L
+             when s = arm then 0L
+             else aggregate(sequence(0, 6), 0L,
+                    (a, d) -> a + element_at(element_at({mat}, s + 1),
+                                             d + 1)
+                              * element_at(acc, d + 1))
+                  div greatest(aggregate(
+                        element_at({mat}, s + 1), 0L, (a, x) -> a + x), 1L)
+        end)),
+    1))
+""".strip()
+    chan_map = ", ".join(f"{i}, '{n}'" for i, n in _MKV_CHANNELS)
+    folded = one.selectExpr(f"{fold} as pvec")
+    return folded.selectExpr(
+        f"explode(map({chan_map})) as (ci, channel)",
+        "element_at(pvec, ci + 1) as p_removed_q",
+        "element_at(pvec, 1) as p_full_q",
+    ).selectExpr(
+        "channel",
+        "p_removed_q",
+        "p_full_q",
+        "(cast(p_full_q as double) - cast(p_removed_q as double))"
+        " / cast(p_full_q as double) as removal_effect",
+    ).orderBy("channel")
