@@ -819,6 +819,92 @@ def main() -> None:
         # that this is the 100 TB-safe shape for COUNT(DISTINCT)-overlap
         # analytics (the row join's pair fan-out is |users| x days x
         # horizon, the bitmap's is |users|/63 x days x horizon).
+        # ---- round-6 interval/enumeration arms: the registered plans
+        # themselves run against a staged synthetic sf_dir (events.parquet
+        # with the real schema), so the probe times the EXACT plan the
+        # correctness gate checks.  The naive single-window sweep runs as
+        # a comparison arm at the 5M tier only (its single-partition sort
+        # is the thing the two-phase shape exists to avoid).
+        sweep_ops = {"concurrency_sweep", "concurrency_globalsort",
+                     "global_rownum"}
+        if OPS is None or OPS & sweep_ops:
+            from json_format_in_parquet_benchmark_spark.plans import (
+                REGISTRY as _REG,
+            )
+
+            sw_dir = os.path.join(args.workdir, f"sweep_sf_{n}")
+            nu = max(n // 20, 100)
+            span_us = 60 * 86_400_000_000
+            uexpr = (
+                "cast(conv(substr(md5(cast(id as string)), 1, 15), 16, 10)"
+                f" as bigint) % {nu}"
+            )
+            (
+                spark.range(n)
+                .selectExpr(
+                    "id as event_id",
+                    f"{uexpr} as user_id",
+                    # 60-day span, md5 sub-second jitter for irregularity
+                    # (spacing precomputed in Python: id * span overflows
+                    # int64 past ~1.8M rows under ANSI mode)
+                    f"timestamp_micros(id * {max(span_us // n, 1)}L"
+                    f" + ({uexpr}) % 999983) as ts",
+                )
+                .repartition(spark.sparkContext.defaultParallelism)
+                .write.mode("overwrite")
+                .parquet(os.path.join(sw_dir, "events.parquet"))
+            )
+            if OPS is None or "concurrency_sweep" in OPS:
+                r["concurrency_sweep"] = timed_l(
+                    "concurrency_sweep",
+                    lambda: _REG["events_concurrency_peak"]
+                    .fn(spark, sw_dir)
+                    .count(),
+                )
+            if (OPS is None or "concurrency_globalsort" in OPS) and (
+                n <= 5_000_000
+            ):
+
+                def _naive_sweep():
+                    from json_format_in_parquet_benchmark_spark.plans.queries_timeseries import (  # noqa: E501
+                        CONC_GAP_MIN,
+                        CONC_GAP_US,
+                        DAY_US,
+                    )
+                    from json_format_in_parquet_benchmark_spark.streaming.events_stream import (  # noqa: E501
+                        sessionize_batch,
+                    )
+                    from json_format_in_parquet_benchmark_spark.tables import (
+                        load_table,
+                    )
+                    from pyspark.sql import Window
+
+                    ev = load_table(spark, sw_dir, "events")
+                    sess = sessionize_batch(ev, gap_minutes=CONC_GAP_MIN)
+                    bounds = sess.selectExpr(
+                        "explode(array(struct(start_us as t, 1 as delta),"
+                        f" struct(end_us + {CONC_GAP_US} as t,"
+                        " -1 as delta))) as b"
+                    ).selectExpr("b.t as t", "b.delta as delta")
+                    w = Window.orderBy("t", "delta")  # the global sort
+                    conc = bounds.withColumn(
+                        "c", F.sum("delta").over(w)
+                    ).withColumn("day", F.expr(f"t div {DAY_US}"))
+                    return conc.groupBy("day").agg(
+                        F.max("c").alias("peak")
+                    ).count()
+
+                r["concurrency_globalsort"] = timed_l(
+                    "concurrency_globalsort", _naive_sweep
+                )
+            if OPS is None or "global_rownum" in OPS:
+                r["global_rownum"] = timed_l(
+                    "global_rownum",
+                    lambda: _REG["events_global_rownum"]
+                    .fn(spark, sw_dir)
+                    .count(),
+                )
+
         ret_ops = {"retention_rowjoin", "retention_bitmap"}
         if OPS is None or OPS & ret_ops:
             pres_path = os.path.join(args.workdir, f"ret_pres_{n}")
