@@ -127,6 +127,20 @@ _EVIDENCE_PRIORITY = (
     "orders_cohort_ltv",
     "events_kpi_decomposition",
 )
+# ROUND-7 EVIDENCE TODO: after the round-6 driver sample lands, the
+# never-sampled set is the 11 deferred names above (already ordered
+# past slot 50) plus the round-6 session additions, all currently green
+# under the local gate at sf0.001+sf0.01 vanilla AND non-UTC:
+#   events_survival_km, events_did_estimator, events_concurrency_peak,
+#   events_pattern_funnel, events_global_rownum, events_rolling_hll_wau,
+#   events_attribution_markov, stream_stream_left_outer,
+#   dq_dp_noisy_counts, scan_partition_evolution, join_point_in_polygon,
+#   dedup_substring_strided*, generator_documents_planted*,
+#   dedup_planted_recall* (*in the round-6 window -- drop from the list
+#   if CORRECTNESS_r06 shows them green).
+# Rank the streaming/outer-join and partition-evolution entries first
+# (most failure-prone surfaces), then the rest; ~25 candidates fit the
+# 50-slot window with room for round-7 additions.
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]
 assert not _missing, f"evidence-priority names not in REGISTRY: {_missing}"

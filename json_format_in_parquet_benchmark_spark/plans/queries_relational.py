@@ -6131,3 +6131,185 @@ transform(array(-1, 1, 2, 3, 4), arm ->
         "(cast(p_full_q as double) - cast(p_removed_q as double))"
         " / cast(p_full_q as double) as removal_effect",
     ).orderBy("channel")
+
+
+# --- Shapley-value attribution (exact, 4 channels, 16 coalitions) -------------
+# The coalition-game companion to the Markov removal effect: each
+# journey (events strictly before the first purchase, same prefix rule
+# as events_attribution_markov) contributes its touched-channel SET;
+# v(S) = conversion rate among journeys touching exactly S (the
+# simplified Shapley attribution model of Dalessandro et al. 2012 --
+# unobserved coalitions value 0, v(empty) = 0, empty-prefix instant
+# converters are unattributable and excluded).  With 4 channels the 16
+# coalition values are computed exactly and the Shapley sum is unrolled
+# with literal weights |S|!(4-|S|-1)!/4! = {6,2,2,6}/24 -- everything
+# integer (v on a 1e9 grid, one floor division per coalition) until the
+# final credit division, identical in both engines.
+#
+# 100 TB shape: one user_id shuffle builds (mask, converted) per user,
+# one 16-row aggregate -- the Shapley computation itself is constant.
+
+_SHAP_SCALE = 1_000_000_000
+_SHAP_WNUM = {0: 6, 1: 2, 2: 2, 3: 6}  # |S|! (4-|S|-1)! ; denominator 24
+_SHAP_CHANNELS = ["click", "error", "signup", "view"]  # bit 0..3
+_SHAP_BIT_CASE = (
+    "case event_type when 'click' then 0 when 'error' then 1"
+    " when 'signup' then 2 when 'view' then 3 end"
+)
+
+
+def _shap_phi_terms(c: int) -> list[tuple[int, int, int]]:
+    """(weight_numerator, mask_with_c, mask_without_c) per subset S ∌ c."""
+    out = []
+    others = [b for b in range(4) if b != c]
+    for pick in range(8):
+        s = 0
+        for i, b in enumerate(others):
+            if pick >> i & 1:
+                s |= 1 << b
+        out.append((_SHAP_WNUM[bin(s).count("1")], s | (1 << c), s))
+    return out
+
+
+def _shap_oracle() -> str:
+    vcols = ", ".join(
+        f"COALESCE((SELECT CAST(conv * {_SHAP_SCALE} // n AS BIGINT)"
+        f" FROM bymask WHERE mask = {m}), 0) AS v{m}"
+        for m in range(1, 16)
+    )
+    phis = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"{w} * ({f'v{a}' if a else '0'} - {f'v{b}' if b else '0'})"
+            for w, a, b in _shap_phi_terms(c)
+        )
+        + f" AS BIGINT) AS phi{c}"
+        for c in range(4)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS channel, phi{c} AS phi_q FROM phi"
+        for c, name in enumerate(_SHAP_CHANNELS)
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+),
+fp AS (
+  SELECT user_id, us, event_id FROM (
+    SELECT user_id, us, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+),
+pre AS (
+  SELECT e.user_id, (1 << ({_SHAP_BIT_CASE})) AS bit,
+         fp.user_id IS NOT NULL AS converted
+  FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (fp.user_id IS NULL OR (e.us, e.event_id) < (fp.us, fp.event_id))
+),
+ju AS (
+  SELECT user_id, CAST(bit_or(bit) AS INT) AS mask,
+         MAX(converted) AS converted
+  FROM pre GROUP BY user_id
+),
+bymask AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (converted) AS BIGINT) AS conv
+  FROM ju GROUP BY mask
+),
+v AS (SELECT {vcols}),
+phi AS (SELECT {phis} FROM v),
+allrows AS ({rows}),
+tot AS (SELECT SUM(phi_q) AS t FROM allrows)
+SELECT channel, phi_q,
+       CAST(phi_q AS DOUBLE) / (24e0 * {_SHAP_SCALE}) AS credit,
+       CAST(phi_q AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM allrows CROSS JOIN tot
+ORDER BY channel
+"""
+
+
+@register(
+    "events_attribution_shapley",
+    oracle=_shap_oracle(),
+    doc="Exact Shapley-value attribution over four channels: coalition "
+    "values = conversion rate per exactly-touched channel set on a "
+    "1e9 integer grid, the 16-coalition Shapley sum unrolled with "
+    "literal factorial weights -- one user_id shuffle, a 16-row "
+    "aggregate, constant game computation.",
+    tags=("events", "attribution", "shapley"),
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    fp = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("us", "event_id")).alias("fpk"))
+    )
+    ju = (
+        ev.where("event_type <> 'purchase'")
+        .join(fp, "user_id", "left")
+        .where("fpk IS NULL OR struct(us, event_id) < fpk")
+        .selectExpr(
+            "user_id",
+            f"shiftleft(1, {_SHAP_BIT_CASE}) as bit",
+            "fpk is not null as converted",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("cast(bit_or(bit) as int)").alias("mask"),
+            F.max("converted").alias("converted"),
+        )
+    )
+    bymask = ju.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
+    one = bymask.agg(
+        F.map_from_arrays(
+            F.collect_list("mask"),
+            F.collect_list(F.expr(f"conv * {_SHAP_SCALE} div n")),
+        ).alias("vmap")
+    )
+    phis = [
+        "cast("
+        + " + ".join(
+            f"{w}L * ("
+            + (f"coalesce(element_at(vmap, {a}), 0L)" if a else "0L")
+            + " - "
+            + (f"coalesce(element_at(vmap, {b}), 0L)" if b else "0L")
+            + ")"
+            for w, a, b in _shap_phi_terms(c)
+        )
+        + f" as bigint) as phi{c}"
+        for c in range(4)
+    ]
+    chan_map = ", ".join(
+        f"{c}, '{name}'" for c, name in enumerate(_SHAP_CHANNELS)
+    )
+    phi = one.selectExpr(*phis).selectExpr(
+        "array(phi0, phi1, phi2, phi3) as pv"
+    )
+    return (
+        phi.selectExpr(
+            f"explode(map({chan_map})) as (ci, channel)",
+            "pv",
+        )
+        .selectExpr(
+            "channel",
+            "element_at(pv, ci + 1) as phi_q",
+            f"cast(element_at(pv, ci + 1) as double)"
+            f" / (24e0 * {_SHAP_SCALE}) as credit",
+            "cast(element_at(pv, ci + 1) as double)"
+            " / cast(aggregate(pv, 0L, (a, x) -> a + x) as double) as share",
+        )
+        .orderBy("channel")
+    )
