@@ -5680,7 +5680,10 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in Python (floor(CDF(k) * 2^60) for k in [-127, 127]) and embedded as
 # identical int64 literals in both dialects; the per-cell uniform u is
 # the portable 60-bit md5 hash of the cell key, and the sampled noise
-# is (count of thresholds <= u) - 128 -- pure integer comparisons, no
+# is (count of thresholds <= u) - 127 (thresholds are CDF(k) for
+# k in [-127, 127], so count = c means the inverse-CDF sample is
+# -127 + c; the distribution is centered: P(0) = (1-a)/(1+a) = 0.462
+# at eps = 1, pinned by test) -- pure integer comparisons, no
 # transcendental functions anywhere.  The tail truncation at |k| > 126
 # carries probability ~e^-127: unobservable, documented.
 #
@@ -5716,10 +5719,10 @@ _DP_U_DUCK = hash64_sql_duckdb("('dp1:' || event_type)")
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_true,
        CAST(len(list_filter([{_DP_T}], t -> t <= {_DP_U_DUCK}))
-            - 128 AS BIGINT) AS noise,
+            - 127 AS BIGINT) AS noise,
        CAST(COUNT(*) + len(list_filter([{_DP_T}],
                                        t -> t <= {_DP_U_DUCK}))
-            - 128 AS BIGINT) AS noisy_count,
+            - 127 AS BIGINT) AS noisy_count,
        CAST({_DP_EPS!r} AS DOUBLE) AS epsilon
 FROM events
 GROUP BY event_type
@@ -5743,7 +5746,7 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "noise",
             F.expr(
                 f"size(filter(array({_DP_T}),"
-                f" t -> t <= {_DP_U_SPARK})) - 128"
+                f" t -> t <= {_DP_U_SPARK})) - 127"
             ).cast("bigint"),
         )
         .select(
@@ -6014,7 +6017,7 @@ SELECT ch.nm AS channel,
        pa.p AS p_removed_q,
        pf.p AS p_full_q,
        (CAST(pf.p AS DOUBLE) - CAST(pa.p AS DOUBLE))
-         / CAST(pf.p AS DOUBLE) AS removal_effect
+         / CAST(NULLIF(pf.p, 0) AS DOUBLE) AS removal_effect
 FROM {prev} pa
 CROSS JOIN pf
 JOIN (VALUES {chan_vals}) ch(ci, nm) ON ch.ci = pa.arm
@@ -6129,7 +6132,7 @@ transform(array(-1, 1, 2, 3, 4), arm ->
         "p_removed_q",
         "p_full_q",
         "(cast(p_full_q as double) - cast(p_removed_q as double))"
-        " / cast(p_full_q as double) as removal_effect",
+        " / cast(nullif(p_full_q, 0L) as double) as removal_effect",
     ).orderBy("channel")
 
 
@@ -6224,7 +6227,7 @@ allrows AS ({rows}),
 tot AS (SELECT SUM(phi_q) AS t FROM allrows)
 SELECT channel, phi_q,
        CAST(phi_q AS DOUBLE) / (24e0 * {_SHAP_SCALE}) AS credit,
-       CAST(phi_q AS DOUBLE) / CAST(t AS DOUBLE) AS share
+       CAST(phi_q AS DOUBLE) / CAST(NULLIF(t, 0) AS DOUBLE) AS share
 FROM allrows CROSS JOIN tot
 ORDER BY channel
 """
@@ -6309,7 +6312,8 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(element_at(pv, ci + 1) as double)"
             f" / (24e0 * {_SHAP_SCALE}) as credit",
             "cast(element_at(pv, ci + 1) as double)"
-            " / cast(aggregate(pv, 0L, (a, x) -> a + x) as double) as share",
+            " / cast(nullif(aggregate(pv, 0L, (a, x) -> a + x), 0L)"
+            " as double) as share",
         )
         .orderBy("channel")
     )

@@ -299,11 +299,17 @@ p AS (
   FROM events WHERE event_type = 'purchase'
 ),
 wm AS (
-  SELECT ((LEAST((SELECT MAX(epoch_us(ts)) FROM events
-                  WHERE event_type = 'click'),
-                 (SELECT MAX(epoch_us(ts)) FROM events
-                  WHERE event_type = 'purchase')) // 1000)
-          - 7200000) * 1000 AS wm_us
+  -- NULL-SAFE min of the two per-input watermarks: DuckDB's LEAST
+  -- SKIPS nulls, but Spark's global watermark stays 0 while EITHER
+  -- withWatermark column has seen no data -- so an empty side must
+  -- make wm NULL here (the u-branch predicate then filters every
+  -- row, matching the engine's no-null-emission behavior).
+  SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL
+              ELSE ((LEAST(mc, mp) // 1000) - 7200000) * 1000 END AS wm_us
+  FROM (SELECT (SELECT MAX(epoch_us(ts)) FROM events
+                WHERE event_type = 'click') AS mc,
+               (SELECT MAX(epoch_us(ts)) FROM events
+                WHERE event_type = 'purchase') AS mp)
 ),
 m AS (
   SELECT cu, click_id, purchase_id

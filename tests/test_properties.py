@@ -1324,3 +1324,31 @@ def test_gdpr_erasure_minimal_rewrite(spark, sf_dir, tmp_path_factory):
 
     cleaned = spark.read.parquet(out)
     assert cleaned.where(F.col("user_id") == target).count() == 0
+
+
+def test_dp_noise_distribution_centered(duck):
+    """Pins the geometric-mechanism sampler of dq_dp_noisy_counts
+    independently of the cross-engine gate (which would reproduce a
+    shared off-by-one): over 20k hash-derived uniforms the sampled
+    discrete-Laplace noise must be centered (|mean| < 0.05) with
+    P(noise = 0) near (1-a)/(1+a) = 0.462 at eps = 1.  Regression for
+    the count-minus-128 off-by-one (E[noise] was exactly -1)."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_relational import (
+        _DP_T,
+        _DP_ALPHA,
+    )
+
+    rows = duck.sql(
+        f"""
+WITH keys AS (SELECT 'k' || i AS s FROM range(20000) t(i)),
+u AS (SELECT ('0x' || substr(md5(s), 1, 15))::BIGINT AS u FROM keys)
+SELECT AVG(noise) AS mean_noise,
+       AVG(CASE WHEN noise = 0 THEN 1.0 ELSE 0.0 END) AS p0
+FROM (SELECT len(list_filter([{_DP_T}], t -> t <= u)) - 127 AS noise
+      FROM u)
+"""
+    ).fetchall()[0]
+    mean_noise, p0 = rows
+    expected_p0 = (1.0 - _DP_ALPHA) / (1.0 + _DP_ALPHA)
+    assert abs(mean_noise) < 0.05, mean_noise
+    assert abs(p0 - expected_p0) < 0.03, (p0, expected_p0)
