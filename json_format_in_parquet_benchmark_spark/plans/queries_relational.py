@@ -5923,6 +5923,14 @@ def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB shape: one shuffle on user_id builds the journeys, one tiny
 # (<= 7x7) transition-count aggregate; the value iteration itself
 # touches seven states -- constant work regardless of corpus size.
+#
+# Integer budget (the honest bound): the fold accumulates
+# sum_d cnt[s][d] * p(d) <= tot[s] * SCALE in int64, so a state's
+# outgoing transition count must stay below ~9.2e18 / 1e9 = 9.2e9
+# edges.  Past ~9e9 journeys through a single channel state, drop
+# SCALE to 1e6 -- the same grid-size knob the survival/forecast folds
+# document; both dialects share the constant so the change is one
+# line.
 
 _MKV_SCALE = 1_000_000_000
 _MKV_K = 24
