@@ -5942,25 +5942,66 @@ _MKV_STATE_CASE_SPARK = (
 _MKV_STATE_CASE_DUCK = _MKV_STATE_CASE_SPARK  # identical syntax
 
 
-def _mkv_oracle() -> str:
-    ctes = [
-        """ev AS (
+# Shared first-purchase journey-prefix construction: the Markov and
+# Shapley attribution queries use the IDENTICAL prefix rule (events
+# strictly (us, event_id)-before the user's first purchase), so it has
+# exactly one definition per dialect -- a tie-break fix lands once.
+_JRN_EV_CTE = """ev AS (
   SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
-)""",
-        """fp AS (
+)"""
+_JRN_FP_CTE = """fp AS (
   SELECT user_id, us, event_id FROM (
     SELECT user_id, us, event_id,
            ROW_NUMBER() OVER (PARTITION BY user_id
                               ORDER BY us, event_id) AS rn
     FROM ev WHERE event_type = 'purchase') WHERE rn = 1
-)""",
-        f"""pre AS (
-  SELECT e.user_id, e.us, e.event_id,
-         {_MKV_STATE_CASE_DUCK} AS state
+)"""
+
+
+def _jrn_pre_cte(select_exprs: str) -> str:
+    return f"""pre AS (
+  SELECT e.user_id, {select_exprs}
   FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
   WHERE e.event_type <> 'purchase'
     AND (fp.user_id IS NULL OR (e.us, e.event_id) < (fp.us, fp.event_id))
-)""",
+)"""
+
+
+def _journey_prefix(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(pre, fp): pre = events strictly before each user's first purchase
+    with a `converted` flag; fp = first-purchase key per converted user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    fp = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("us", "event_id")).alias("fpk"))
+    )
+    pre = (
+        ev.where("event_type <> 'purchase'")
+        .join(fp, "user_id", "left")
+        .where("fpk IS NULL OR struct(us, event_id) < fpk")
+        .selectExpr(
+            "user_id", "us", "event_id", "event_type",
+            "fpk is not null as converted",
+        )
+    )
+    return pre, fp
+
+
+def _mkv_oracle() -> str:
+    ctes = [
+        _JRN_EV_CTE,
+        _JRN_FP_CTE,
+        _jrn_pre_cte(
+            f"e.us, e.event_id, {_MKV_STATE_CASE_DUCK} AS state"
+        ),
         """steps AS (
   SELECT user_id, state,
          COALESCE(LAG(state) OVER (PARTITION BY user_id
@@ -6047,28 +6088,13 @@ ORDER BY channel
     bench=True,
 )
 def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    pre0, fp = _journey_prefix(spark, sf_dir)
+    pre = pre0.selectExpr(
         "user_id",
-        F.unix_micros("ts").alias("us"),
+        "us",
         "event_id",
-        "event_type",
-    )
-    fp = (
-        ev.where("event_type = 'purchase'")
-        .groupBy("user_id")
-        .agg(F.min(F.struct("us", "event_id")).alias("fpk"))
-    )
-    pre = (
-        ev.where("event_type <> 'purchase'")
-        .join(fp, "user_id", "left")
-        .where("fpk IS NULL OR struct(us, event_id) < fpk")
-        .selectExpr(
-            "user_id",
-            "us",
-            "event_id",
-            f"{_MKV_STATE_CASE_SPARK} as state",
-            "fpk is not null as converted",
-        )
+        f"{_MKV_STATE_CASE_SPARK} as state",
+        "converted",
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     wdesc = Window.partitionBy("user_id").orderBy(
@@ -6202,23 +6228,10 @@ def _shap_oracle() -> str:
         for c, name in enumerate(_SHAP_CHANNELS)
     )
     return f"""
-WITH ev AS (
-  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
-),
-fp AS (
-  SELECT user_id, us, event_id FROM (
-    SELECT user_id, us, event_id,
-           ROW_NUMBER() OVER (PARTITION BY user_id
-                              ORDER BY us, event_id) AS rn
-    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
-),
-pre AS (
-  SELECT e.user_id, (1 << ({_SHAP_BIT_CASE})) AS bit,
-         fp.user_id IS NOT NULL AS converted
-  FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
-  WHERE e.event_type <> 'purchase'
-    AND (fp.user_id IS NULL OR (e.us, e.event_id) < (fp.us, fp.event_id))
-),
+WITH {_JRN_EV_CTE},
+{_JRN_FP_CTE},
+{_jrn_pre_cte(f"(1 << ({_SHAP_BIT_CASE})) AS bit,"
+              " fp.user_id IS NOT NULL AS converted")},
 ju AS (
   SELECT user_id, CAST(bit_or(bit) AS INT) AS mask,
          MAX(converted) AS converted
@@ -6252,25 +6265,12 @@ ORDER BY channel
     tags=("events", "attribution", "shapley"),
 )
 def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("us"),
-        "event_id",
-        "event_type",
-    )
-    fp = (
-        ev.where("event_type = 'purchase'")
-        .groupBy("user_id")
-        .agg(F.min(F.struct("us", "event_id")).alias("fpk"))
-    )
+    pre0, _fp = _journey_prefix(spark, sf_dir)
     ju = (
-        ev.where("event_type <> 'purchase'")
-        .join(fp, "user_id", "left")
-        .where("fpk IS NULL OR struct(us, event_id) < fpk")
-        .selectExpr(
+        pre0.selectExpr(
             "user_id",
             f"shiftleft(1, {_SHAP_BIT_CASE}) as bit",
-            "fpk is not null as converted",
+            "converted",
         )
         .groupBy("user_id")
         .agg(

@@ -425,11 +425,48 @@ _R_M = 1 << ROLLUP_B
 _R_TOP = 60 - ROLLUP_B  # HASH_BITS - b
 
 
+def _hll_rho_spark(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Register rows (group_cols..., bucket, rho) over user_id -- the ONE
+    definition of the register construction every HLL rollup/rolling
+    query shares (per-dialect; the DuckDB twin is _hll_rho_ctes)."""
+    from ..functions.hashing import hash64_sql_spark
+
+    h = hash64_sql_spark("cast(user_id as string)")
+    return df.selectExpr(
+        *group_cols,
+        f"({h}) % {_R_M} as bucket",
+        f"shiftright({h}, {ROLLUP_B}) as w",
+    ).selectExpr(
+        *group_cols,
+        "bucket",
+        f"case when w = 0 then {_R_TOP + 1}"
+        f" else {_R_TOP} - length(bin(w)) + 1 end as rho",
+    )
+
+
+def _hll_rho_ctes(group_exprs: str, group_cols: str) -> str:
+    """DuckDB sel/rho CTE pair computing the identical register rows;
+    ``group_exprs`` are the SELECT expressions deriving the group
+    columns from events, ``group_cols`` their bare names."""
+    from ..functions.hashing import hash64_sql_duckdb
+
+    h = hash64_sql_duckdb("CAST(user_id AS VARCHAR)")
+    return f"""sel AS (
+  SELECT {group_exprs},
+         ({h}) % {_R_M} AS bucket, (({h}) >> {ROLLUP_B}) AS w
+  FROM events
+), rho AS (
+  SELECT {group_cols}, bucket,
+         CASE WHEN w = 0 THEN {_R_TOP + 1}
+              ELSE {_R_TOP} - length(format('{{:b}}', w)) + 1 END AS rho
+  FROM sel
+)"""
+
+
 def _rollup_hll_oracle() -> str:
     from ..functions.hashing import hash64_sql_duckdb
     from ..operators.sketches import alpha_m
 
-    h = hash64_sql_duckdb("CAST(user_id AS VARCHAR)")
     alpha = alpha_m(_R_M)
     est = (
         f"CAST(CAST({alpha!r} AS DOUBLE) * {_R_M} * {_R_M}"
@@ -437,17 +474,11 @@ def _rollup_hll_oracle() -> str:
         f" / CAST(SUM(CAST((1::BIGINT << (61 - M)) AS DECIMAL(38,0)))"
         f" AS DOUBLE) AS DOUBLE)"
     )
+    rho_ctes = _hll_rho_ctes(
+        "event_type, strftime(ts, '%Y-%m-%d') AS day", "event_type, day"
+    )
     return f"""
-WITH sel AS (
-  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-         ({h}) % {_R_M} AS bucket, (({h}) >> {ROLLUP_B}) AS w
-  FROM events
-), rho AS (
-  SELECT event_type, day, bucket,
-         CASE WHEN w = 0 THEN {_R_TOP + 1}
-              ELSE {_R_TOP} - length(format('{{:b}}', w)) + 1 END AS rho
-  FROM sel
-), regs_day AS (
+WITH {rho_ctes}, regs_day AS (
   SELECT event_type, day, bucket, MAX(rho) AS M FROM rho GROUP BY 1, 2, 3
 ), groups_day AS (
   SELECT DISTINCT event_type, day FROM regs_day
@@ -510,11 +541,9 @@ JOIN exact_type x ON x.event_type = e.event_type
     bench=True,
 )
 def events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import hash64_sql_spark
     from ..operators.dedup import _track_persist
     from ..operators.sketches import alpha_m
 
-    h = hash64_sql_spark("cast(user_id as string)")
     alpha = alpha_m(_R_M)
     est_expr = (
         f"cast({alpha!r}D * {_R_M} * {_R_M}"
@@ -528,18 +557,7 @@ def events_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         "user_id",
     )
-    rho = ev.selectExpr(
-        "event_type",
-        "day",
-        f"({h}) % {_R_M} as bucket",
-        f"shiftright({h}, {ROLLUP_B}) as w",
-    ).selectExpr(
-        "event_type",
-        "day",
-        "bucket",
-        f"case when w = 0 then {_R_TOP + 1}"
-        f" else {_R_TOP} - length(bin(w)) + 1 end as rho",
-    )
+    rho = _hll_rho_spark(ev, ["event_type", "day"])
     # The finest-grain register table is the ONLY thing derived from the raw
     # scan; both the day estimates and the merged per-type estimates (and
     # nothing else) read it -- persist it once, like a stored rollup level.
@@ -797,10 +815,8 @@ _ROLL_DAY_US = 86_400_000_000
 
 
 def _rolling_hll_oracle() -> str:
-    from ..functions.hashing import hash64_sql_duckdb
     from ..operators.sketches import alpha_m
 
-    h = hash64_sql_duckdb("CAST(user_id AS VARCHAR)")
     alpha = alpha_m(_R_M)
     est = (
         f"CAST(CAST({alpha!r} AS DOUBLE) * {_R_M} * {_R_M}"
@@ -808,18 +824,9 @@ def _rolling_hll_oracle() -> str:
         f" / CAST(SUM(CAST((1::BIGINT << (61 - Mroll)) AS DECIMAL(38,0)))"
         f" AS DOUBLE) AS DOUBLE)"
     )
+    rho_ctes = _hll_rho_ctes(f"epoch_us(ts) // {_ROLL_DAY_US} AS day", "day")
     return f"""
-WITH sel AS (
-  SELECT epoch_us(ts) // {_ROLL_DAY_US} AS day,
-         ({h}) % {_R_M} AS bucket, (({h}) >> {ROLLUP_B}) AS w,
-         user_id
-  FROM events
-), rho AS (
-  SELECT day, bucket,
-         CASE WHEN w = 0 THEN {_R_TOP + 1}
-              ELSE {_R_TOP} - length(format('{{:b}}', w)) + 1 END AS rho
-  FROM sel
-), regs_day AS (
+WITH {rho_ctes}, regs_day AS (
   SELECT day, bucket, MAX(rho) AS M FROM rho GROUP BY 1, 2
 ), days AS (
   SELECT DISTINCT day FROM regs_day
@@ -863,10 +870,8 @@ ORDER BY e.day
     bench=True,
 )
 def events_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import hash64_sql_spark
     from ..operators.sketches import alpha_m
 
-    h = hash64_sql_spark("cast(user_id as string)")
     alpha = alpha_m(_R_M)
     est_expr = (
         f"cast({alpha!r}D * {_R_M} * {_R_M}"
@@ -875,15 +880,9 @@ def events_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" as double) as double)"
     )
     ev = load_table(spark, sf_dir, "events")
-    rho = ev.selectExpr(
-        f"unix_micros(ts) div {_ROLL_DAY_US} as day",
-        f"({h}) % {_R_M} as bucket",
-        f"shiftright({h}, {ROLLUP_B}) as w",
-    ).selectExpr(
-        "day",
-        "bucket",
-        f"case when w = 0 then {_R_TOP + 1}"
-        f" else {_R_TOP} - length(bin(w)) + 1 end as rho",
+    rho = _hll_rho_spark(
+        ev.selectExpr(f"unix_micros(ts) div {_ROLL_DAY_US} as day", "user_id"),
+        ["day"],
     )
     regs_day = rho.groupBy("day", "bucket").agg(F.max("rho").alias("M"))
     days = regs_day.select("day").distinct()

@@ -1345,12 +1345,21 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONC_GAP_MIN = 480  # same testdata-tuned gap as the streaming family
 CONC_GAP_US = CONC_GAP_MIN * 60 * 1_000_000
 
-_CONC_SESSIONS_CTE = f"""
-WITH e AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+def _gap_session_ctes(
+    extra_expr: str | None = None, extra_name: str | None = None
+) -> str:
+    """e/flagged/sess CTE chain: gap-sessionization at CONC_GAP_US with a
+    (ts_us, event_id) total order -- the ONE oracle-side definition the
+    interval-analytics queries share.  ``extra_expr``/``extra_name``
+    thread one additional per-event column (e.g. the funnel's step
+    letter) through the chain."""
+    extra = f", {extra_expr} AS {extra_name}" if extra_expr else ""
+    extra_cols = f", {extra_name}" if extra_expr else ""
+    return f"""e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id{extra} FROM events
 ),
 flagged AS (
-  SELECT user_id, ts_us, event_id,
+  SELECT user_id, ts_us, event_id{extra_cols},
          CASE WHEN lag(ts_us) OVER w IS NULL
                    OR ts_us - lag(ts_us) OVER w > {CONC_GAP_US}
               THEN 1 ELSE 0 END AS is_new
@@ -1358,11 +1367,15 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ),
 sess AS (
-  SELECT user_id, ts_us,
+  SELECT user_id, ts_us, event_id{extra_cols},
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
-),
+)"""
+
+
+_CONC_SESSIONS_CTE = f"""
+WITH {_gap_session_ctes()},
 sessions AS (
   SELECT user_id, session_seq,
          MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
@@ -1478,25 +1491,7 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_pattern_funnel",
     oracle=f"""
-WITH e AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-         substr(event_type, 1, 1) AS step
-  FROM events
-),
-flagged AS (
-  SELECT user_id, ts_us, event_id, step,
-         CASE WHEN lag(ts_us) OVER w IS NULL
-                   OR ts_us - lag(ts_us) OVER w > {CONC_GAP_US}
-              THEN 1 ELSE 0 END AS is_new
-  FROM e
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-),
-sess AS (
-  SELECT user_id, ts_us, event_id, step,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
-  FROM flagged
-),
+WITH {_gap_session_ctes("substr(event_type, 1, 1)", "step")},
 paths AS (
   SELECT user_id, session_seq, MIN(ts_us) AS start_us,
          STRING_AGG(step, '' ORDER BY ts_us, event_id) AS path
