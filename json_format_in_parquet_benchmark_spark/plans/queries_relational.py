@@ -5775,8 +5775,11 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure map, never a shuffle.
 #
 # Exactness: the crossing ray sits at lat + 0.5 and the left-test at
-# lon + 0.5 (half-integer offsets make vertex/edge hits IMPOSSIBLE on
-# an integer grid), and the x-intersection comparison is cleared of
+# lon + 0.5 -- half-integer offsets make ties with AXIS-PARALLEL edges
+# impossible; a diagonal edge can still cross exactly at lon + 0.5, and
+# there the strict < resolves the tie identically in both engines (the
+# property test pins this), so parity stays deterministic -- and the
+# x-intersection comparison is cleared of
 # division -- edges are pre-normalized to dy > 0 in Python, so
 # x_int < lon + 0.5 becomes (2*lat+1-2*y1)*dx < (2*lon+1-2*x1)*dy,
 # pure int64 products (< 2^40) identical in both engines.  Horizontal
@@ -5860,10 +5863,11 @@ m AS (
 """,
     doc="Exact integer ray-casting point-in-polygon over four inlined "
     "polygons: zero joins -- each point evaluates a literal edge "
-    "array map-side (half-integer ray offsets make vertex hits "
-    "impossible; division-free left test in int64), one 4-row "
-    "conditional rollup.  The scalable shape for small polygon sets "
-    "at any point cardinality.",
+    "array map-side (half-integer ray offsets forbid axis-parallel "
+    "ties; diagonal ties resolve by the shared strict <; "
+    "division-free left test in int64), one 4-row conditional "
+    "rollup.  The scalable shape for small polygon sets at any "
+    "point cardinality.",
     tags=("relational", "join", "spatial", "polygon"),
     bench=True,
 )
