@@ -6329,3 +6329,103 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- nearest as-of join (direction='nearest', with tolerance) -----------------
+# The pandas merge_asof(direction='nearest', tolerance=...) surface the
+# backward-only as-of join above does not cover: for each purchase, the
+# CLOSEST click of the same user in either time direction, ties to the
+# backward side, null when nothing falls within the 6h tolerance.  Same
+# single-shuffle discipline: ONE window partitioning (user_id) carries
+# both the running backward max and the reverse-frame forward min --
+# no range self-join, scales linearly like the backward form.  All gap
+# arithmetic in integer micros; the (us, event_id) order pins which
+# same-microsecond neighbors land in which frame identically in both
+# engines.
+
+_ASOF_NEAREST_TOL_US = 6 * 3_600_000_000  # 6h
+
+
+@register(
+    "asof_join_nearest_click",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+tagged AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'click' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+         MIN(CASE WHEN event_type = 'click' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts
+  FROM e
+),
+chosen AS (
+  SELECT event_id, user_id, us,
+         CASE WHEN bts IS NOT NULL AND us - bts <= {_ASOF_NEAREST_TOL_US}
+                   AND (fts IS NULL OR us - bts <= fts - us)
+              THEN bts
+              WHEN fts IS NOT NULL AND fts - us <= {_ASOF_NEAREST_TOL_US}
+              THEN fts
+              ELSE NULL END AS nts
+  FROM tagged WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id,
+       CAST(us AS BIGINT) AS purchase_us,
+       CAST(nts AS BIGINT) AS nearest_click_us,
+       CAST(nts - us AS BIGINT) AS delta_us
+FROM chosen
+""",
+    doc="Nearest as-of join with tolerance (pandas merge_asof "
+    "direction='nearest'): per purchase the closest same-user click "
+    "in either direction within 6h, ties backward -- one window "
+    "partitioning carries both the backward running max and the "
+    "forward running min, no range self-join.",
+    tags=("relational", "join", "asof", "custom-operator"),
+)
+def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    tagged = e.withColumn("bts", F.max(click_us).over(wb)).withColumn(
+        "fts", F.min(click_us).over(wf)
+    )
+    return (
+        tagged.where("event_type = 'purchase'")
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "us",
+            f"""case when bts is not null
+                      and us - bts <= {_ASOF_NEAREST_TOL_US}
+                      and (fts is null or us - bts <= fts - us)
+                 then bts
+                 when fts is not null
+                      and fts - us <= {_ASOF_NEAREST_TOL_US}
+                 then fts
+                 else null end as nts""",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").cast("bigint").alias("purchase_us"),
+            F.col("nts").cast("bigint").alias("nearest_click_us"),
+            (F.col("nts") - F.col("us")).cast("bigint").alias("delta_us"),
+        )
+    )
