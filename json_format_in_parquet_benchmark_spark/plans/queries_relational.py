@@ -6429,3 +6429,96 @@ def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nts") - F.col("us")).cast("bigint").alias("delta_us"),
         )
     )
+
+
+# --- stratified AQP: differential per-stratum sampling rates -------------------
+# The stratified companion to aqp_sampled_revenue: per-event-type
+# Horvitz-Thompson totals where each stratum carries its OWN sampling
+# rate -- 'purchase' is kept whole (rare + business-critical: its
+# estimator variance must be zero) while high-volume strata sample
+# 1-in-16.  This is Neyman-style allocation reduced to fixed integer
+# inverse-probabilities, so the HT scale-up (sample sum x rate) stays
+# in the exact decimal domain; the one double division per row of
+# output has identical operands cross-engine.  One map-side-combined
+# conditional-aggregation scan; at 100 TB the same hash predicates
+# select persisted per-stratum sample slices.
+
+_AQP_STRATA_RATES = {
+    "purchase": 1,  # census stratum
+    "click": 16,
+    "error": 16,
+    "signup": 4,
+    "view": 16,
+}
+
+
+def _aqp_strat_rate_case(dialect: str) -> str:
+    arms = " ".join(
+        f"WHEN '{t}' THEN {r}" for t, r in sorted(_AQP_STRATA_RATES.items())
+    )
+    return f"CASE event_type {arms} ELSE 16 END"
+
+
+@register(
+    "aqp_stratified_value",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(38,4)) AS v,
+         ({_aqp_strat_rate_case('duck')}) AS rate,
+         (('0x' || substr(md5('aqps:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
+           % ({_aqp_strat_rate_case('duck')}) = 0 AS sampled
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (sampled) AS BIGINT) AS n_sampled,
+       CAST(MIN(rate) AS BIGINT) AS inv_rate,
+       CAST(SUM(v) AS DOUBLE) AS exact_total,
+       CAST(COALESCE(SUM(v) FILTER (sampled), 0) * MIN(rate) AS DOUBLE)
+         AS est_total,
+       CAST(ABS(COALESCE(SUM(v) FILTER (sampled), 0) * MIN(rate) - SUM(v))
+            AS DOUBLE) / CAST(SUM(v) AS DOUBLE) * 100 AS rel_err_pct
+FROM e
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Stratified Horvitz-Thompson AQP: per-event-type value totals "
+    "with differential integer sampling rates (census on the rare "
+    "'purchase' stratum, 1-in-16 on high-volume strata) -- exact "
+    "decimal scale-up, true per-stratum error reported from the same "
+    "single scan.",
+    tags=("aqp", "sampling", "aggregation", "stratified"),
+)
+def aqp_stratified_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = hash64_sql_spark("cast(event_id as string)", salt="aqps:")
+    rate = _aqp_strat_rate_case("spark")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(value as decimal(38,4))").alias("v"),
+        F.expr(f"({rate})").alias("rate"),
+        F.expr(f"({h}) % ({rate}) = 0").alias("sampled"),
+    )
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("count_if(sampled)").cast("bigint").alias("n_sampled"),
+        F.min("rate").cast("bigint").alias("inv_rate"),
+        F.sum("v").alias("exact_dec"),
+        (
+            F.coalesce(F.expr("sum(case when sampled then v end)"), F.lit(0))
+            * F.min("rate")
+        ).alias("est_dec"),
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        "n_sampled",
+        "inv_rate",
+        F.col("exact_dec").cast("double").alias("exact_total"),
+        F.col("est_dec").cast("double").alias("est_total"),
+        (
+            F.abs(F.col("est_dec") - F.col("exact_dec")).cast("double")
+            / F.col("exact_dec").cast("double")
+            * 100
+        ).alias("rel_err_pct"),
+    ).orderBy("event_type")
