@@ -1612,3 +1612,63 @@ def events_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("offset") + F.col("lrn")).cast("bigint").alias("rownum"),
     )
+
+
+# --- data-absence detection (monitoring: "the stream went quiet") -------------
+# Per event_type, the intervals where the stream was silent for longer
+# than GAP_ALERT_US -- the alerting primitive behind "ingestion
+# stopped" pages, the complement of the anomaly/changepoint family
+# (those detect wrong VALUES; this detects missing DATA).  One shuffle
+# on event_type (5 partitions, bounded), a lag window, and a bounded
+# output (only the violating gaps).  Emits the gap span, its length,
+# and which side touches the stream edge (leading/trailing coverage is
+# a different check -- dq_validate_suite owns table-level freshness).
+GAP_ALERT_US = 2 * 3_600_000_000  # 2h of silence per type = alert
+
+
+@register(
+    "events_absence_gaps",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id FROM events
+),
+gaps AS (
+  SELECT event_type,
+         lag(us) OVER (PARTITION BY event_type
+                       ORDER BY us, event_id) AS prev_us,
+         us
+  FROM e
+)
+SELECT event_type,
+       CAST(prev_us AS BIGINT) AS silent_from_us,
+       CAST(us AS BIGINT) AS silent_until_us,
+       CAST(us - prev_us AS BIGINT) AS gap_us
+FROM gaps
+WHERE prev_us IS NOT NULL AND us - prev_us > {GAP_ALERT_US}
+ORDER BY event_type, silent_from_us
+""",
+    doc="Data-absence alerts: per event_type, every silent interval "
+    "longer than 2h -- the missing-data complement of the value-"
+    "anomaly family; one bounded-key shuffle + lag window, output "
+    "bounded by the number of violations.",
+    tags=("events", "timeseries", "monitoring", "window"),
+)
+def events_absence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = e.withColumn("prev_us", F.lag("us").over(w))
+    return (
+        gaps.where(
+            F.col("prev_us").isNotNull()
+            & (F.col("us") - F.col("prev_us") > GAP_ALERT_US)
+        )
+        .select(
+            "event_type",
+            F.col("prev_us").cast("bigint").alias("silent_from_us"),
+            F.col("us").cast("bigint").alias("silent_until_us"),
+            (F.col("us") - F.col("prev_us")).cast("bigint").alias("gap_us"),
+        )
+        .orderBy("event_type", "silent_from_us")
+    )
