@@ -133,8 +133,11 @@ _EVIDENCE_PRIORITY = (
 # under the local gate at sf0.001+sf0.01 vanilla AND non-UTC:
 #   events_survival_km, events_did_estimator, events_concurrency_peak,
 #   events_pattern_funnel, events_global_rownum, events_rolling_hll_wau,
-#   events_attribution_markov, stream_stream_left_outer,
-#   dq_dp_noisy_counts, scan_partition_evolution, join_point_in_polygon,
+#   events_attribution_markov, events_attribution_shapley,
+#   stream_stream_left_outer, dq_dp_noisy_counts,
+#   scan_partition_evolution, join_point_in_polygon,
+#   asof_join_nearest_click, aqp_stratified_value,
+#   udf_arrow_scalar_normalize, events_absence_gaps,
 #   dedup_substring_strided*, generator_documents_planted*,
 #   dedup_planted_recall* (*in the round-6 window -- drop from the list
 #   if CORRECTNESS_r06 shows them green).
