@@ -6522,3 +6522,78 @@ def aqp_stratified_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100
         ).alias("rel_err_pct"),
     ).orderBy("event_type")
+
+
+# --- duplicate-payment detection (same payer, same amount, close in time) -----
+# The transaction-integrity dedup shape: flag events where the SAME
+# user submits the SAME amount (integer cents of `value`) within 7
+# days of a previous one -- double-submit / retry-storm detection.
+# (The orders table was the first target, but its synthetic amounts
+# never collide -- a detector that cannot fire on the gate corpus is
+# no evidence; the events stream collides naturally.)  The naive form
+# is a self-join on (user, amount) with a time band; the scalable form
+# is the same single-shuffle lag-window trick the as-of family uses:
+# partition by the (payer, integer-cents) pair, order by time, compare
+# each row to its immediate predecessor -- one shuffle, no band join,
+# and a chain of k duplicates flags k-1 rows (each against its
+# predecessor), which is the ledger reviewers want.  Amounts compare
+# in integer cents (round() both sides -- the double->int cast rounds
+# in DuckDB but truncates in Spark, the documented trap).
+_DUP_PAY_WINDOW_US = 7 * 86_400_000_000
+
+
+@register(
+    "dq_duplicate_payments",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS us
+  FROM events
+),
+lagged AS (
+  SELECT event_id, user_id, cents, us,
+         lag(event_id) OVER w AS prev_event_id,
+         lag(us) OVER w AS prev_us
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, cents ORDER BY us, event_id)
+)
+SELECT event_id, prev_event_id, user_id,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(us - prev_us AS BIGINT) AS gap_us
+FROM lagged
+WHERE prev_us IS NOT NULL AND us - prev_us <= {_DUP_PAY_WINDOW_US}
+ORDER BY event_id
+""",
+    doc="Duplicate-payment flags: same user + same integer-cents "
+    "amount within 7 days, each duplicate flagged against its "
+    "immediate predecessor via one (payer, cents) window shuffle -- "
+    "no banded self-join; the double-submit detector every payments "
+    "ledger runs.",
+    tags=("dq", "integrity", "window", "dedup"),
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id", "cents").orderBy("us", "event_id")
+    lagged = e.withColumn(
+        "prev_event_id", F.lag("event_id").over(w)
+    ).withColumn("prev_us", F.lag("us").over(w))
+    return (
+        lagged.where(
+            F.col("prev_us").isNotNull()
+            & (F.col("us") - F.col("prev_us") <= _DUP_PAY_WINDOW_US)
+        )
+        .select(
+            "event_id",
+            "prev_event_id",
+            "user_id",
+            F.col("cents").cast("bigint").alias("cents"),
+            (F.col("us") - F.col("prev_us")).cast("bigint").alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
