@@ -138,6 +138,7 @@ _EVIDENCE_PRIORITY = (
 #   scan_partition_evolution, join_point_in_polygon,
 #   asof_join_nearest_click, aqp_stratified_value,
 #   udf_arrow_scalar_normalize, events_absence_gaps,
+#   dq_duplicate_payments,
 #   dedup_substring_strided*, generator_documents_planted*,
 #   dedup_planted_recall* (*in the round-6 window -- drop from the list
 #   if CORRECTNESS_r06 shows them green).
