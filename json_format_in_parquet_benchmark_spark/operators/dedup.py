@@ -821,6 +821,79 @@ def simhash_docs(
     return sums.select("doc_id", *extra_cols, sim.alias("simhash"))
 
 
+def simhash_band_exprs(
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    blocks: int | None = None,
+    dialect: str = "spark",
+) -> list[tuple[int, str]]:
+    """(band_idx, SQL-expression-over-`simhash`) list for the banding scheme.
+
+    Rendered per ``dialect`` (``shiftright(x, n)`` in Spark, ``x >> n`` in
+    DuckDB) but arithmetically IDENTICAL int64 values, so a bucket cap
+    applied to these band values prunes the SAME buckets on both sides.
+
+    Two schemes, both full-recall by pigeonhole (Manku et al. WWW'07):
+
+    * contiguous (``blocks=None``): ``bands`` contiguous ranges of
+      ``bits/bands`` bits; a pair within Hamming radius ``max_hamming``
+      cannot differ in every band when ``bands > max_hamming``.  Band
+      width = bits/bands -- 2^15 buckets at the 60-bit/4-band default,
+      which is GATE-sized: average occupancy grows as N/2^width, so
+      candidate pairs grow ~N^2/2^width -- a quadratic cliff at 10^9 docs.
+    * block-combination (``blocks=m``): the signature splits into m
+      blocks of bits/m bits and each band is one of C(m, m-k) combinations
+      of (m-k) blocks (k = max_hamming), keyed on their CONCATENATION.
+      <= k flipped bits touch <= k blocks, so some (m-k)-combination is
+      bit-identical -- full recall -- while the band key widens to
+      (m-k)*(bits/m) bits.  SIZING RULE: pick m (> k) so that
+      2^((m-k)*bits/m) >= corpus size / target-bucket-occupancy; at
+      bits=60, k=3: m=6 gives 20 bands of 30-bit keys (2^30 buckets --
+      good to ~10^10 docs at occupancy ~10), m=5 gives 10 bands of
+      24-bit keys.  Table count C(m, m-k) is the price of recall; 20
+      scan-side duplicates of one int64 column is cheap next to an
+      N^2/2^15 join.
+    """
+    if bands <= max_hamming and blocks is None:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for full-recall banding"
+        )
+
+    def _shr(n: int) -> str:
+        if n == 0:
+            return "simhash"
+        if dialect == "duckdb":
+            return f"(simhash >> {n})"
+        return f"shiftright(simhash, {n})"
+
+    if blocks is None:
+        width = bits // bands
+        return [
+            (b, f"{_shr(b * width)} & {(1 << width) - 1}")
+            for b in range(bands)
+        ]
+    from itertools import combinations
+
+    m, k = blocks, max_hamming
+    if m <= k:
+        raise ValueError(f"blocks ({m}) must exceed max_hamming ({k})")
+    bw = bits // m
+    if (m - k) * bw > 62:
+        raise ValueError("combined band key exceeds int64")
+    out: list[tuple[int, str]] = []
+    for idx, combo in enumerate(combinations(range(m), m - k)):
+        # Concatenate the chosen blocks into one int64 key: block j of the
+        # combo occupies bit range [j*bw, (j+1)*bw).
+        parts = [
+            f"(({_shr(c * bw)} & {(1 << bw) - 1}) * {1 << (j * bw)})"
+            for j, c in enumerate(combo)
+        ]
+        out.append((idx, " + ".join(parts)))
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
@@ -828,37 +901,38 @@ def simhash_pairs(
     bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
+    blocks: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via signature-band
     blocking (multi-index SimHash, the scheme of Manku et al. WWW'07).
 
-    The ``bits``-bit signature splits into ``bands`` contiguous bit-ranges;
-    docs become candidates only when some band is bit-identical (an equi-join
-    on (band_idx, band_val) -- 2^(bits/bands) buckets per band, so candidate
-    cost scales with bucket occupancy, not N^2).  Because
-    ``bands > max_hamming``, a pair within the radius cannot differ in every
-    band (pigeonhole), so the candidate set has FULL recall and the output
-    equals the all-pairs definition exactly -- which is why the DuckDB
-    oracle may use the direct O(N^2) definition while this plan stays
-    sub-quadratic.
+    Banding scheme and the width-vs-N sizing rule: see
+    ``simhash_band_exprs`` -- contiguous bands by default (full recall,
+    2^(bits/bands) buckets/band), or the block-combination form
+    (``blocks=m``) whose band keys widen to (m-k)*(bits/m) bits for
+    corpus-sized bucket counts at 10^9+ docs.  Full recall either way, so
+    absent the cap the output equals the all-pairs definition exactly.
+
+    ``max_bucket`` caps pathological band buckets exactly like
+    ``minhash_lsh_pairs``: a bucket holding f docs produces f^2/2 candidate
+    rows, so one degenerate bucket (boilerplate corpora collapsing to one
+    band value) can dominate the whole join.  Buckets larger than the cap
+    are dropped from CANDIDATE generation only (pairs there usually
+    co-occur in an uncapped band too); callers' oracles must mirror the
+    cap over the same band values (``simhash_band_exprs`` renders
+    identically in DuckDB).  ``max_bucket=None`` disables the guard.
     """
-    if bands <= max_hamming:
-        raise ValueError(
-            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
-            "for full-recall banding"
-        )
-    width = bits // bands
+    band_exprs = simhash_band_exprs(bits, bands, max_hamming, blocks=blocks)
     # Persist signatures: both self-join sides consume them, and without the
     # cache each side re-runs the whole tokenize/explode/aggregate pipeline.
     sims = _track_persist(simhash_docs(df, text_col, id_col, bits=bits))
     band_structs = [
         F.struct(
-            F.lit(b).alias("band_idx"),
-            F.expr(f"shiftright(simhash, {b * width}) & {(1 << width) - 1}").alias(
-                "band_val"
-            ),
+            F.lit(idx).alias("band_idx"),
+            F.expr(sql).alias("band_val"),
         )
-        for b in range(bands)
+        for idx, sql in band_exprs
     ]
     banded = sims.select(
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
@@ -868,6 +942,19 @@ def simhash_pairs(
         F.col("bb.band_idx").alias("band_idx"),
         F.col("bb.band_val").alias("band_val"),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        # Bucket-size guard as a window count over the SAME key the
+        # self-join shuffles on -- one sort inside the already-required
+        # exchange, no separate aggregate pass (the minhash_lsh_pairs
+        # pattern).  Persisted so both self-join sides reuse it.
+        wb = Window.partitionBy("band_idx", "band_val")
+        banded = _track_persist(
+            banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

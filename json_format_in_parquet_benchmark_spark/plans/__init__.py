@@ -29,92 +29,43 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 
 
-# Evidence-driven ordering, round 6: the external driver cross-checks the
-# FIRST 50 registered queries each round.  After round 5, 202 of 261
-# round-5 registry entries hold a cumulative driver CORRECTNESS row; 59
-# never appeared in a driver sample, and round 6 adds two queries the
-# verdict explicitly wants driver-pinned (the strided substring census --
-# the 100 TB form -- and the planted-duplicate recall harness).  61
-# candidates > 50 slots, so 11 are deferred to round 7, chosen as the
-# LOWEST-RISK residue per the round-5 verdict's ranking ("rank by
-# failure-proneness ... then the dq_* set"): five dq_* single-scan
-# aggregates (benford, referential-integrity, outlier-MAD, drift-chisq,
-# l-diversity) and six simple grouped/windowed aggregates whose plan
-# families already have multiple driver-green members (HHI, Gini,
-# DAU/WAU, time-to-activation, cohort-LTV, KPI-decomposition).  All 11
-# stay green under the local driver-faithful gate
-# (tests/test_oracle_parity.py parametrizes the full registry).
-# Ordering within the 50: the most failure-prone first -- the custom
-# Python streaming source/sink trio and the other stateful streaming
-# plans, then API-exotic surfaces (lateral/TABLE-arg UDTF, observe(),
-# RANGE frame, shredded-scan pushdown, snapshot time travel, the pyds
-# batch scanner), then the round-6 additions, then everything else with
-# the slowest (MMR, RAG pipeline, containment, planted recall) parked at
-# the window's tail so a budget truncation costs the least evidence.
+# Evidence-driven ordering, round 7: the external driver cross-checks the
+# FIRST 50 registered queries each round.  CORRECTNESS_r06 landed all 50
+# of the round-6 window green, leaving exactly 28 oracled queries with no
+# driver evidence ever (the 11 deferred singles + the 17 round-6 session
+# additions) -- the round-6 verdict's item 1 says fill the round-7 window
+# with those 28 plus the 22 stalest r1/r2 greens.  The 22 re-pins chosen
+# by code churn since their last driver green: the format/JSON core (the
+# reference-parity heart, last green r1/r2, verdict item 5 names all
+# nine), the two queries whose plan+oracle CHANGED this round
+# (dedup_simhash gained the max_bucket guard, text_tf_cosine_pairs moved
+# to the corpus-relative df cap -- their prior evidence describes code
+# that no longer exists), then the dedup family (operators/dedup.py has
+# churned every round since r2) and the text/generator cohort.
+# Ordering within the 50: most failure-prone first (stream-stream outer
+# join, partition-evolution staging, the exotic-API singles), the
+# changed-this-round pair mid-window, and the slowest (dedup_clusters,
+# minhash) at the tail so a budget truncation costs the least evidence.
 _EVIDENCE_PRIORITY = (
-    # -- custom Python streaming source + sink (most failure-prone) --
-    "stream_pyds_replay",
-    "stream_pyds_ndjson_sink",
-    # -- other never-sampled streaming plans --
-    "stream_parquet_file_sink",
-    "stream_topk_heavy_hitters",
-    "stream_lsh_dedup_gate",
-    # -- API-exotic surfaces --
-    "udtf_event_streaks",
-    "window_range_frame",
-    "format_scan_shredded_pushdown",
-    "sink_snapshot_time_travel",
-    "scan_pyds_ndjson_ranges",
-    "scan_ndjson_gzip",
-    "scan_footer_stats_manifest",
-    "dq_observe_inflight",
-    "sink_parquet_bloom_lookup",
-    "sink_gdpr_erasure",
-    "sink_inverted_index",
-    "json_paths_census",
-    # -- round-6 additions (verdict items 2 and 5) --
-    "dedup_substring_strided",
-    "generator_documents_planted",
-    # -- graph family --
-    "graph_bfs_distance",
-    "graph_link_prediction",
-    "graph_random_walks",
-    # -- forecasting / time-series --
-    "events_forecast_ses",
-    "events_forecast_holt",
-    "events_autocorr",
-    "orders_backtest_naive",
-    "events_bitmap_retention",
-    # -- experimentation family --
-    "events_ab_welch_ttest",
-    "events_ab_cuped",
-    "events_ab_srm_check",
-    "events_bootstrap_ci",
-    "events_uplift_deciles",
-    "events_funnel_exclusion",
-    "events_attribution_lasttouch",
-    "events_sankey_paths",
-    # -- joins / sampling / embeddings --
-    "join_spatial_grid",
-    "join_entity_resolution",
-    "sample_stratified_exact",
-    "sample_coreset_kcenter",
-    "similarity_range_radius",
-    "embedding_norms_arrow",
-    # -- text analysis --
-    "text_novelty_curve",
-    "text_tf_cosine_pairs",
-    "text_collocations_pmi",
-    "text_term_burstiness",
-    # -- slow tail (slots 45-50): inside the window, costs the least if
-    #    the driver's budget truncates --
-    "search_mmr_diversify",
-    "dedup_repeated_segments",
-    "dedup_containment_pairs",
-    "pipeline_rag_ingest",
-    "dedup_planted_recall",
-    # ---- past the 50-slot window: the 11 deferred to round 7, first in
-    #      line next reorder ----
+    # -- never-sampled: round-6 additions, most failure-prone first --
+    "stream_stream_left_outer",
+    "scan_partition_evolution",
+    "udf_arrow_scalar_normalize",
+    "aqp_stratified_value",
+    "asof_join_nearest_click",
+    "dq_dp_noisy_counts",
+    "join_point_in_polygon",
+    "events_global_rownum",
+    "events_rolling_hll_wau",
+    "events_concurrency_peak",
+    "events_pattern_funnel",
+    "events_survival_km",
+    "events_did_estimator",
+    "events_attribution_markov",
+    "events_attribution_shapley",
+    "events_absence_gaps",
+    "dq_duplicate_payments",
+    # -- never-sampled: the 11 singles deferred from round 6 --
     "dq_benford_digits",
     "dq_referential_integrity",
     "dq_outlier_mad",
@@ -126,25 +77,50 @@ _EVIDENCE_PRIORITY = (
     "events_time_to_activation",
     "orders_cohort_ltv",
     "events_kpi_decomposition",
+    # -- re-pins: the format/JSON reference-parity core (last green
+    #    r1/r2; four rounds of churn since) --
+    "json_golden_probes",
+    "json_golden_probes_tape",
+    "json_golden_probes_variant",
+    "json_roundtrip_plain",
+    "json_shred_typed",
+    "json_tojson_canonical",
+    "format_roundtrip_jsonb",
+    "format_roundtrip_jsonc",
+    "format_roundtrip_variant_shred",
+    # -- re-pins: plan+oracle changed THIS round --
+    "dedup_simhash",
+    "text_tf_cosine_pairs",
+    # -- re-pins: churned text/generator/dedup families (slowest last) --
+    "generator_events",
+    "generator_ndv_profile",
+    "text_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_token_count_bpe",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
 )
-# ROUND-7 EVIDENCE TODO: after the round-6 driver sample lands, the
-# never-sampled set is the 11 deferred names above (already ordered
-# past slot 50) plus the round-6 session additions, all currently green
-# under the local gate at sf0.001+sf0.01 vanilla AND non-UTC:
-#   events_survival_km, events_did_estimator, events_concurrency_peak,
-#   events_pattern_funnel, events_global_rownum, events_rolling_hll_wau,
-#   events_attribution_markov, events_attribution_shapley,
-#   stream_stream_left_outer, dq_dp_noisy_counts,
-#   scan_partition_evolution, join_point_in_polygon,
-#   asof_join_nearest_click, aqp_stratified_value,
-#   udf_arrow_scalar_normalize, events_absence_gaps,
-#   dq_duplicate_payments,
-#   dedup_substring_strided*, generator_documents_planted*,
-#   dedup_planted_recall* (*in the round-6 window -- drop from the list
-#   if CORRECTNESS_r06 shows them green).
-# Rank the streaming/outer-join and partition-evolution entries first
-# (most failure-prone surfaces), then the rest; ~25 candidates fit the
-# 50-slot window with room for round-7 additions.
+# ROUND-8 EVIDENCE TODO: if CORRECTNESS_r07 lands this window green,
+# cumulative driver coverage reaches 279/279 oracled queries sampled at
+# least once.  Round-8 window should then re-pin by staleness: the
+# remaining r1/r2-last-green cohort not re-sampled here (the TPC-H/
+# relational/window/scan singles: q3_shipping_priority, flagship_events
+# _enriched, filter_pushdown_scan, asof_join_purchase_click,
+# range_join_user_events, join_semi_anti_customers, join_sortmerge_
+# order_fulfilment, agg_cube_order_status, agg_grouping_sets_orders,
+# agg_salted_skew_user, window_topn_orders_per_customer, window_running_
+# customer_spend, pivot/unpivot_daily_event_types, sort_topk_lineitems,
+# set_ops_nations, subquery_orders_above_cust_avg, sample_stratified,
+# string/date/array/map_funcs, events_funnel_conversion, events_
+# retention_cohorts, text_top_terms_per_lang, text_fingerprint,
+# text_pii_redact, text_gopher_quality, text_decontaminate,
+# json_keys_profile, json_ndv_profile), plus any round-7 session
+# additions (gate each individually at sf0.001+sf0.01, vanilla AND
+# TZ=America/New_York, before committing).
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]
 assert not _missing, f"evidence-priority names not in REGISTRY: {_missing}"

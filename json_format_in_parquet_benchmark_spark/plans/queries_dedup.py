@@ -35,6 +35,7 @@ NGRAM_DF_CAP = 50  # shingles in more docs than this are stop-shingles
 SIMHASH_BITS = 60  # the portable hash is 60-bit; 4 bands x 15 bits
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3  # < SIMHASH_BANDS => banding has full recall
+SIMHASH_MAX_BUCKET = 1000  # degenerate-band cap, mirrored in the oracle
 EMBED_THRESHOLD = 0.4
 # 4 planes = 16-way blocking: candidate count ~6% of all-pairs on the
 # testdata while still surfacing pairs at every SF (8 planes over-prunes at
@@ -216,11 +217,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    # The oracle uses the DIRECT definition (all pairs within the Hamming
-    # radius): because SIMHASH_BANDS > SIMHASH_MAX_HAMMING, the Spark side's
-    # band-blocked join provably produces the identical pair set (pigeonhole
-    # -- a pair differing in <= 3 bit positions cannot differ in all 4
-    # bands), so a hash match here verifies the banding lost nothing.
+    # The oracle mirrors the Spark side's banding EXACTLY (same band-value
+    # int64 arithmetic via simhash_band_exprs, same max_bucket cap) and
+    # verifies candidates with the direct Hamming radius.  Because
+    # SIMHASH_BANDS > SIMHASH_MAX_HAMMING the banding itself is full-recall
+    # (pigeonhole -- a pair differing in <= 3 bit positions cannot differ
+    # in all 4 bands), so absent a capped bucket this equals the all-pairs
+    # definition; WITH the cap, both engines drop candidates from the SAME
+    # degenerate buckets, keeping the hash compare exact.
+    from ..operators.dedup import simhash_band_exprs
+
     bits = SIMHASH_BITS
     bit_sums = ",\n         ".join(
         f"SUM((h >> {j}) & 1) AS b{j}" for j in range(bits)
@@ -229,6 +235,13 @@ def _simhash_oracle() -> str:
         f"(CASE WHEN 2 * b{j} - n_tok >= 0 THEN CAST({1 << j} AS BIGINT)"
         f" ELSE CAST(0 AS BIGINT) END)"
         for j in range(bits)
+    )
+    band_arms = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {idx} AS band_idx, {sql} AS band_val"
+        f" FROM sims"
+        for idx, sql in simhash_band_exprs(
+            bits, SIMHASH_BANDS, SIMHASH_MAX_HAMMING, dialect="duckdb"
+        )
     )
     return f"""
 WITH tok AS (
@@ -242,11 +255,27 @@ sums AS (
          COUNT(*) AS n_tok
   FROM tok GROUP BY doc_id
 ),
-sims AS MATERIALIZED (SELECT doc_id, {sim_expr} AS simhash FROM sums)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+sims AS MATERIALIZED (SELECT doc_id, {sim_expr} AS simhash FROM sums),
+banded AS MATERIALIZED (
+  {band_arms}
+),
+keep AS (
+  SELECT band_idx, band_val FROM banded
+  GROUP BY 1, 2 HAVING COUNT(*) <= {SIMHASH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                  b.doc_id AS doc_b, b.simhash AS sim_b
+  FROM banded a
+  JOIN keep k ON k.band_idx = a.band_idx AND k.band_val = a.band_val
+  JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -256,7 +285,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     doc="SimHash near-dup pairs: 60-bit portable simhash over tokens, "
     "signature-band blocked Hamming join at distance <= 3 (multi-index "
     "scheme, full recall since bands > max_hamming; "
-    "operators/dedup.py:simhash_pairs).",
+    "operators/dedup.py:simhash_pairs) with the degenerate-bucket cap "
+    f"(max_bucket={SIMHASH_MAX_BUCKET}) mirrored in the oracle.  The "
+    "4x15-bit contiguous banding is gate-sized (2^15 buckets/band); the "
+    "operator's block-combination form (blocks=m, C(m,m-k) bands of "
+    "(m-k)*(bits/m)-bit keys) is the 10^9-doc scale path -- sizing rule "
+    "and 5M-doc probe in operators/dedup.py:simhash_band_exprs and "
+    "results/scale_probe.txt.",
     tags=("dedup", "simhash"),
     bench=True,
 )
@@ -270,6 +305,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=SIMHASH_BITS,
         bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket=SIMHASH_MAX_BUCKET,
     )
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -963,10 +999,13 @@ def dedup_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     detectors = {
         "minhash_lsh": minhash_lsh_pairs(docs, "text", "doc_id"),
+        # Uncapped on purpose: this harness SCORES detector recall against
+        # planted truth, so the full-recall banding must stay exact (the
+        # oracle mirrors the uncapped definition).
         "simhash": simhash_pairs(
             docs, "text", "doc_id",
             bits=SIMHASH_BITS, bands=SIMHASH_BANDS,
-            max_hamming=SIMHASH_MAX_HAMMING,
+            max_hamming=SIMHASH_MAX_HAMMING, max_bucket=None,
         ),
         "ngram_prefix": ngram_jaccard_pairs_prefix(
             docs, "text", "doc_id", n=NGRAM_N,

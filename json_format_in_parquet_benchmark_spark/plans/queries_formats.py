@@ -682,7 +682,11 @@ def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"unix_micros(ts) div {_PE_DAY_US}").alias("d"),
     )
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "jfipb_part_evo", tag)
+    # Stage under a per-session root (applicationId is unique per
+    # SparkSession) so two concurrent sessions on one machine never
+    # overwrite each other's generations mid-read.
+    app_id = spark.sparkContext.applicationId
+    root = os.path.join(tempfile.gettempdir(), "jfipb_part_evo", app_id, tag)
     old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
     # Generation 1: week blocks (d div 7).  Generation 2: exact days.
     events.where(F.col("d") < _PE_SPLIT).withColumn(

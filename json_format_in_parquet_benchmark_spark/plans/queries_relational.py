@@ -2358,8 +2358,9 @@ SKEW_SALT_HOT_FRAC = 0.25  # top-1 key holds >= 25% of rows -> salt
 SKEW_AQE_RATIO = 4.0  # skew_ratio above this -> let AQE skew-join handle it
 
 _SKEW_ARM_SQL = (
-    f"CASE WHEN CAST(top1_freq AS DOUBLE) / CAST(n_rows AS DOUBLE) >= 2.5e-1"
-    f" THEN 'salt' WHEN skew_ratio > 4e0 THEN 'aqe_skew_join'"
+    f"CASE WHEN CAST(top1_freq AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+    f" >= {SKEW_SALT_HOT_FRAC!r}"
+    f" THEN 'salt' WHEN skew_ratio > {SKEW_AQE_RATIO!r} THEN 'aqe_skew_join'"
     f" ELSE 'plain' END"
 )
 
@@ -5530,9 +5531,14 @@ def customers_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUPED and Welch readouts above.  All moments are exact integer-cents
 # sums; the double stage is rendered once below and reused verbatim by
 # both engines.  Integer budget: per-user |delta| <= ~1e6 cents at the
-# test SFs, so sum(delta^2) ~ 1e12 per user -- int64 holds ~9e6 users per
-# arm at that magnitude; at larger corpora the six moment cells move to
-# DECIMAL(38,0)/HUGEINT with the plan shape unchanged (one mergeable row).
+# test SFs, so sum(delta^2) ~ 1e12 per user -- the int64 MOMENT CELLS
+# hold ~9e6 users per arm at that magnitude; the variance numerator
+# n*sdd - sd*sd grows ~n^2 * E[delta^2] and would overflow orders of
+# magnitude earlier, so it is computed entirely in IEEE754 double
+# (identical expression tree on both engines -- bit-equal results,
+# no overflow at any n).  At larger corpora the six moment cells move
+# to DECIMAL(38,0)/HUGEINT with the plan shape unchanged (one mergeable
+# row).
 
 
 def _did_snippets() -> dict[str, str]:
@@ -5542,7 +5548,8 @@ def _did_snippets() -> dict[str, str]:
             f"cast(sd{arm} as double) / cast({n} * 100 as double)"
         )
         out[f"var_delta_{arm}"] = (
-            f"cast({n} * sdd{arm} - sd{arm} * sd{arm} as double)"
+            f"(cast({n} as double) * cast(sdd{arm} as double)"
+            f" - cast(sd{arm} as double) * cast(sd{arm} as double))"
             f" / (cast({n} as double) * cast({n} - 1 as double)"
             " * cast(10000 as double))"
         )

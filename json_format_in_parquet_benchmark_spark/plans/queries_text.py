@@ -1881,7 +1881,24 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Sparse TF-cosine pair similarity: df cap bounds posting-list fan-out
 # (PPJoin-style), pair count <= sum over capped terms of df^2/2.
-COSINE_DF_CAP = 100
+# The cap is CORPUS-RELATIVE -- greatest(floor, |D| div frac_den), i.e.
+# "drop terms appearing in more than 10% of documents, but never cap
+# below 100" -- because an absolute cap silently empties the band as the
+# corpus grows (at 10x the docs every informative shared term's df also
+# grows ~10x; round-6 bench showed exactly that: 40 pairs at sf0.01,
+# 0 at sf0.1).  Relative df banding is the standard stop-word/PPJoin
+# heuristic and keeps per-term fan-out <= (|D|/10)^2/2 while the hub
+# terms (df ~ 0.8|D| in this corpus) stay excluded at every scale.
+COSINE_DF_CAP_FLOOR = 100
+COSINE_DF_FRAC_DEN = 10  # cap = greatest(floor, n_docs div 10)
+# Same integer-exact cap, rendered per dialect (integer division is
+# `//` in DuckDB, `div` in Spark SQL).
+_COSINE_CAP_DUCK = (
+    f"GREATEST({COSINE_DF_CAP_FLOOR}, n_docs // {COSINE_DF_FRAC_DEN})"
+)
+_COSINE_CAP_SPARK = (
+    f"greatest({COSINE_DF_CAP_FLOOR}, n_docs div {COSINE_DF_FRAC_DEN})"
+)
 COSINE_TOP_PAIRS = 40
 
 
@@ -1894,8 +1911,10 @@ WITH postings AS MATERIALIZED (
   GROUP BY 1, 2
 ),
 vocab AS (
-  SELECT term FROM postings GROUP BY 1
-  HAVING COUNT(*) BETWEEN 2 AND {COSINE_DF_CAP}
+  SELECT term FROM postings
+  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents) nd
+  GROUP BY term, n_docs
+  HAVING COUNT(*) BETWEEN 2 AND {_COSINE_CAP_DUCK}
 ),
 capped AS MATERIALIZED (
   SELECT p.doc_id, p.term, p.tf FROM postings p JOIN vocab v USING (term)
@@ -1923,11 +1942,15 @@ LIMIT {COSINE_TOP_PAIRS}
 """,
     doc="Sparse TF-vector cosine similarity join over the corpus via an "
     "inverted index: per-doc term frequencies become posting lists, a "
-    "document-frequency band (2 <= df <= "
-    f"{COSINE_DF_CAP}) drops hub terms exactly like a PPJoin prefix "
-    "filter (the df cap bounds pair fan-out to sum(df^2)/2 instead of "
+    "CORPUS-RELATIVE document-frequency band (2 <= df <= "
+    f"greatest({COSINE_DF_CAP_FLOOR}, |D| div {COSINE_DF_FRAC_DEN})) "
+    "drops hub terms exactly like a PPJoin prefix "
+    "filter (the df cap bounds per-term pair fan-out to (|D|/"
+    f"{COSINE_DF_FRAC_DEN})^2/2 instead of "
     "|D|^2 -- THE knob that keeps a sparse similarity join feasible at "
-    "100 TB), then one self-join on term accumulates integer dot "
+    "100 TB; the cap scales with the corpus so the band never empties "
+    "as |D| grows, unlike an absolute cap), "
+    "then one self-join on term accumulates integer dot "
     "products and per-doc squared norms.  The cosine is a single "
     "division/sqrt over identical int64 operands, so the doubles are "
     "bit-exact cross-engine; top pairs are totally ordered "
@@ -1949,10 +1972,14 @@ def text_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     vocab = (
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df").between(2, COSINE_DF_CAP))
+        # broadcast the 1-row corpus count -- the cap stays declarative
+        # (no driver-side collect) and the plan is one map-side filter.
+        .crossJoin(F.broadcast(nd))
+        .where(F.expr(f"df between 2 and {_COSINE_CAP_SPARK}"))
         .select("term")
     )
     capped = _track_persist(postings.join(vocab, "term").select(

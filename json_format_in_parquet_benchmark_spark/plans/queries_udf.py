@@ -214,8 +214,11 @@ def udf_arrow_scalar_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import udf
 
-    _ws = _re.compile(r"\s+")
-    _edges = _re.compile(r"^[^0-9A-Za-z]+|[^0-9A-Za-z]+$")
+    # re.ASCII pins \s to the ASCII class so Python-side semantics match
+    # the DuckDB/RE2 oracle's ASCII \s even if the corpus ever grows
+    # unicode whitespace (\xa0,  , ...).
+    _ws = _re.compile(r"\s+", _re.ASCII)
+    _edges = _re.compile(r"^[^0-9A-Za-z]+|[^0-9A-Za-z]+$", _re.ASCII)
 
     @udf(returnType="string", useArrow=True)
     def norm(s: str) -> str:
@@ -224,8 +227,11 @@ def udf_arrow_scalar_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _edges.sub("", _ws.sub(" ", s)).lower()
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # Invoke the UDF ONCE per row; norm_len derives from the materialized
+    # norm_text column in a subsequent select.
+    normed = docs.select("doc_id", norm("text").alias("norm_text"))
+    return normed.select(
         "doc_id",
-        norm("text").alias("norm_text"),
-        F.length(norm("text")).cast("int").alias("norm_len"),
+        "norm_text",
+        F.length("norm_text").cast("int").alias("norm_len"),
     )

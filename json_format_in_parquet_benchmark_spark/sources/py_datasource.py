@@ -300,8 +300,11 @@ def committed_files(path: str) -> list[str]:
         try:
             entry = json.loads(open(mf).read())
             batches.append((int(entry["batch"]), [f["path"] for f in entry["files"]]))
-        except (ValueError, KeyError, OSError):
-            continue  # torn/partial manifest == uncommitted batch
+        except (ValueError, KeyError, OSError, TypeError):
+            # torn/partial manifest == uncommitted batch; TypeError covers
+            # valid-JSON-but-wrong-shape entries (batch: null, non-dict
+            # file rows) -- skip-not-raise is the documented contract.
+            continue
     for _, files in sorted(batches):
         out.extend(files)
     return out

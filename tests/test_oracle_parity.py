@@ -32,6 +32,27 @@ def test_every_query_returns_rows(spark, sf_dir):
     assert not empties, f"queries with 0 rows at {sf_dir}: {empties}"
 
 
+def test_bench_queries_return_rows_at_bench_sf(spark):
+    """Non-degeneracy at the BENCH scale factor, not just the gate SF.
+
+    Round-6 lesson (text_tf_cosine_pairs): an absolute parameter can
+    keep a query green at sf0.01 while silently emptying it at sf0.1 --
+    the exact opposite of a scale claim.  Every bench-tagged headliner
+    must return rows at the SF the driver benches at."""
+    import os
+
+    bench_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(bench_sf):
+        pytest.skip(f"bench SF dir missing: {bench_sf}")
+    empties = []
+    for name, q in REGISTRY.items():
+        if not q.bench:
+            continue
+        if q.fn(spark, bench_sf).count() == 0:
+            empties.append(name)
+    assert not empties, f"bench queries with 0 rows at {bench_sf}: {empties}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

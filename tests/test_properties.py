@@ -165,6 +165,47 @@ def test_simhash_banding_equals_all_pairs(spark, sf_dir):
         ).collect()
     }
     assert got == want
+    # The block-combination scale form (blocks=6: C(6,3)=20 bands of
+    # 30-bit keys) must produce the SAME exact pair set -- pigeonhole on
+    # blocks instead of contiguous bands, full recall either way.
+    got_blocks = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(
+            docs, "text", "doc_id", bits=60, bands=4, max_hamming=3,
+            blocks=6,
+        ).collect()
+    }
+    assert got_blocks == want
+
+
+def test_simhash_max_bucket_drops_only_capped_buckets(spark, sf_dir):
+    """With max_bucket=1 every non-singleton band bucket is dropped, so the
+    output must be a SUBSET of the uncapped result; with a huge cap the
+    result must equal the uncapped one exactly (the minhash cap contract,
+    mirrored for simhash)."""
+    from json_format_in_parquet_benchmark_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(
+            docs, "text", "doc_id", max_bucket=None
+        ).collect()
+    }
+    capped_loose = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(
+            docs, "text", "doc_id", max_bucket=10**9
+        ).collect()
+    }
+    assert capped_loose == full
+    capped_tight = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(docs, "text", "doc_id", max_bucket=1).collect()
+    }
+    assert capped_tight <= full
 
 
 def test_exact_dedup_counts_partition_table(spark, sf_dir):

@@ -330,6 +330,115 @@ def test_late_data_actually_dropped_by_watermark(spark, sf_dir):
     assert state_after_late <= prev_state, (state_after_late, prev_state)
 
 
+def test_pyds_sink_restart_exactly_once(spark):
+    """Sink-side exactly-once under a REAL restart, not just a re-invoked
+    commit(): run the replay stream into the NDJSON manifest sink, stop it
+    mid-corpus, then simulate the crash window the sink docstring claims to
+    survive -- sink commit() ran but the ENGINE's commit log had not yet
+    recorded the batch -- by deleting the newest checkpoint commits/<id>
+    entry.  The restart must REPLAY that batch (same offsets), overwrite
+    its manifest file, and drain; committed_files() must then read back the
+    corpus exactly once (the single-run manifest content), with first-
+    attempt orphan data files invisible."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        _REPLAY_LOGS,
+    )
+    from json_format_in_parquet_benchmark_spark.sources.py_datasource import (
+        committed_files,
+        read_ndjson_replay_stream,
+        register_ndjson_sink,
+    )
+
+    with open(_REPLAY_LOGS, "rb") as fh:
+        corpus = [ln.decode() for ln in fh.read().split(b"\n") if ln]
+    n_total = len(corpus)
+
+    register_ndjson_sink(spark)
+    out = tempfile.mkdtemp(prefix="jfipb_sink_restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="jfipb_sink_restart_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def start():
+        stream = read_ndjson_replay_stream(spark, _REPLAY_LOGS, chunk=128)
+        return (
+            stream.writeStream.format("jfipb_ndjson_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def committed_lines() -> list[str]:
+        rows: list[str] = []
+        for f in committed_files(out):
+            with open(f, encoding="utf-8") as fh:
+                rows.extend(ln for ln in fh.read().split("\n") if ln)
+        return rows
+
+    try:
+        q1 = start()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if len(committed_lines()) >= 128:
+                break
+            time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination(60)
+        seen = len(committed_lines())
+        assert seen > 0, "first run committed nothing"
+        if seen >= n_total:
+            import pytest
+
+            pytest.skip("stream drained before stop; restart path untestable")
+
+        # Crash-window simulation: the engine records a batch as done in
+        # checkpoint commits/<id> AFTER the sink's commit() has published
+        # the manifest.  Deleting the newest commits entry reproduces a
+        # crash between the two -- on restart the engine MUST replay that
+        # batch, and the sink's per-batchId manifest overwrite keeps the
+        # read side exactly-once.
+        cdir = _os.path.join(ckpt, "commits")
+        ids = sorted(
+            int(f) for f in _os.listdir(cdir) if f.isdigit()
+        )
+        assert ids, "no engine commits recorded before stop"
+        replayed = ids[-1]
+        _os.remove(_os.path.join(cdir, str(replayed)))
+        files_before = set(committed_files(out))
+
+        q2 = start()
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if len(committed_lines()) == n_total:
+                break
+            time.sleep(0.3)
+        q2.stop()
+        q2.awaitTermination(60)
+
+        got = committed_lines()
+        assert len(got) == n_total, (
+            f"restart lost or duplicated rows: {len(got)} != {n_total}"
+        )
+        assert sorted(got) == sorted(corpus), "content diverged from corpus"
+        # The replayed batch's manifest now points at the SECOND attempt's
+        # data files: at least one first-attempt file must have dropped out
+        # of the committed set (the orphan the manifest makes invisible).
+        files_after = set(committed_files(out))
+        assert files_before - files_after, (
+            "replayed batch did not overwrite its manifest entry"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_pyds_replay_checkpoint_recovery(spark):
     """Exactly-once across restart: stop the replay stream mid-corpus, then
     restart from the SAME checkpoint -- the line-index offset resumes and
