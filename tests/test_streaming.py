@@ -384,8 +384,17 @@ def test_pyds_sink_restart_exactly_once(spark):
     try:
         q1 = start()
         deadline = time.time() + 120
+        cdir_poll = _os.path.join(ckpt, "commits")
         while time.time() < deadline:
-            if len(committed_lines()) >= 128:
+            # Wait for BOTH a sink-committed batch and an engine commit
+            # entry: the sink's commit() runs before the engine records
+            # the batch, so polling the manifest alone can stop q1 inside
+            # the crash window itself (leaving nothing to delete below).
+            engine_commits = (
+                _os.path.isdir(cdir_poll)
+                and any(f.isdigit() for f in _os.listdir(cdir_poll))
+            )
+            if len(committed_lines()) >= 128 and engine_commits:
                 break
             time.sleep(0.2)
         q1.stop()
@@ -402,14 +411,34 @@ def test_pyds_sink_restart_exactly_once(spark):
         # the manifest.  Deleting the newest commits entry reproduces a
         # crash between the two -- on restart the engine MUST replay that
         # batch, and the sink's per-batchId manifest overwrite keeps the
-        # read side exactly-once.
+        # read side exactly-once.  Only delete when the commit log is
+        # LEVEL with the offset log: if the stop itself landed between
+        # offset-write and commit-write the crash window already exists,
+        # and deleting another entry would leave a 2-batch gap the engine
+        # rejects (it re-runs batch N, then offsetLog.add(N+1) hits the
+        # existing file -> SparkConcurrentModificationException).
         cdir = _os.path.join(ckpt, "commits")
-        ids = sorted(
+        odir = _os.path.join(ckpt, "offsets")
+        commit_ids = sorted(
             int(f) for f in _os.listdir(cdir) if f.isdigit()
         )
-        assert ids, "no engine commits recorded before stop"
-        replayed = ids[-1]
-        _os.remove(_os.path.join(cdir, str(replayed)))
+        offset_ids = sorted(
+            int(f) for f in _os.listdir(odir) if f.isdigit()
+        )
+        assert offset_ids, "no engine offsets recorded before stop"
+        # Empty commit log == the stop landed before the FIRST engine
+        # commit: the crash window already exists for batch 0.
+        deleted_commit = bool(commit_ids) and commit_ids[-1] == offset_ids[-1]
+        if deleted_commit:
+            _os.remove(_os.path.join(cdir, str(commit_ids[-1])))
+            # Hadoop's local ChecksumFileSystem keeps a .<name>.crc sidecar;
+            # a stale one makes the replayed batch's atomic commit-log
+            # create fail as FileAlreadyExists (surfacing as the
+            # "multiple streaming queries" error) -- a crashed process
+            # would have written neither file, so remove both.
+            crc = _os.path.join(cdir, f".{commit_ids[-1]}.crc")
+            if _os.path.exists(crc):
+                _os.remove(crc)
         files_before = set(committed_files(out))
 
         q2 = start()
@@ -426,13 +455,19 @@ def test_pyds_sink_restart_exactly_once(spark):
             f"restart lost or duplicated rows: {len(got)} != {n_total}"
         )
         assert sorted(got) == sorted(corpus), "content diverged from corpus"
-        # The replayed batch's manifest now points at the SECOND attempt's
-        # data files: at least one first-attempt file must have dropped out
-        # of the committed set (the orphan the manifest makes invisible).
-        files_after = set(committed_files(out))
-        assert files_before - files_after, (
-            "replayed batch did not overwrite its manifest entry"
-        )
+        # When we deleted a sink-committed batch's engine commit entry, the
+        # replayed batch's manifest now points at the SECOND attempt's data
+        # files: at least one first-attempt file must have dropped out of
+        # the committed set (the orphan the manifest makes invisible).  In
+        # the natural-lag case (stop landed inside the crash window itself)
+        # the first attempt never reached the manifest, so there is nothing
+        # to overwrite -- the exactly-once content assertions above are the
+        # proof there.
+        if deleted_commit:
+            files_after = set(committed_files(out))
+            assert files_before - files_after, (
+                "replayed batch did not overwrite its manifest entry"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(out, ignore_errors=True)
