@@ -206,6 +206,66 @@ def ivf_assign_fast(
     return src.mapInPandas(assign, schema="vec_id long, cell int")
 
 
+def ivf_assign_hier(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 1024,
+    dim: int = 64,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse -> fine) IVF assignment: the O(N * n_cells * dim)
+    wall of flat assignment, fixed.
+
+    When n_cells grows LINEARLY with N (the rule that keeps per-cell
+    occupancy -- and so every downstream within-cell join -- constant),
+    flat assignment's flop count N * n_cells * dim grows QUADRATICALLY:
+    measured as the dominant term at the 5M-vector probe tier (10k cells:
+    3.2e15 flops, vs 3.2e13 at 500k).  The standard fix is hierarchical
+    quantization (FAISS's IVF-on-IVF / coarse quantizer): split the
+    n_cells fine centroids into g = sqrt(n_cells) contiguous groups whose
+    COARSE centroid is the group mean; assign each vector to the best
+    group (N*g*dim), then to the best fine cell within it
+    (N*(n_cells/g)*dim) -- total O(N * 2*sqrt(n_cells) * dim), which at
+    n_cells = N/500 grows as N^1.5 in flops but with a constant so small
+    it is I/O-bound at every measured tier (results/scale_probe.txt).
+
+    The greedy coarse step is APPROXIMATE: a vector near a group boundary
+    can land in a neighboring cell vs the global argmax.  Fine for an
+    index build (any consistent assignment works -- queries probe by the
+    same two-level rule); the oracle-checked queries stay on the exact
+    flat forms, same trade as ivf_assign_fast's float-order caveat.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    cents = np.array(centroids(n_cells, dim), dtype=np.float64)  # cells x dim
+    g = n_groups or max(1, int(round(n_cells ** 0.5)))
+    bounds = np.linspace(0, n_cells, g + 1).astype(int)
+    coarse = np.stack(
+        [cents[bounds[i]:bounds[i + 1]].mean(axis=0) for i in range(g)]
+    )  # g x dim
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            cg = (X @ coarse.T).argmax(axis=1)
+            out = np.empty(len(X), dtype=np.int32)
+            for gi in np.unique(cg):
+                m = cg == gi
+                sub = cents[bounds[gi]:bounds[gi + 1]]
+                out[m] = bounds[gi] + (X[m] @ sub.T).argmax(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": out})
+
+    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(assign, schema="vec_id long, cell int")
+
+
 def ivf_probes(
     queries: DataFrame,
     vec_col: str,
@@ -284,9 +344,17 @@ def knn_graph_ivf(
     query side IS the corpus, so NEITHER side is broadcast: both sides
     shuffle once on ``cell`` and the candidate join is cell-co-partitioned.
     Per-cell work is occupancy^2, so ``n_cells`` is the scale knob grown
-    with N to hold cell occupancy (N/n_cells) constant -- total work
-    O(N^2/n_cells) stays linear when n_cells grows linearly, and no
-    single-point bottleneck exists anywhere in the plan.
+    with N to hold cell occupancy (N/n_cells) constant -- the candidate
+    JOIN's work O(N^2/n_cells) then stays linear (measured: 7.5x per 10x
+    at the 50k->500k vector tiers, results/scale_probe.txt), and no
+    single-point bottleneck exists anywhere in the plan.  The full cost
+    model has a second term the probe exposed at 5M vectors: ASSIGNMENT
+    is O(N * n_cells * dim) flops, which grows quadratically under the
+    same linear-n_cells rule and dominates from ~10^6 vectors.  The scale
+    path pairs this plan shape with :func:`ivf_assign_hier` (two-level
+    coarse quantizer, O(N * 2*sqrt(n_cells) * dim)) and the
+    :func:`knn_graph_ivf_fast` BLAS kernel; this SQL-exact form is the
+    oracle path.
     """
     cells = (
         assigned
@@ -303,8 +371,97 @@ def knn_graph_ivf(
     scored = pairs.select(
         "query_id", "neighbor_id", F.expr(_PAIR_COS).alias("cos_sim")
     )
+    # Probed and rejected (round 7): windowing over (cell, query_id) to
+    # reuse the cell hash-partitioning (query_id determines cell at
+    # n_probe=1, so the subset rule would skip the second exchange)
+    # measured SLOWER at the 500k-vector tier (171.6s vs 155.9s min-of-2,
+    # same box, same session): the interpreted pair-cosine dominates this
+    # plan, not the scored-pair shuffle, and the wider sort key costs more
+    # than the exchange saves.  The at-scale kernel is knn_graph_ivf_fast
+    # below (numpy per-cell top-k, no pair materialization at all).
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def knn_graph_ivf_fast(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 64,
+    dim: int = 64,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """``knn_graph_ivf``'s at-scale twin: per-cell numpy top-k via
+    applyInPandas instead of a pair join + interpreted cosine + window.
+
+    The SQL form materializes occupancy x N scored pairs and evaluates an
+    interpreted (non-codegen) 64-term zip_with/aggregate per pair -- the
+    measured bottleneck at the 500k tier.  Here each IVF cell arrives as
+    ONE Arrow batch and the whole cell's cosine matrix is one BLAS call
+    (X_hat @ X_hat.T on unit-normalized rows, ~occupancy^2*dim flops in
+    vectorized C), then a partial argsort per row.  Same single shuffle on
+    ``cell``; zero pair rows ever cross the wire.  Like
+    ``ivf_assign_fast``, this is the at-scale kernel -- float sums in BLAS
+    order differ from the SQL fold's left-to-right order in the last bits,
+    so the ORACLE-exact registered query stays on the SQL form and this
+    kernel backs the scale probe (results/scale_probe.txt: 9.6x faster at
+    500k vectors -- 17.5s vs 168.4s -- with flat per-vector growth).
+
+    Ties: ranked by (-cos_sim, neighbor_id) like the SQL form; a last-bit
+    cosine difference can order near-ties differently across kernels,
+    which is irrelevant at scale and why this form is not oracle-pinned.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cells = (
+        assigned
+        if assigned is not None
+        else ivf_assign_fast(df, vec_col, id_col, n_cells, dim)
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).join(cells, "vec_id")
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        X = np.asarray(pdf["vec"].to_list(), dtype=np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": [], "rank": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64",
+                 "cos_sim": "float64", "rank": "int32"}
+            )
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xh = X / norms[:, None]
+        S = Xh @ Xh.T
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, n - 1)
+        # argpartition for the top-kk, then an exact (-cos, neighbor_id)
+        # sort of just those kk columns per row.
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = np.arange(n)[:, None]
+        sub = S[rows, part]
+        nbr_ids = ids[part]
+        order = np.lexsort((nbr_ids, -sub), axis=1)
+        top = part[rows, order]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, kk),
+                "neighbor_id": ids[top].ravel(),
+                "cos_sim": S[rows, top].ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+            }
+        )
+
+    return vecs.groupBy("cell").applyInPandas(
+        per_cell,
+        schema="query_id long, neighbor_id long, cos_sim double, rank int",
+    )
 
 
 def topk_lsh(

@@ -216,13 +216,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(blocks: int | None = None) -> str:
     # The oracle mirrors the Spark side's banding EXACTLY (same band-value
     # int64 arithmetic via simhash_band_exprs, same max_bucket cap) and
-    # verifies candidates with the direct Hamming radius.  Because
-    # SIMHASH_BANDS > SIMHASH_MAX_HAMMING the banding itself is full-recall
-    # (pigeonhole -- a pair differing in <= 3 bit positions cannot differ
-    # in all 4 bands), so absent a capped bucket this equals the all-pairs
+    # verifies candidates with the direct Hamming radius.  Both banding
+    # schemes are full-recall (pigeonhole -- contiguous: a pair differing
+    # in <= 3 bit positions cannot differ in all 4 bands; blocks=m: <= 3
+    # flipped bits touch <= 3 of m blocks, so some (m-3)-combination is
+    # identical), so absent a capped bucket this equals the all-pairs
     # definition; WITH the cap, both engines drop candidates from the SAME
     # degenerate buckets, keeping the hash compare exact.
     from ..operators.dedup import simhash_band_exprs
@@ -240,7 +241,8 @@ def _simhash_oracle() -> str:
         f"SELECT doc_id, simhash, {idx} AS band_idx, {sql} AS band_val"
         f" FROM sims"
         for idx, sql in simhash_band_exprs(
-            bits, SIMHASH_BANDS, SIMHASH_MAX_HAMMING, dialect="duckdb"
+            bits, SIMHASH_BANDS, SIMHASH_MAX_HAMMING,
+            blocks=blocks, dialect="duckdb",
         )
     )
     return f"""
@@ -308,6 +310,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket=SIMHASH_MAX_BUCKET,
     )
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+SIMHASH_BLOCKS = 6  # C(6,3) = 20 bands of 30-bit keys: 2^30 buckets/band
+
+
+@register(
+    "dedup_simhash_blocks",
+    oracle=_simhash_oracle(blocks=SIMHASH_BLOCKS),
+    doc="SimHash near-dup pairs through the BLOCK-COMBINATION banding "
+    f"(Manku WWW'07 multi-table form): the 60-bit signature splits into "
+    f"{SIMHASH_BLOCKS} blocks of 10 bits and each of C({SIMHASH_BLOCKS},"
+    f"{SIMHASH_BLOCKS - SIMHASH_MAX_HAMMING}) = 20 bands keys on a "
+    "30-bit concatenation of 3 blocks -- 2^30 buckets per band vs the "
+    "contiguous scheme's 2^15, so average bucket occupancy (and with it "
+    "the N^2/2^width candidate cliff) is pushed out to ~10^10 docs.  "
+    "Full recall by pigeonhole (<= 3 flipped bits touch <= 3 blocks, so "
+    "some 3-block combination is identical), so the output EQUALS "
+    "dedup_simhash's pair set; the oracle mirrors the exact banding and "
+    "the same degenerate-bucket cap.  20 scan-side duplicates of one "
+    "int64 column is the price of recall -- cheap next to the join it "
+    "prevents (operators/dedup.py:simhash_band_exprs has the sizing "
+    "rule; results/scale_probe.txt the measured tiers).",
+    tags=("dedup", "simhash", "scale"),
+)
+def dedup_simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pairs = simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        blocks=SIMHASH_BLOCKS,
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def _ngram_oracle() -> str:

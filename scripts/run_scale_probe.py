@@ -48,7 +48,9 @@ from json_format_in_parquet_benchmark_spark.operators.multimodal import (
 )
 from json_format_in_parquet_benchmark_spark.operators.similarity import (
     ivf_assign_fast,
+    ivf_assign_hier,
     knn_graph_ivf,
+    knn_graph_ivf_fast,
     pq_topk,
     topk_ivf,
 )
@@ -168,14 +170,17 @@ def timed_l(label: str, fn) -> tuple[float, int] | None:
     return timed(fn, label)
 
 
+TRIALS = 2  # --trials; drop to 1 for half-hour single-arm tiers
+
+
 def timed(fn, label: str = "") -> tuple[float, int]:
-    """min-of-2 trials: long-lived local JVMs show multi-x timing noise
-    (GC, JIT warmup, lazy cache population racing); the min is the
-    reproducible cost of the plan."""
+    """min-of-TRIALS trials (default 2): long-lived local JVMs show multi-x
+    timing noise (GC, JIT warmup, lazy cache population racing); the min is
+    the reproducible cost of the plan."""
     if label:
         print(f"[probe] start {label}", file=sys.stderr, flush=True)
     best = None
-    for _ in range(2):
+    for _ in range(TRIALS):
         t0 = time.time()
         rows = fn()
         secs = round(time.time() - t0, 2)
@@ -196,10 +201,17 @@ def main() -> None:
         default="",
         help="comma-separated arm labels to run (default: all)",
     )
+    ap.add_argument(
+        "--trials",
+        type=int,
+        default=2,
+        help="measured trials per arm, min reported (1 for huge tiers)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
-    global OPS
+    global OPS, TRIALS
     OPS = set(filter(None, args.ops.split(","))) or None
+    TRIALS = max(1, args.trials)
 
     spark = get_spark("scale-probe")
     results: dict[int, dict[str, tuple[float, int]]] = {}
@@ -210,6 +222,7 @@ def main() -> None:
         emb_ops = {
             "embedding_near_dup", "ivf_topk", "semantic_dedup",
             "gram_matrix", "pq_topk", "kcenter_8", "knn_graph",
+            "knn_graph_fast",
         }
         # zipf/CC arms synthesize their own inputs; skip the 2n-doc corpus
         # when an --ops filter selects none of its consumers (a 50M zipf
@@ -217,8 +230,8 @@ def main() -> None:
         doc_free_ops = {
             "zipf_join_naive", "zipf_join_naive_aqeskew", "zipf_join_salted",
             "zipf_agg_naive", "zipf_agg_salted", "cc_distributed_bigraph",
-            "knn_graph",  # embeddings-only: a 5M-vector tier must not pay
-            # for a 12.5M-doc corpus it never reads
+            "knn_graph", "knn_graph_fast",  # embeddings-only: a 5M-vector
+            # tier must not pay for a 12.5M-doc corpus it never reads
         }
         docs = None
         if OPS is None or OPS - doc_free_ops:
@@ -239,8 +252,17 @@ def main() -> None:
         r["minhash_lsh"] = timed_l("minhash_lsh", 
             lambda: dedup.minhash_lsh_pairs(docs, "text", "doc_id").count()
         )
-        r["simhash"] = timed_l("simhash", 
+        r["simhash"] = timed_l("simhash",
             lambda: dedup.simhash_pairs(docs, "text", "doc_id").count()
+        )
+        # Block-combination banding (blocks=6: 20 bands x 30-bit keys)
+        # vs the contiguous default's 4 x 15-bit: same exact pair set,
+        # 5x the scan-side band rows for 2^15x the bucket count -- the
+        # width knob that defers the N^2/2^width cliff to ~10^10 docs.
+        r["simhash_blocks"] = timed_l("simhash_blocks",
+            lambda: dedup.simhash_pairs(
+                docs, "text", "doc_id", blocks=6
+            ).count()
         )
         # End-to-end near-dup clustering: minhash pair generation plus
         # connected components.  The pair graph stays tiny relative to the
@@ -422,6 +444,22 @@ def main() -> None:
                 n_cells=max(16, n_emb // 500), dim=DIM,
                 assigned=ivf_assign_fast(
                     embs, "embedding", "vec_id", max(16, n_emb // 500), DIM
+                ),
+            ).count()
+        )
+        # The applyInPandas twin: whole-cell BLAS cosine + partial argsort,
+        # no pair rows materialized, with the TWO-LEVEL coarse quantizer
+        # for assignment (flat assignment's N*n_cells*dim flops go
+        # quadratic under the linear-n_cells rule and dominated the 5M
+        # tier) -- the at-scale kernel end to end; the SQL form stays the
+        # oracle path (see knn_graph_ivf_fast / ivf_assign_hier).
+        r["knn_graph_fast"] = timed_l("knn_graph_fast",
+            lambda: knn_graph_ivf_fast(
+                embs, "embedding", "vec_id", k=5,
+                n_cells=max(16, n_emb // 500), dim=DIM,
+                assigned=ivf_assign_hier(
+                    embs, "embedding", "vec_id",
+                    max(16, n_emb // 500), DIM,
                 ),
             ).count()
         )
