@@ -924,9 +924,14 @@ def simhash_pairs(
     identically in DuckDB).  ``max_bucket=None`` disables the guard.
     """
     band_exprs = simhash_band_exprs(bits, bands, max_hamming, blocks=blocks)
-    # Persist signatures: both self-join sides consume them, and without the
-    # cache each side re-runs the whole tokenize/explode/aggregate pipeline.
-    sims = _track_persist(simhash_docs(df, text_col, id_col, bits=bits))
+    # Persist signatures ONLY on the uncapped path, where the banded
+    # relation itself is unpersisted and both self-join sides would re-run
+    # the whole tokenize/explode/aggregate pipeline.  With the bucket cap,
+    # the capped ``banded`` below is the persisted dual-consumer relation
+    # and a sims cache would be populated once and never re-read.
+    sims = simhash_docs(df, text_col, id_col, bits=bits)
+    if max_bucket is None:
+        sims = _track_persist(sims)
     band_structs = [
         F.struct(
             F.lit(idx).alias("band_idx"),

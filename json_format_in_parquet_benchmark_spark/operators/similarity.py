@@ -244,6 +244,10 @@ def ivf_assign_hier(
     ship_package(df.sparkSession)
     cents = np.array(centroids(n_cells, dim), dtype=np.float64)  # cells x dim
     g = n_groups or max(1, int(round(n_cells ** 0.5)))
+    if not 1 <= g <= n_cells:
+        # An oversized g produces duplicate linspace bounds -> empty
+        # centroid slices -> NaN coarse rows and executor-side crashes.
+        raise ValueError(f"n_groups ({g}) must be in [1, n_cells={n_cells}]")
     bounds = np.linspace(0, n_cells, g + 1).astype(int)
     coarse = np.stack(
         [cents[bounds[i]:bounds[i + 1]].mean(axis=0) for i in range(g)]

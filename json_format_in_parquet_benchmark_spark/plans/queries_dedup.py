@@ -216,18 +216,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-def _simhash_oracle(blocks: int | None = None) -> str:
-    # The oracle mirrors the Spark side's banding EXACTLY (same band-value
-    # int64 arithmetic via simhash_band_exprs, same max_bucket cap) and
-    # verifies candidates with the direct Hamming radius.  Both banding
-    # schemes are full-recall (pigeonhole -- contiguous: a pair differing
-    # in <= 3 bit positions cannot differ in all 4 bands; blocks=m: <= 3
-    # flipped bits touch <= 3 of m blocks, so some (m-3)-combination is
-    # identical), so absent a capped bucket this equals the all-pairs
-    # definition; WITH the cap, both engines drop candidates from the SAME
-    # degenerate buckets, keeping the hash compare exact.
-    from ..operators.dedup import simhash_band_exprs
+def _simhash_band_arms_independent(
+    bits: int, bands: int, max_hamming: int, blocks: int | None
+) -> list[str]:
+    """DELIBERATELY independent re-derivation of the banding for the
+    oracle: floor-division/modulus arithmetic and a local combination
+    enumeration instead of importing the operator's shift/mask
+    simhash_band_exprs.  Same int64 values by construction, but a bug in
+    the operator's enumeration (wrong combo set, wrong widths) renders
+    DIFFERENT band values here and fails the driver gate instead of being
+    common-mode invisible -- the property the pre-banding direct-definition
+    oracle had, restored."""
+    if blocks is None:
+        w = bits // bands
+        return [
+            f"(simhash // {1 << (b * w)}) % {1 << w} AS band_val, "
+            f"{b} AS band_idx"
+            for b in range(bands)
+        ]
+    from itertools import combinations
 
+    m, k = blocks, max_hamming
+    bw = bits // m
+    arms = []
+    for idx, combo in enumerate(combinations(range(m), m - k)):
+        parts = [
+            f"(((simhash // {1 << (c * bw)}) % {1 << bw}) * {1 << (j * bw)})"
+            for j, c in enumerate(combo)
+        ]
+        arms.append(f"{' + '.join(parts)} AS band_val, {idx} AS band_idx")
+    return arms
+
+
+def _simhash_oracle(blocks: int | None = None) -> str:
+    # The oracle mirrors the Spark side's banding semantics (same band
+    # values, same max_bucket cap) but derives the band values through an
+    # INDEPENDENT spelling (_simhash_band_arms_independent) and verifies
+    # candidates with the direct Hamming radius.  Both banding schemes are
+    # full-recall (pigeonhole -- contiguous: a pair differing in <= 3 bit
+    # positions cannot differ in all 4 bands; blocks=m: <= 3 flipped bits
+    # touch <= 3 of m blocks, so some (m-3)-combination is identical), so
+    # absent a capped bucket this equals the all-pairs definition; WITH
+    # the cap, both engines drop candidates from the SAME degenerate
+    # buckets, keeping the hash compare exact.
     bits = SIMHASH_BITS
     bit_sums = ",\n         ".join(
         f"SUM((h >> {j}) & 1) AS b{j}" for j in range(bits)
@@ -238,11 +269,9 @@ def _simhash_oracle(blocks: int | None = None) -> str:
         for j in range(bits)
     )
     band_arms = "\n  UNION ALL ".join(
-        f"SELECT doc_id, simhash, {idx} AS band_idx, {sql} AS band_val"
-        f" FROM sims"
-        for idx, sql in simhash_band_exprs(
-            bits, SIMHASH_BANDS, SIMHASH_MAX_HAMMING,
-            blocks=blocks, dialect="duckdb",
+        f"SELECT doc_id, simhash, {arm} FROM sims"
+        for arm in _simhash_band_arms_independent(
+            bits, SIMHASH_BANDS, SIMHASH_MAX_HAMMING, blocks
         )
     )
     return f"""
@@ -298,6 +327,16 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
     bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_query(spark, sf_dir)
+
+
+def _simhash_query(
+    spark: SparkSession, sf_dir: str, blocks: int | None = None
+) -> DataFrame:
+    """Shared body of dedup_simhash / dedup_simhash_blocks: the two
+    registered queries differ ONLY in the banding scheme and must stay in
+    lockstep (same constants, projection, cap) for the documented
+    pair-set-equality contract."""
     from pyspark.sql import functions as F
 
     pairs = simhash_pairs(
@@ -307,9 +346,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=SIMHASH_BITS,
         bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
+        blocks=blocks,
         max_bucket=SIMHASH_MAX_BUCKET,
     )
-    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 SIMHASH_BLOCKS = 6  # C(6,3) = 20 bands of 30-bit keys: 2^30 buckets/band
@@ -335,21 +377,7 @@ SIMHASH_BLOCKS = 6  # C(6,3) = 20 bands of 30-bit keys: 2^30 buckets/band
     tags=("dedup", "simhash", "scale"),
 )
 def dedup_simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    pairs = simhash_pairs(
-        load_table(spark, sf_dir, "documents"),
-        "text",
-        "doc_id",
-        bits=SIMHASH_BITS,
-        bands=SIMHASH_BANDS,
-        max_hamming=SIMHASH_MAX_HAMMING,
-        blocks=SIMHASH_BLOCKS,
-        max_bucket=SIMHASH_MAX_BUCKET,
-    )
-    return pairs.select(
-        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
-    )
+    return _simhash_query(spark, sf_dir, blocks=SIMHASH_BLOCKS)
 
 
 def _ngram_oracle() -> str:

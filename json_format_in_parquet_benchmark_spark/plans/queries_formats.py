@@ -684,9 +684,24 @@ def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     # Stage under a per-session root (applicationId is unique per
     # SparkSession) so two concurrent sessions on one machine never
-    # overwrite each other's generations mid-read.
+    # overwrite each other's generations mid-read.  Per-session dirs would
+    # otherwise accumulate forever (the pre-round-7 fixed path was bounded
+    # by overwrite), so best-effort purge sibling sessions' staging older
+    # than 6 hours -- far beyond any live query's read window.
+    base = os.path.join(tempfile.gettempdir(), "jfipb_part_evo")
     app_id = spark.sparkContext.applicationId
-    root = os.path.join(tempfile.gettempdir(), "jfipb_part_evo", app_id, tag)
+    try:
+        import shutil
+        import time as _time
+
+        cutoff = _time.time() - 6 * 3600
+        for d in os.listdir(base) if os.path.isdir(base) else []:
+            p = os.path.join(base, d)
+            if d != app_id and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass  # purge is housekeeping; never sink the query
+    root = os.path.join(base, app_id, tag)
     old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
     # Generation 1: week blocks (d div 7).  Generation 2: exact days.
     events.where(F.col("d") < _PE_SPLIT).withColumn(

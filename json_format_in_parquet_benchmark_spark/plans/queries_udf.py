@@ -214,10 +214,13 @@ def udf_arrow_scalar_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import udf
 
-    # re.ASCII pins \s to the ASCII class so Python-side semantics match
-    # the DuckDB/RE2 oracle's ASCII \s even if the corpus ever grows
-    # unicode whitespace (\xa0,  , ...).
-    _ws = _re.compile(r"\s+", _re.ASCII)
+    # The whitespace class is spelled EXPLICITLY as RE2's \s
+    # ([\t\n\f\r ]): Python's \s -- even under re.ASCII --
+    # additionally matches \v, and without re.ASCII all unicode
+    # whitespace, either of which silently diverges from the
+    # DuckDB/RE2 oracle on non-plain input (pinned: DuckDB
+    # regexp_replace leaves \x0b alone).
+    _ws = _re.compile(r"[\t\n\f\r ]+")
     _edges = _re.compile(r"^[^0-9A-Za-z]+|[^0-9A-Za-z]+$", _re.ASCII)
 
     @udf(returnType="string", useArrow=True)

@@ -368,8 +368,12 @@ def main() -> None:
             for det, pairs_fn in (
                 ("minhash_lsh",
                  lambda: dedup.minhash_lsh_pairs(docs, "text", "doc_id")),
+                # Uncapped like the registry recall twin: this arm SCORES
+                # banding recall against planted truth, so the degenerate-
+                # bucket cap must not be conflated with banding loss.
                 ("simhash",
-                 lambda: dedup.simhash_pairs(docs, "text", "doc_id")),
+                 lambda: dedup.simhash_pairs(
+                     docs, "text", "doc_id", max_bucket=None)),
                 ("ngram_prefix",
                  lambda: dedup.ngram_jaccard_pairs_prefix(
                      docs, "text", "doc_id")),

@@ -164,8 +164,17 @@ def test_knn_graph_fast_matches_sql_form(spark, sf_dir):
     assert set(sql_rows) == set(fast_rows)
     for key, (nbr, cos) in sql_rows.items():
         fn, fc = fast_rows[key]
-        assert fn == nbr, (key, nbr, fn)
+        # The kernels may legitimately swap two neighbors whose cosines
+        # differ by ~1 ulp (BLAS pairwise sums vs the SQL fold -- the
+        # documented reason the fast form is not oracle-pinned), so a
+        # differing id is acceptable ONLY when both kernels' scores at
+        # this rank are near-equal; everything else must match exactly.
         assert abs(fc - cos) < 1e-9, (key, cos, fc)
+        if fn != nbr:
+            assert abs(fc - cos) < 1e-12, (
+                f"rank {key} ids differ ({nbr} vs {fn}) without a "
+                f"near-tie to excuse it: {cos} vs {fc}"
+            )
 
 
 def test_ivf_assign_hier_valid_and_deterministic(spark, sf_dir):
