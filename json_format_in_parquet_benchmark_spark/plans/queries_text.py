@@ -2218,3 +2218,129 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("fano"), "w").limit(_BURST_TOP)
+
+
+# --- DSIR importance resampling -----------------------------------------
+
+DSIR_BUCKETS = 64  # hashed-unigram feature dimension (Xie et al. 2023 use 10k)
+DSIR_SCALE = 1000000  # integer grid for the per-bucket importance ratio
+DSIR_K = 50  # resample size
+DSIR_TARGET_LANG = "en"  # the "target distribution" slice
+
+# Engine-neutral integer ratio: floor(SCALE * p_hat/q_hat) with add-one
+# smoothing; every operand is an exact int64 cast to double, so both engines
+# evaluate the identical IEEE expression and the floor lands on the same
+# integer.  (The classic DSIR weight is sum of LOG ratios; ln() drifts by a
+# ulp between the JVM and libm -- see queries_search -- so this uses the
+# linearized ratio on an integer grid: per-bucket it is the same monotone
+# ordering, and the summed surrogate plays the same role of up-weighting
+# documents whose hashed-unigram profile matches the target.)
+_DSIR_RATIO = (
+    f"cast(floor((cast(tgt_cnt + 1 as double) / cast(tgt_total as double))"
+    f" / (cast(src_cnt + 1 as double) / cast(src_total as double))"
+    f" * cast({DSIR_SCALE} as double)) as bigint)"
+)
+_DSIR_RATIO_DUCK = (
+    f"CAST(FLOOR((CAST(tgt_cnt + 1 AS DOUBLE) / CAST(tgt_total AS DOUBLE))"
+    f" / (CAST(src_cnt + 1 AS DOUBLE) / CAST(src_total AS DOUBLE))"
+    f" * CAST({DSIR_SCALE} AS DOUBLE)) AS BIGINT)"
+)
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TOKS_D}) AS tok
+  FROM documents WHERE len({_TOKS_D}) > 0
+),
+bucketed AS (
+  SELECT doc_id, lang,
+         ({hash64_sql_duckdb("tok", salt="dsir:")}) % {DSIR_BUCKETS} AS bucket
+  FROM toks
+),
+counts AS (
+  SELECT bucket, COUNT(*) AS src_cnt,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tgt_cnt
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT SUM(src_cnt) AS src_total, SUM(tgt_cnt) AS tgt_total FROM counts),
+ratios AS (
+  SELECT bucket, {_DSIR_RATIO_DUCK} AS r FROM counts CROSS JOIN tot
+),
+scored AS (
+  SELECT b.doc_id, CAST(SUM(r.r) AS BIGINT) AS score
+  FROM bucketed b JOIN ratios r USING (bucket)
+  GROUP BY b.doc_id
+),
+picked AS (
+  SELECT d.lang, s.doc_id, s.score
+  FROM scored s JOIN documents d USING (doc_id)
+  ORDER BY s.score DESC, s.doc_id
+  LIMIT {DSIR_K}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score
+FROM picked GROUP BY lang
+""",
+    doc="DSIR-style importance resampling (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): hashed-unigram bag "
+    f"features over {DSIR_BUCKETS} md5 buckets, per-bucket target/source "
+    "importance ratio with add-one smoothing on an integer grid (linearized "
+    "ratio instead of log -- see inline note), per-document score = sum of "
+    f"its tokens' bucket ratios, top-{DSIR_K} resample rolled up per lang "
+    "with an id checksum pinning the exact selection.  Scale shape: ONE "
+    "exploded scan builds the 64-row bucket-count table (map-side partial "
+    "agg, 64-group shuffle); the ratio table returns as a broadcast "
+    "single-row MAP, so scoring is a second map-only scan (aggregate over "
+    "the token array, zero Python, zero shuffle) and the top-k is "
+    "TakeOrdered -- no global sort.  At 100 TB: two corpus scans, one "
+    "64-row shuffle.",
+    tags=("text", "sampling", "dsir", "pipeline"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.expr(f"size({_TOKS_S}) > 0")
+    )
+    h_tok = hash64_sql_spark("tok", salt="dsir:")
+    exploded = docs.select(
+        "lang", F.explode(F.expr(_TOKS_S)).alias("tok")
+    ).select(
+        F.expr(f"({h_tok}) % {DSIR_BUCKETS}").alias("bucket"),
+        F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0).alias("is_tgt"),
+    )
+    counts = exploded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("src_cnt"), F.sum("is_tgt").alias("tgt_cnt")
+    )
+    totals = counts.agg(
+        F.sum("src_cnt").alias("src_total"), F.sum("tgt_cnt").alias("tgt_total")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.expr(_DSIR_RATIO).alias("r")
+    )
+    # 64-entry broadcast map: scoring becomes a map-only scan.
+    rmap = ratios.agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "r"))).alias("rmap")
+    )
+    h_x = hash64_sql_spark("x", salt="dsir:")
+    scored = docs.crossJoin(F.broadcast(rmap)).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"aggregate(transform({_TOKS_S},"
+            f" x -> element_at(rmap, ({h_x}) % {DSIR_BUCKETS})),"
+            f" 0L, (acc, v) -> acc + v)"
+        ).alias("score"),
+    )
+    picked = scored.orderBy(F.desc("score"), "doc_id").limit(DSIR_K)
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+    )
