@@ -957,3 +957,128 @@ def similarity_range_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "query_id", "neighbor_id", F.expr(_PAIR_COS).alias("cos_sim")
     ).where(F.col("cos_sim") * RADIUS_DEN >= RADIUS_NUM)
+
+
+# --- scalar quantization (SQ8) ------------------------------------------
+
+# Per-dimension 8-bit scalar quantization: code = floor((x - mn_d) * 255 /
+# (mx_d - mn_d)) clamped to [0, 255], reconstruction = mn_d + (code + 0.5) *
+# (mx_d - mn_d) / 256 (the FAISS SQ8 layout).  Every operand is either an
+# exact integer cast to double or a min/max of the raw doubles, so both
+# engines evaluate identical IEEE expressions and the reconstructed vectors
+# are bit-identical -- the approximate ranking is exactly cross-checkable.
+_SQ_QUANT_S = (
+    f"transform(sequence(0, {DIM - 1}), i ->"
+    " least(cast(floor(case when element_at(mx_l, i + 1) > element_at(mn_l, i + 1)"
+    " then ((cast(element_at(embedding, i + 1) as double) - element_at(mn_l, i + 1))"
+    " * cast(255 as double)) / (element_at(mx_l, i + 1) - element_at(mn_l, i + 1))"
+    " else cast(0 as double) end) as bigint), cast(255 as bigint)))"
+)
+_SQ_RECON_S = (
+    f"transform(sequence(0, {DIM - 1}), i ->"
+    " element_at(mn_l, i + 1) + (cast(element_at(qv, i + 1) as double) + 5e-1)"
+    " * (element_at(mx_l, i + 1) - element_at(mn_l, i + 1)) / cast(256 as double))"
+)
+# DuckDB twin: one fused lambda (code inlined into the reconstruction).
+_SQ_RECON_D = (
+    f"list_transform(range({DIM}), i ->"
+    " mn_l[i + 1] + (CAST(LEAST(CAST(FLOOR(CASE WHEN mx_l[i + 1] > mn_l[i + 1]"
+    " THEN ((CAST(e.embedding[i + 1] AS DOUBLE) - mn_l[i + 1]) * CAST(255 AS DOUBLE))"
+    " / (mx_l[i + 1] - mn_l[i + 1])"
+    " ELSE CAST(0 AS DOUBLE) END) AS BIGINT), 255) AS DOUBLE) + 5e-1)"
+    " * (mx_l[i + 1] - mn_l[i + 1]) / CAST(256 AS DOUBLE))"
+)
+_SQ_COS_D = cosine_duckdb("a.xhat", "b.xhat")
+
+
+@register(
+    "similarity_sq8_recall",
+    oracle=f"""
+WITH dims AS (
+  SELECT t.i AS pos,
+         MIN(CAST(e.embedding[t.i + 1] AS DOUBLE)) AS mn,
+         MAX(CAST(e.embedding[t.i + 1] AS DOUBLE)) AS mx
+  FROM embeddings e CROSS JOIN range({DIM}) t(i)
+  GROUP BY t.i
+),
+lists AS (
+  SELECT list(mn ORDER BY pos) AS mn_l, list(mx ORDER BY pos) AS mx_l FROM dims
+),
+recon AS (
+  SELECT e.vec_id, {_SQ_RECON_D} AS xhat
+  FROM embeddings e CROSS JOIN lists
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings),
+exact_ranked AS (
+  SELECT a.query_id, b.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+                            ORDER BY {cosine_duckdb("a.embedding", "b.embedding")} DESC,
+                                     b.neighbor_id) AS rank
+  FROM q a CROSS JOIN c b
+  WHERE a.query_id <> b.neighbor_id
+),
+truth AS (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {TOP_K}),
+qx AS (SELECT vec_id AS query_id, xhat FROM recon WHERE vec_id < {N_QUERIES}),
+approx_scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+                            ORDER BY {_SQ_COS_D} DESC, b.vec_id) AS rank
+  FROM qx a JOIN recon b ON a.query_id <> b.vec_id
+),
+approx AS (SELECT query_id, neighbor_id FROM approx_scored WHERE rank <= {TOP_K})
+SELECT t.query_id,
+       COUNT(*) AS k_true,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS k_hit,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY 1
+""",
+    doc="Scalar 8-bit quantization (SQ8, the FAISS ScalarQuantizer layout): "
+    "per-dimension [min, max] trained in one posexplode+groupBy pass (64 "
+    "groups), codes and midpoint reconstructions built map-side through a "
+    "broadcast single-row (mn, mx) array pair, then recall@k of the "
+    "SQ8-reconstructed ranking against exact brute force.  SQ8 is the "
+    "4x-memory-compression arm of the ANN family (PQ compresses harder, "
+    "SQ8 reconstructs cheaper -- one mul-add per dimension, no codebook "
+    "lookup); at 100 TB the int8 codes are what a 1000-executor fleet "
+    "caches in RAM while raw floats stay on disk.  Training is one tiny "
+    "shuffle; encode/reconstruct are zero-shuffle projections; recall "
+    "joins only the broadcast-small query set.",
+    tags=("similarity", "quantization", "evaluation"),
+)
+def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(
+            F.posexplode(F.expr("cast(embedding as array<double>)")).alias(
+                "pos", "x"
+            )
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    lists = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+        ).alias("mn_l"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("mx_l"),
+    )
+    recon = _track_persist(
+        emb.crossJoin(F.broadcast(lists))
+        .select("vec_id", "embedding", F.expr(_SQ_QUANT_S).alias("qv"), "mn_l", "mx_l")
+        .select("vec_id", F.expr(_SQ_RECON_S).alias("xhat"))
+    )
+    truth = topk_bruteforce(
+        emb, emb.where(F.col("vec_id") < N_QUERIES), "embedding", "vec_id", k=TOP_K
+    ).select("query_id", "neighbor_id")
+    approx = topk_bruteforce(
+        recon, recon.where(F.col("vec_id") < N_QUERIES), "xhat", "vec_id", k=TOP_K
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    return _recall_by_query(truth, approx)
