@@ -1672,3 +1672,275 @@ def events_absence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "silent_from_us")
     )
+
+
+# --- classical seasonal-trend decomposition ------------------------------
+
+DAY_US = 24 * HOUR_US
+STL_PERIOD = 7  # weekly seasonality over daily buckets
+
+
+@register(
+    "events_stl_decompose",
+    oracle=f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {DAY_US} AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT day, y,
+         CAST(SUM(y) OVER w AS BIGINT) AS t_sum,
+         CAST(COUNT(*) OVER w AS BIGINT) AS t_cnt,
+         MIN(day) OVER w AS d_min,
+         MAX(day) OVER w AS d_max
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+mid AS (
+  SELECT day, day % {STL_PERIOD} AS dow, y,
+         CAST(t_sum AS DOUBLE) / CAST({STL_PERIOD} AS DOUBLE) AS trend,
+         CAST(FLOOR((CAST(y AS DOUBLE)
+                     - CAST(t_sum AS DOUBLE) / CAST({STL_PERIOD} AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS dq
+  FROM win WHERE t_cnt = {STL_PERIOD} AND d_max - d_min = {STL_PERIOD - 1}
+),
+seas AS (
+  SELECT dow, CAST(SUM(dq) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS seas_q
+  FROM mid GROUP BY dow
+),
+centered AS (
+  SELECT dow,
+         CAST(CAST(COUNT(*) OVER () AS BIGINT) * seas_q
+              - CAST(SUM(seas_q) OVER () AS BIGINT) AS DOUBLE)
+         / (CAST(COUNT(*) OVER () AS DOUBLE) * CAST(1000000 AS DOUBLE))
+           AS seasonal
+  FROM seas
+)
+SELECT m.day, m.dow, m.y, m.trend, c.seasonal,
+       (CAST(m.y AS DOUBLE) - m.trend) - c.seasonal AS residual
+FROM mid m JOIN centered c USING (dow)
+""",
+    doc="Classical additive seasonal-trend decomposition (the moving-average "
+    "variant of STL) of the daily event-count series: centered 7-day moving "
+    "average as trend, per-week-position truncated-mean of the detrended "
+    "series (on a 1e6 integer grid) as the seasonal component -- centered so "
+    "the seven indices sum to ~zero -- and the remainder as residual.  Week "
+    "position is day-number mod 7 in the integer-micros day domain (position "
+    "0 = Thursday).  Exactness: daily counts are integers, the 7-day trend "
+    "is one IEEE division, detrended values quantize to int64 before any "
+    "cross-row sum, and the seasonal mean uses truncating integer division "
+    "rendered as Spark `div` / DuckDB `//` (both truncate toward zero).  "
+    "Scale shape: the daily rollup is the only corpus-sized shuffle "
+    "(map-side partial counts); the decomposition itself runs on the "
+    "k-bounded day series, so the unpartitioned windows are driver-tiny at "
+    "any corpus size.",
+    tags=("timeseries", "decomposition", "window"),
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr(f"unix_micros(ts) div {DAY_US}").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "y",
+        F.sum("y").over(w).cast("bigint").alias("t_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("t_cnt"),
+        F.min("day").over(w).alias("d_min"),
+        F.max("day").over(w).alias("d_max"),
+    )
+    mid = win.where(
+        (F.col("t_cnt") == STL_PERIOD)
+        & (F.col("d_max") - F.col("d_min") == STL_PERIOD - 1)
+    ).select(
+        "day",
+        (F.col("day") % STL_PERIOD).alias("dow"),
+        "y",
+        F.expr(
+            f"cast(t_sum as double) / cast({STL_PERIOD} as double)"
+        ).alias("trend"),
+        F.expr(
+            f"cast(floor((cast(y as double)"
+            f" - cast(t_sum as double) / cast({STL_PERIOD} as double))"
+            f" * cast(1000000 as double)) as bigint)"
+        ).alias("dq"),
+    )
+    seas = mid.groupBy("dow").agg(
+        F.expr("cast(sum(dq) as bigint) div cast(count(*) as bigint)").alias(
+            "seas_q"
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    centered = seas.select(
+        "dow",
+        (
+            (
+                F.count(F.lit(1)).over(wall).cast("bigint") * F.col("seas_q")
+                - F.sum("seas_q").over(wall).cast("bigint")
+            ).cast("double")
+            / (
+                F.count(F.lit(1)).over(wall).cast("double")
+                * F.lit(1000000).cast("double")
+            )
+        ).alias("seasonal"),
+    )
+    return mid.join(F.broadcast(centered), "dow").select(
+        "day",
+        "dow",
+        "y",
+        "trend",
+        "seasonal",
+        F.expr("(cast(y as double) - trend) - seasonal").alias("residual"),
+    )
+
+
+# --- Theil-Sen robust trend ----------------------------------------------
+
+# Median by explicit rank selection: the VALUE at a rank is multiset-
+# determined even when rank assignment among equal values is not, and the
+# even-count interpolation (lo + hi) / 2 runs on identical operands in both
+# engines.  (DuckDB's median(DOUBLE) happens to interpolate too, but the
+# explicit form keeps the expression tree pinned.)
+
+
+@register(
+    "events_theil_sen",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // {DAY_US} AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE user_id < {TS_USERS}
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.user_id,
+         (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+         / (CAST(b.day AS DOUBLE) - CAST(a.day AS DOUBLE)) AS slope
+  FROM daily a JOIN daily b
+    ON a.user_id = b.user_id AND b.day > a.day
+),
+ranked AS (
+  SELECT user_id, slope,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM pairs
+),
+slope_med AS (
+  SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+         (MIN(slope) + MAX(slope)) / CAST(2 AS DOUBLE) AS slope
+  FROM ranked
+  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+  GROUP BY user_id
+),
+icepts AS (
+  SELECT d.user_id, s.n_pairs, s.slope,
+         CAST(d.y AS DOUBLE) - s.slope * CAST(d.day AS DOUBLE) AS icept
+  FROM daily d JOIN slope_med s USING (user_id)
+),
+iranked AS (
+  SELECT user_id, n_pairs, slope, icept,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY icept) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM icepts
+)
+SELECT user_id,
+       CAST(MAX(cnt) AS BIGINT) AS n_days,
+       CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+       MAX(slope) AS slope,
+       (MIN(icept) + MAX(icept)) / CAST(2 AS DOUBLE) AS intercept
+FROM iranked
+WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+GROUP BY user_id
+""",
+    doc="Theil-Sen robust trend estimator per user over the daily "
+    "event-count series: slope = median of all pairwise slopes (breakdown "
+    "point 29%, immune to outlier days that wreck OLS), intercept = median "
+    "of per-day intercepts under that slope.  Medians are explicit "
+    "rank-selected values -- the value at a rank is multiset-determined, "
+    "and even-count interpolation averages two identical-operand doubles "
+    "-- so the estimator is bit-exact cross-engine with no percentile "
+    "builtin.  Scale shape: the daily rollup shuffles once on user_id; "
+    "the O(d^2) pair join is per-user over the k-bounded day series (30 "
+    "days -> 435 pairs), co-partitioned by the same key, so corpus size "
+    "only affects the rollup scan -- the estimator cost is fixed per "
+    "user regardless of event volume.",
+    tags=("timeseries", "regression", "robust"),
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < TS_USERS)
+    daily = (
+        ev.select(
+            "user_id", F.expr(f"unix_micros(ts) div {DAY_US}").alias("day")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.expr(
+            "(cast(b.y as double) - cast(a.y as double))"
+            " / (cast(b.day as double) - cast(a.day as double))"
+        ).alias("slope"),
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wu.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("cnt"),
+    )
+    slope_med = (
+        ranked.where(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("cnt").cast("bigint").alias("n_pairs"),
+            F.expr(
+                "(min(slope) + max(slope)) / cast(2 as double)"
+            ).alias("slope"),
+        )
+    )
+    icepts = daily.join(F.broadcast(slope_med), "user_id").select(
+        "user_id",
+        "n_pairs",
+        "slope",
+        F.expr(
+            "cast(y as double) - slope * cast(day as double)"
+        ).alias("icept"),
+    )
+    iranked = icepts.select(
+        "user_id",
+        "n_pairs",
+        "slope",
+        "icept",
+        F.row_number().over(wu.orderBy("icept")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("cnt"),
+    )
+    return (
+        iranked.where(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("cnt").cast("bigint").alias("n_days"),
+            F.max("n_pairs").cast("bigint").alias("n_pairs"),
+            F.max("slope").alias("slope"),
+            F.expr(
+                "(min(icept) + max(icept)) / cast(2 as double)"
+            ).alias("intercept"),
+        )
+    )
