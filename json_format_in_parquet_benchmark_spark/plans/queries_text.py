@@ -2227,22 +2227,28 @@ DSIR_SCALE = 1000000  # integer grid for the per-bucket importance ratio
 DSIR_K = 50  # resample size
 DSIR_TARGET_LANG = "en"  # the "target distribution" slice
 
-# Engine-neutral integer ratio: floor(SCALE * p_hat/q_hat) with add-one
-# smoothing; every operand is an exact int64 cast to double, so both engines
-# evaluate the identical IEEE expression and the floor lands on the same
-# integer.  (The classic DSIR weight is sum of LOG ratios; ln() drifts by a
-# ulp between the JVM and libm -- see queries_search -- so this uses the
-# linearized ratio on an integer grid: per-bucket it is the same monotone
-# ordering, and the summed surrogate plays the same role of up-weighting
-# documents whose hashed-unigram profile matches the target.)
+# Engine-neutral integer ratio: floor(SCALE * p_hat/q_hat) with full Laplace
+# smoothing ((cnt + 1)/(total + BUCKETS) on both distributions -- finite even
+# when the corpus has no target-slice documents at all); every operand is an
+# exact int64 cast to double, so both engines evaluate the identical IEEE
+# expression and the floor lands on the same integer.  (The classic DSIR
+# weight is sum of LOG ratios; ln() drifts by a ulp between the JVM and libm
+# -- see queries_search -- so this uses the linearized ratio on an integer
+# grid: per-bucket it is the same monotone ordering, and the summed
+# surrogate plays the same role of up-weighting documents whose
+# hashed-unigram profile matches the target.)
 _DSIR_RATIO = (
-    f"cast(floor((cast(tgt_cnt + 1 as double) / cast(tgt_total as double))"
-    f" / (cast(src_cnt + 1 as double) / cast(src_total as double))"
+    f"cast(floor((cast(tgt_cnt + 1 as double)"
+    f" / cast(tgt_total + {DSIR_BUCKETS} as double))"
+    f" / (cast(src_cnt + 1 as double)"
+    f" / cast(src_total + {DSIR_BUCKETS} as double))"
     f" * cast({DSIR_SCALE} as double)) as bigint)"
 )
 _DSIR_RATIO_DUCK = (
-    f"CAST(FLOOR((CAST(tgt_cnt + 1 AS DOUBLE) / CAST(tgt_total AS DOUBLE))"
-    f" / (CAST(src_cnt + 1 AS DOUBLE) / CAST(src_total AS DOUBLE))"
+    f"CAST(FLOOR((CAST(tgt_cnt + 1 AS DOUBLE)"
+    f" / CAST(tgt_total + {DSIR_BUCKETS} AS DOUBLE))"
+    f" / (CAST(src_cnt + 1 AS DOUBLE)"
+    f" / CAST(src_total + {DSIR_BUCKETS} AS DOUBLE))"
     f" * CAST({DSIR_SCALE} AS DOUBLE)) AS BIGINT)"
 )
 

@@ -113,6 +113,31 @@ def synth_embeddings(spark: SparkSession, n: int, out: str) -> None:
     )
 
 
+def synth_text_corpus(spark: SparkSession, n: int, out: str) -> None:
+    """Documents table for the text-pipeline arms: a real 'en' target slice
+    (1 in 5 docs) and ~4% BM25 query-term token hits.  Kept SEPARATE from
+    :func:`synth_documents` so the dedup arms' historical probe rows stay
+    byte-comparable across rounds."""
+    h = "cast(conv(substr(md5(concat(id, ':', i)), 1, 15), 16, 10) as bigint)"
+    (
+        spark.range(n)
+        .selectExpr(
+            "id as doc_id",
+            "concat_ws(' ', transform(sequence(1, 20 + cast(id % 31 as int)), "
+            f" i -> case when {h} % 97 = 0 then 'spark'"
+            f"      when {h} % 97 = 1 then 'merge'"
+            f"      when {h} % 97 = 2 then 'vector'"
+            f"      when {h} % 97 = 3 then 'window'"
+            f"      else concat('w', {h} % {VOCAB}) end)) as text",
+            "case when id % 5 = 0 then 'en'"
+            " else concat('l', id % 5) end as lang",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
 OPS: set[str] | None = None  # --ops filter; None = run everything
 
 
@@ -962,6 +987,45 @@ def main() -> None:
                     "global_rownum",
                     lambda: _REG["events_global_rownum"]
                     .fn(spark, sw_dir)
+                    .count(),
+                )
+
+        # ---- text-pipeline + SQ8 arms: the REGISTERED plans run against a
+        # staged sf_dir (documents/embeddings with the real schema), so the
+        # probe times exactly what the correctness gate checks.  DSIR's
+        # claim under test: two corpus scans + one 64-row shuffle (flat
+        # per-doc cost); BM25's: two map-side scans + a broadcast stats
+        # row; SQ8's: train/encode are corpus-linear and the recall
+        # harness joins only the broadcast query set.
+        text_ops = {"dsir_importance", "bm25_topk", "sq8_recall"}
+        if OPS is None or OPS & text_ops:
+            from json_format_in_parquet_benchmark_spark.plans import (
+                REGISTRY as _TREG,
+            )
+
+            tx_dir = os.path.join(args.workdir, f"text_sf_{n}")
+            if OPS is None or OPS & {"dsir_importance", "bm25_topk"}:
+                synth_text_corpus(
+                    spark, n, os.path.join(tx_dir, "documents.parquet")
+                )
+                r["dsir_importance"] = timed_l(
+                    "dsir_importance",
+                    lambda: _TREG["sample_dsir_importance"]
+                    .fn(spark, tx_dir)
+                    .count(),
+                )
+                r["bm25_topk"] = timed_l(
+                    "bm25_topk",
+                    lambda: _TREG["text_bm25_topk"].fn(spark, tx_dir).count(),
+                )
+            if OPS is None or "sq8_recall" in OPS:
+                synth_embeddings(
+                    spark, n_emb, os.path.join(tx_dir, "embeddings.parquet")
+                )
+                r["sq8_recall"] = timed_l(
+                    "sq8_recall",
+                    lambda: _TREG["similarity_sq8_recall"]
+                    .fn(spark, tx_dir)
                     .count(),
                 )
 
