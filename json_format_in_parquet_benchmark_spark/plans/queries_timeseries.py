@@ -1944,3 +1944,163 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept"),
         )
     )
+
+
+# --- Holt-Winters additive seasonal forecasting ---------------------------
+
+HW_PERIOD = 7  # weekly seasonality over daily buckets
+
+
+def _hw_steps(
+    x: str, lvl: str, trd: str, s_old: str, spark_side: bool
+) -> tuple[str, str, str]:
+    """(l_new, b_new, s_new) additive Holt-Winters recurrences with
+    alpha = beta = gamma = 1/4 as exact signed floor divisions, rendered
+    from the OLD state only (l_new repeats textually inside b_new/s_new --
+    snapshot-safe under both Spark's fresh-struct fold and DuckDB's
+    recursive CTE)."""
+    lt = _holt_fd(f"({x} - ({s_old})) + 3 * (({lvl}) + ({trd}))", spark_side)
+    bt = _holt_fd(f"({lt}) - ({lvl}) + 3 * ({trd})", spark_side)
+    st = _holt_fd(f"({x} - ({lt})) + 3 * ({s_old})", spark_side)
+    return lt, bt, st
+
+
+_HW_L_D, _HW_B_D, _HW_S_D = _hw_steps(
+    "elems[step + 1].cents", "l", "b", f"s[(step % {HW_PERIOD}) + 1]",
+    spark_side=False,
+)
+_HW_L_S, _HW_B_S, _HW_S_S = _hw_steps(
+    "e.m", "acc.l", "acc.b",
+    f"element_at(acc.s, cast(acc.n % {HW_PERIOD} as int) + 1)",
+    spark_side=True,
+)
+
+_HW_SUM_D = " + ".join(f"s[{i + 1}]" for i in range(HW_PERIOD))
+_HW_SUM_S = " + ".join(
+    f"element_at(st.s, {i + 1})" for i in range(HW_PERIOD)
+)
+
+
+@register(
+    "events_forecast_holt_winters",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY 1, 2
+),
+series AS MATERIALIZED (
+  SELECT event_type,
+         list_transform(list_sort(list({{'day': day, 'cents': cents}})),
+                        r -> {{'cents': r.cents}}) AS elems,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY event_type
+),
+walk AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS chk,
+         CAST(elems[1].cents AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+         [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s,
+         n, elems
+  FROM series
+  UNION ALL
+  SELECT event_type, step + 1,
+         (chk + l) % {SES_P},
+         CAST({_HW_L_D} AS BIGINT),
+         CAST({_HW_B_D} AS BIGINT),
+         list_transform(range({HW_PERIOD}), i ->
+           CASE WHEN i = step % {HW_PERIOD}
+                THEN CAST({_HW_S_D} AS BIGINT) ELSE s[i + 1] END),
+         n, elems
+  FROM walk WHERE step < n
+)
+SELECT event_type,
+       n AS n_days,
+       CAST(l AS BIGINT) AS level_cents,
+       CAST(b AS BIGINT) AS trend_cents,
+       CAST(s[(n % {HW_PERIOD}) + 1] AS BIGINT) AS season_next_cents,
+       CAST(l + b + s[(n % {HW_PERIOD}) + 1] AS BIGINT)
+         AS forecast_next_cents,
+       CAST({_HW_SUM_D.replace("st.s", "s")} AS BIGINT) AS season_sum_cents,
+       CAST((chk + l) % {SES_P} AS BIGINT) AS path_checksum
+FROM walk WHERE step = n
+""",
+    doc="Holt-Winters additive triple exponential smoothing on the "
+    "integer-cents grid: per event type the daily series folds through "
+    "level, trend and a 7-slot weekly seasonal state array with alpha = "
+    "beta = gamma = 1/4 as exact signed floor divisions (zero-initialized "
+    "seasonals, the pinned-deterministic variant).  The one-step-ahead "
+    "forecast is level + trend + the next week-position's seasonal; the "
+    "seasonal sum and a running level checksum pin the whole smoothed "
+    "path.  Completes the classical forecasting triad (SES handles level, "
+    "Holt adds drift, Holt-Winters adds seasonality).  Spark runs one "
+    "ordered-array fold per group, updating the seasonal slot through an "
+    "indexed transform (fresh-struct semantics); the oracle walks the "
+    "identical recurrence with a recursive CTE carrying a LIST column "
+    "(coupled state cannot survive DuckDB's in-place struct fold).  "
+    "Group state is |days| per key; one shuffle on event_type.",
+    tags=("timeseries", "forecast", "aggregation", "iterative"),
+)
+def events_forecast_holt_winters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, cents))),"
+            " r -> named_struct('m', r.cents))"
+        ).alias("elems")
+    )
+    folded = series.select(
+        "event_type",
+        F.expr(
+            f"""aggregate(
+              elems,
+              named_struct('chk', 0L, 'l', 0L, 'b', 0L,
+                           's', array_repeat(0L, {HW_PERIOD}), 'n', 0L),
+              (acc, e) -> CASE WHEN acc.n = 0
+                THEN named_struct('chk', 0L, 'l', e.m, 'b', 0L,
+                                  's', array_repeat(0L, {HW_PERIOD}),
+                                  'n', 1L)
+                ELSE named_struct(
+                  'chk', (acc.chk + acc.l) % {SES_P},
+                  'l', cast({_HW_L_S} as bigint),
+                  'b', cast({_HW_B_S} as bigint),
+                  's', transform(sequence(0, {HW_PERIOD - 1}), i ->
+                    CASE WHEN cast(i as bigint) = acc.n % {HW_PERIOD}
+                         THEN cast({_HW_S_S} as bigint)
+                         ELSE element_at(acc.s, cast(i as int) + 1) END),
+                  'n', acc.n + 1L)
+              END)"""
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("st.n").cast("bigint").alias("n_days"),
+        F.col("st.l").cast("bigint").alias("level_cents"),
+        F.col("st.b").cast("bigint").alias("trend_cents"),
+        F.expr(f"element_at(st.s, cast(st.n % {HW_PERIOD} as int) + 1)")
+        .cast("bigint")
+        .alias("season_next_cents"),
+        F.expr(
+            f"st.l + st.b"
+            f" + element_at(st.s, cast(st.n % {HW_PERIOD} as int) + 1)"
+        )
+        .cast("bigint")
+        .alias("forecast_next_cents"),
+        F.expr(_HW_SUM_S).cast("bigint").alias("season_sum_cents"),
+        F.expr(f"(st.chk + st.l) % {SES_P}")
+        .cast("bigint")
+        .alias("path_checksum"),
+    )
