@@ -28,6 +28,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 DOC_COL = "doc"
 
+# ZSTD compression level for the format-family flush path (parquet-java's
+# parquet.compression.codec.zstd.level; parquet default is 3).  Measured on
+# the 100k-row ndv=0.1 corpus (results/bench_notes.md): level 9 shrinks
+# plain/jsonc parquet ~5% at no measurable flush-time cost on this box;
+# level 19 shrinks ~15% at ~2.4x flush time.  Level 9 is the better Pareto
+# point for write-once-read-many analytics corpora (decompression speed is
+# level-independent in zstd), so it is the default; the property is applied
+# scoped-and-restored because the Hadoop conf is JVM-global and the
+# session is often the external driver's.
+ZSTD_LEVEL = 9
+
 
 class JsonFormatBase(abc.ABC):
     """One JSON physical representation with a full encode/decode/flush/load
@@ -50,8 +61,20 @@ class JsonFormatBase(abc.ABC):
 
     def flush(self, encoded: DataFrame, path: str) -> None:
         """Write the representation to Parquet with ZSTD (matching the
-        reference's writer choice, plain_json.rs:37-44)."""
-        encoded.write.mode("overwrite").parquet(path, compression="zstd")
+        reference's writer choice, plain_json.rs:37-44) at ZSTD_LEVEL
+        (scoped on the JVM-global Hadoop conf and restored)."""
+        spark = encoded.sparkSession
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        key = "parquet.compression.codec.zstd.level"
+        old = hconf.get(key)
+        hconf.set(key, str(ZSTD_LEVEL))
+        try:
+            encoded.write.mode("overwrite").parquet(path, compression="zstd")
+        finally:
+            if old is None:
+                hconf.unset(key)
+            else:
+                hconf.set(key, old)
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         """Read the representation back (column types round-trip through
