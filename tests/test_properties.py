@@ -1474,3 +1474,178 @@ FROM (SELECT len(list_filter([{_DP_T}], t -> t <= u)) - 127 AS noise
     expected_p0 = (1.0 - _DP_ALPHA) / (1.0 + _DP_ALPHA)
     assert abs(mean_noise) < 0.05, mean_noise
     assert abs(p0 - expected_p0) < 0.03, (p0, expected_p0)
+
+
+def test_holt_winters_matches_python_reference(spark, sf_dir):
+    """The registered Holt-Winters fold must reproduce a straightforward
+    pure-Python walk of the same recurrence (alpha=beta=gamma=1/4 floor
+    divisions, 7-slot zero-initialized seasonal array) over the actual
+    daily series -- pinning the fold independently of the DuckDB oracle
+    (which could share a transcription bug)."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_timeseries import (
+        HW_PERIOD,
+        SES_P,
+        events_forecast_holt_winters,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias(
+                "day"
+            ),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["cents"]))
+    expect = {}
+    for et, pts in series.items():
+        xs = [c for _, c in sorted(pts)]
+        lvl, trd, s, chk = xs[0], 0, [0] * HW_PERIOD, 0
+        for k in range(1, len(xs)):
+            pos = k % HW_PERIOD
+            x = xs[k]
+            chk = (chk + lvl) % SES_P
+            l_new = ((x - s[pos]) + 3 * (lvl + trd)) // 4
+            b_new = (l_new - lvl + 3 * trd) // 4
+            s[pos] = ((x - l_new) + 3 * s[pos]) // 4
+            lvl, trd = l_new, b_new
+        pos = len(xs) % HW_PERIOD
+        expect[et] = (
+            len(xs), lvl, trd, s[pos], lvl + trd + s[pos], sum(s),
+            (chk + lvl) % SES_P,
+        )
+    got = {
+        r["event_type"]: (
+            r["n_days"], r["level_cents"], r["trend_cents"],
+            r["season_next_cents"], r["forecast_next_cents"],
+            r["season_sum_cents"], r["path_checksum"],
+        )
+        for r in events_forecast_holt_winters(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_theil_sen_ignores_outlier_day(spark, tmp_path):
+    """On a crafted per-user series that is an exact line (one more event
+    each day) plus one wild outlier day, the Theil-Sen slope must stay at
+    the line's slope (median of pairwise slopes; breakdown point ~29%)
+    where OLS would be dragged.  Also cross-checks the slope against a
+    pure-Python median of all pairwise slopes."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_timeseries import (
+        events_theil_sen,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 100 if day == 9 else day + 1  # line y=day+1, day 9 is the outlier
+        for _ in range(n):
+            rows.append((eid, 0, day * 86_400_000_000))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long")
+    sf = str(tmp_path / "ts_sf")
+    df.selectExpr(
+        "event_id", "timestamp_micros(us) as ts", "user_id",
+        "'view' as event_type", "1.0 as value", "'{}' as props"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    ys = {d: (100 if d == 9 else d + 1) for d in range(10)}
+    slopes = sorted(
+        (ys[j] - ys[i]) / (j - i) for i in range(10) for j in range(i + 1, 10)
+    )
+    n = len(slopes)
+    expect = (slopes[(n + 1) // 2 - 1] + slopes[(n + 2) // 2 - 1]) / 2.0
+
+    out = events_theil_sen(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["slope"] == expect
+    assert abs(out[0]["slope"] - 1.0) < 0.35  # robust: far from the OLS pull
+
+
+def test_sq8_reconstruction_error_bounded(spark, sf_dir):
+    """SQ8 midpoint reconstruction must stay within one quantization cell
+    of the original on every dimension: |x - xhat| <= (mx - mn)/128 (the
+    255-cell code grid and the /256 midpoint de-quantization differ by
+    under half a cell).  Pins the encode/reconstruct pipeline
+    independently of the recall query's ranking."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    rng = mx - mn
+    codes = np.clip(
+        np.floor(
+            np.divide(
+                (x - mn) * 255.0, rng, out=np.zeros_like(x), where=rng > 0
+            )
+        ),
+        0, 255,
+    )
+    xhat = mn + (codes + 0.5) * rng / 256.0
+    err = np.abs(x - xhat)
+    assert (err <= rng / 128.0 + 1e-12).all(), err.max()
+
+
+def test_dsir_prefers_target_like_documents(spark, tmp_path):
+    """A non-target-language document written in the TARGET slice's
+    vocabulary must outscore documents written in the off-target
+    vocabulary -- the defining property of importance resampling.  Also
+    pins the Laplace-smoothing fix: a corpus with NO target-slice
+    documents at all must run (finite uniform ratios), not overflow."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_text import (
+        sample_dsir_importance,
+    )
+
+    def stage(rows, name):
+        sf = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+        return sf
+
+    a_text = "alpha beta gamma delta epsilon zeta eta theta"
+    b_text = "one two three four five six seven eight"
+    rows = [(i, a_text, "en") for i in range(30)]
+    rows += [(100 + i, b_text, "xx") for i in range(60)]
+    rows.append((999, a_text, "xx"))  # target-like impostor
+    sf = stage(rows, "dsir_sf")
+    picked = sample_dsir_importance(spark, sf).collect()
+    by_lang = {r["lang"]: r for r in picked}
+    # top-50 = all 30 'en' docs + the impostor + 19 of the 'xx' filler;
+    # the impostor must score like the 'en' docs (vocabulary decides).
+    assert by_lang["en"]["n_docs"] == 30
+    assert by_lang["xx"]["max_score"] == by_lang["en"]["max_score"]
+
+    no_target = stage([(i, b_text, "xx") for i in range(20)], "dsir_nt_sf")
+    out = sample_dsir_importance(spark, no_target).collect()
+    assert sum(r["n_docs"] for r in out) == 20  # ran, finite, all picked
+
+
+def test_stl_decomposition_identity_and_centering(spark, sf_dir):
+    """The decomposition must satisfy y = trend + seasonal + residual on
+    every emitted row (exactly, by construction of residual), emit only
+    days with a complete centered 7-day window, and produce seasonal
+    indices whose distinct-position sum is ~zero (the centering step)."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_timeseries import (
+        events_stl_decompose,
+    )
+
+    rows = events_stl_decompose(spark, sf_dir).collect()
+    assert rows, "decomposition emitted nothing"
+    days = sorted(r["day"] for r in rows)
+    all_days = set(range(min(days) - 3, max(days) + 4))
+    # complete-window filter: emitted days exclude the 3-day edges
+    assert len(days) == len(set(days)) == len(all_days) - 6
+    for r in rows:
+        assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
+    seas = {r["dow"]: r["seasonal"] for r in rows}
+    assert abs(sum(seas.values())) < 1e-9
