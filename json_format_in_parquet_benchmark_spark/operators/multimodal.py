@@ -435,3 +435,55 @@ def clip_media_embeddings(media: DataFrame) -> DataFrame:
     return src.mapInPandas(
         batches, schema="media_id long, bucket long, mval long"
     )
+
+
+# --- audio fingerprinting (constellation hashing) -------------------------
+
+FP_FRAMES = 32  # spectrogram frames per item (decode stub)
+FP_BINS = 256  # frequency bins (8-bit peak)
+FP_FANOUT = 3  # anchor pairs with targets at dt in [1, FANOUT]
+FP_Q_LO, FP_Q_HI = 8, 24  # query excerpt = frames [FP_Q_LO, FP_Q_HI)
+
+
+def audio_landmarks(media: DataFrame) -> DataFrame:
+    """Shazam-style constellation landmarks per audio item.
+
+    Decode stub: the per-frame spectral peak is md5-derived from the
+    payload fingerprint (``f(t) = md5(fp + ':pk:' + t) % FP_BINS``) -- a
+    real FFT peak-picker replaces exactly that one line; the landmark
+    construction (anchor frame paired with the next FP_FANOUT frames,
+    hash = f_anchor * 1024 + f_target * 4 + dt -- time-offset FREE, which
+    is what makes matching clip-invariant) and everything downstream is
+    the real algorithm (Wang 2003).  Emits (media_id, t, dt, lm) rows
+    from ONE Arrow-batched stage; ~3*FP_FRAMES rows per item.
+    """
+    src = media.where(F.col("kind") == "audio").select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, ts, dts, lms = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fp = hashlib.md5(payload).hexdigest()
+                peaks = [
+                    int(
+                        hashlib.md5(f"{fp}:pk:{t}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % FP_BINS
+                    for t in range(FP_FRAMES)
+                ]
+                for t in range(FP_FRAMES):
+                    for dt in range(1, FP_FANOUT + 1):
+                        if t + dt >= FP_FRAMES:
+                            break
+                        mids.append(mid)
+                        ts.append(t)
+                        dts.append(dt)
+                        lms.append(peaks[t] * 1024 + peaks[t + dt] * 4 + dt)
+            yield pd.DataFrame(
+                {"media_id": mids, "t": ts, "dt": dts, "lm": lms}
+            )
+
+    return src.mapInPandas(
+        batches, schema="media_id long, t long, dt long, lm long"
+    )

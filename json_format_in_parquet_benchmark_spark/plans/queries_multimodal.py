@@ -714,3 +714,105 @@ def multimodal_clip_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("aligned"),
         )
     )
+
+
+# --- audio fingerprint retrieval ------------------------------------------
+
+_FP_FRAMES_CTE = """
+, frames AS (
+  SELECT media_id, unnest(range(32)) AS t, fingerprint
+  FROM media WHERE kind = 'audio'
+),
+peaks AS (
+  SELECT media_id, t,
+         ('0x' || substr(md5(fingerprint || ':pk:' || CAST(t AS VARCHAR)),
+                         1, 15))::BIGINT % 256 AS f
+  FROM frames
+),
+landmarks AS (
+  SELECT a.media_id, a.t, b.t - a.t AS dt,
+         a.f * 1024 + b.f * 4 + (b.t - a.t) AS lm
+  FROM peaks a JOIN peaks b
+    ON a.media_id = b.media_id AND b.t - a.t BETWEEN 1 AND 3
+)
+"""
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle=_MEDIA_CTE
+    + _FP_FRAMES_CTE
+    + """
+, queries AS (
+  SELECT media_id AS query_id, t - 8 AS tq, lm
+  FROM landmarks
+  WHERE media_id % 10 = 1 AND t >= 8 AND t + dt < 24
+),
+matches AS (
+  SELECT q.query_id, c.media_id AS matched_id, c.t - q.tq AS time_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_matched
+  FROM queries q JOIN landmarks c ON c.lm = q.lm
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, matched_id, time_offset, n_matched,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_matched DESC, matched_id, time_offset)
+           AS rn
+  FROM matches
+)
+SELECT query_id, matched_id, time_offset, n_matched
+FROM best WHERE rn = 1
+""",
+    doc="Shazam-style audio fingerprint retrieval (Wang 2003 constellation "
+    "hashing): per item a decode-stub spectral-peak sequence becomes "
+    "time-offset-free landmark hashes (anchor peak x target peak x dt) in "
+    "one Arrow-batched stage; a 16-frame clipped excerpt of every 10th "
+    "item is the query set, matched against the full corpus landmark "
+    "index by equi-join on the hash, scored by the offset-histogram peak "
+    "(count per candidate x time offset), top-1 per query.  Every query "
+    "must re-find its source at offset 8 -- clip-invariance is the "
+    "algorithm's defining property and the oracle checks the full "
+    "(match, offset, count) triple.  Scale shape: landmarks are ~90 rows "
+    "per item feeding an inverted-index equi-join keyed by the 18-bit "
+    "hash (query side broadcast-small); no decode bytes cross the join.  "
+    "A real FFT peak-picker replaces one line of the stub "
+    "(operators/multimodal.py:audio_landmarks).",
+    tags=("multimodal", "audio", "similarity", "mapInPandas"),
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _track_persist
+    from ..operators.multimodal import audio_landmarks
+
+    lms = _track_persist(audio_landmarks(_media(spark, sf_dir)))
+    queries = (
+        lms.where(
+            (F.col("media_id") % 10 == 1)
+            & (F.col("t") >= 8)
+            & (F.col("t") + F.col("dt") < 24)
+        )
+        .select(
+            F.col("media_id").alias("query_id"),
+            (F.col("t") - 8).alias("tq"),
+            "lm",
+        )
+    )
+    matches = (
+        lms.join(F.broadcast(queries), "lm")
+        .groupBy(
+            "query_id",
+            F.col("media_id").alias("matched_id"),
+            (F.col("t") - F.col("tq")).alias("time_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_matched"), "matched_id", "time_offset"
+    )
+    return (
+        matches.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", "matched_id", "time_offset", "n_matched")
+    )

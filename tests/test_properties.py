@@ -1649,3 +1649,27 @@ def test_stl_decomposition_identity_and_centering(spark, sf_dir):
         assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
     seas = {r["dow"]: r["seasonal"] for r in rows}
     assert abs(sum(seas.values())) < 1e-9
+
+
+def test_audio_fingerprint_refinds_source_clip(spark, sf_dir):
+    """Every clipped query excerpt must re-find an item with its own
+    payload (identical text => identical landmarks; ties go to the lowest
+    media_id) at time offset 8 (the excerpt start), with the full
+    42-landmark excerpt matched -- the clip-invariance property that
+    defines constellation hashing."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_multimodal import (
+        multimodal_audio_fingerprint,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    out = multimodal_audio_fingerprint(spark, sf_dir).collect()
+    assert out, "no query rows"
+    for r in out:
+        assert r["time_offset"] == 8, r
+        assert docs[r["matched_id"]] == docs[r["query_id"]], r
+        # 16-frame excerpt -> anchors 8..22 with dt<=3 capped at frame 23:
+        # 15 anchors x 3 - (2 + 1) boundary losses = 42 landmarks
+        assert r["n_matched"] == 42, r
