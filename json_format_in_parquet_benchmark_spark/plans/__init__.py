@@ -118,9 +118,12 @@ _EVIDENCE_PRIORITY = (
 # string/date/array/map_funcs, events_funnel_conversion, events_
 # retention_cohorts, text_top_terms_per_lang, text_fingerprint,
 # text_pii_redact, text_gopher_quality, text_decontaminate,
-# json_keys_profile, json_ndv_profile), plus any round-7 session
-# additions (gate each individually at sf0.001+sf0.01, vanilla AND
-# TZ=America/New_York, before committing).
+# json_keys_profile, json_ndv_profile), plus the round-7 session
+# additions, which were each gated individually at sf0.001+sf0.01
+# vanilla AND TZ=America/New_York before their commits but have no
+# driver evidence yet: dedup_simhash_blocks, sample_dsir_importance,
+# similarity_sq8_recall, events_stl_decompose, events_theil_sen,
+# events_forecast_holt_winters, multimodal_audio_fingerprint.
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]
 assert not _missing, f"evidence-priority names not in REGISTRY: {_missing}"

@@ -907,3 +907,193 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur").cast("bigint").alias("final_node"),
         F.col("chk").cast("bigint").alias("path_chk"),
     )
+
+
+# --- sampled betweenness centrality (Brandes) ------------------------------
+
+# Sampled BFS roots: four customer nodes of the trading graph (node
+# encoding matches graph_pagerank_trading: customer = custkey*2,
+# supplier = suppkey*2 + 1).  The word co-occurrence graph is a
+# near-complete ~24-node clique on this corpus (diameter 1 -- zero
+# interior vertices, betweenness degenerately 0), so betweenness runs on
+# the bipartite trading network where 2-3-hop shortest paths are real.
+BC_SOURCE_CUSTS = (1, 7, 13, 19)
+BC_DEPTH = 3  # truncation depth: k-hop-bounded betweenness
+BC_GRID = 1_000_000  # integer grid for the dependency accumulation
+BC_TOP = 20
+
+
+def _betweenness_oracle() -> str:
+    srcs = ", ".join(str(c * 2) for c in BC_SOURCE_CUSTS)
+    parts = [
+        f"""WITH eraw AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey * 2 + 1 AS a, o.o_custkey * 2 AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM eraw
+ UNION ALL SELECT b AS src, a AS dst FROM eraw),
+d0 AS MATERIALIZED (
+  SELECT s AS src, s AS node, CAST(1 AS BIGINT) AS sigma
+  FROM (SELECT CAST(unnest([{srcs}]) AS BIGINT) AS s)
+)"""
+    ]
+    for k in range(1, BC_DEPTH + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT src, node FROM d{j}" for j in range(k)
+        )
+        parts.append(f"""d{k} AS MATERIALIZED (
+  SELECT p.src, e.dst AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM d{k - 1} p JOIN edges e ON e.src = p.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({prev}) s
+    WHERE s.src = p.src AND s.node = e.dst)
+  GROUP BY 1, 2
+)""")
+    parts.append(f"""delta{BC_DEPTH} AS MATERIALIZED (
+  SELECT src, node, sigma, CAST(0 AS BIGINT) AS dq FROM d{BC_DEPTH}
+)""")
+    for k in range(BC_DEPTH - 1, 0, -1):
+        parts.append(f"""delta{k} AS MATERIALIZED (
+  SELECT v.src, v.node, v.sigma, COALESCE(x.dq, CAST(0 AS BIGINT)) AS dq
+  FROM d{k} v LEFT JOIN (
+    SELECT v2.src, v2.node,
+           CAST(SUM((v2.sigma * ({BC_GRID} + w.dq)) // w.sigma) AS BIGINT)
+             AS dq
+    FROM d{k} v2 JOIN edges e ON e.src = v2.node
+    JOIN delta{k + 1} w ON w.src = v2.src AND w.node = e.dst
+    GROUP BY 1, 2) x ON x.src = v.src AND x.node = v.node
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT node, dq FROM delta{j}" for j in range(1, BC_DEPTH + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node // 2 AS entity_id,
+       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+       CAST(SUM(dq) AS BIGINT) AS bc_q
+FROM ({union})
+GROUP BY 1, 2
+ORDER BY bc_q DESC, entity_id, kind
+LIMIT {BC_TOP}
+"""
+    )
+
+
+@register(
+    "graph_betweenness_sampled",
+    oracle=_betweenness_oracle(),
+    doc="Sampled betweenness centrality (Brandes 2001, source-sampled and "
+    f"depth-{BC_DEPTH}-bounded) over the supplier<->customer trading "
+    f"network: forward level-synchronous BFS from {len(BC_SOURCE_CUSTS)} "
+    "fixed customer roots accumulates exact integer shortest-path counts "
+    "sigma per (source, node); the backward pass accumulates the Brandes "
+    "dependency delta(v) = sum over DAG successors w of sigma(v)/sigma(w) "
+    f"* (1 + delta(w)) on a {BC_GRID} integer grid (truncating integer "
+    "division, rendered Spark `div` / DuckDB `//` -- all terms "
+    "non-negative so truncation is floor and the values are bit-equal "
+    "cross-engine).  Betweenness = per-node dependency sum over sources, "
+    "top-20 -- the suppliers brokering the most customer-to-customer "
+    "2-hop traffic rank first.  int64 budget: sigma(v) * (GRID + "
+    "delta(w)) stays under 2^63 -- measured 1.2e7 max at sf0.1 against "
+    "the 9.2e18 ceiling (knobs: BC_GRID, BC_DEPTH).  Scale shape: the "
+    "same persisted-edges superstep pattern as BFS/pagerank -- each "
+    "forward level shuffles only frontier-adjacent edges, the backward "
+    "pass joins adjacent levels only; sources multiply work linearly "
+    "(the sampling knob).",
+    tags=("graph", "centrality", "iterative"),
+)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _track_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    eraw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("a"),
+            (F.col("o_custkey") * 2).alias("b"),
+        )
+        .distinct()
+    )
+    edges = _track_persist(
+        eraw.selectExpr("a AS src", "b AS dst")
+        .unionAll(eraw.selectExpr("b AS src", "a AS dst"))
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+    )
+    d = [
+        spark.createDataFrame(
+            [(c * 2, c * 2, 1) for c in BC_SOURCE_CUSTS],
+            "src long, node long, sigma long",
+        )
+    ]
+    seen = d[0].select("src", "node")
+    for _k in range(1, BC_DEPTH + 1):
+        cand = (
+            d[-1].alias("p")
+            .join(edges.alias("e"), F.col("p.node") == F.col("e.src"))
+            .select("p.src", F.col("e.dst").alias("node"), "p.sigma")
+        )
+        # localCheckpoint, NOT persist: caching an aggregate pins its
+        # exchange outside AQE at 200 fixed tasks on a vanilla session
+        # (the dau_wau/random_walks lesson); the checkpoint both breaks
+        # the per-level lineage and keeps the exchanges AQE-sized.
+        dk = (
+            cand.join(seen, ["src", "node"], "left_anti")
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .localCheckpoint(eager=False)
+        )
+        d.append(dk)
+        seen = seen.unionAll(dk.select("src", "node"))
+    delta = d[BC_DEPTH].withColumn("dq", F.lit(0).cast("long"))
+    parts = [delta]
+    for k in range(BC_DEPTH - 1, 0, -1):
+        contrib = (
+            d[k].alias("v")
+            .join(edges.alias("e"), F.col("v.node") == F.col("e.src"))
+            .join(
+                delta.alias("w"),
+                (F.col("w.src") == F.col("v.src"))
+                & (F.col("w.node") == F.col("e.dst")),
+            )
+            .groupBy(F.col("v.src").alias("src"), F.col("v.node").alias("node"))
+            .agg(
+                F.sum(
+                    F.expr(f"(v.sigma * ({BC_GRID}L + w.dq)) div w.sigma")
+                )
+                .cast("long")
+                .alias("dq")
+            )
+        )
+        delta = (
+            d[k]
+            .join(contrib, ["src", "node"], "left")
+            .select(
+                "src",
+                "node",
+                "sigma",
+                F.coalesce("dq", F.lit(0).cast("long")).alias("dq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        parts.append(delta)
+    allv = parts[0].select("node", "dq")
+    for p in parts[1:]:
+        allv = allv.unionAll(p.select("node", "dq"))
+    return (
+        allv.groupBy("node")
+        .agg(F.sum("dq").cast("long").alias("bc_q"))
+        .select(
+            F.expr("node div 2").alias("entity_id"),
+            F.expr(
+                "CASE WHEN node % 2 = 1 THEN 'supplier'"
+                " ELSE 'customer' END"
+            ).alias("kind"),
+            "bc_q",
+            "node",
+        )
+        .orderBy(F.desc("bc_q"), "entity_id", "kind")
+        .limit(BC_TOP)
+        .select("entity_id", "kind", "bc_q")
+    )
