@@ -1029,6 +1029,54 @@ def main() -> None:
                     .count(),
                 )
 
+        # ---- betweenness arm: the registered Brandes plan against a
+        # staged synthetic trading sf_dir (lineitem/orders key columns
+        # only -- the plan prunes to those).  Claim under test: each
+        # forward level shuffles only frontier-adjacent edges and the
+        # backward pass joins adjacent levels, so cost tracks the
+        # frontier (~linear in edges), not rounds x corpus.
+        if OPS is None or "betweenness" in OPS:
+            from json_format_in_parquet_benchmark_spark.plans import (
+                REGISTRY as _BREG,
+            )
+
+            bc_dir = os.path.join(args.workdir, f"bc_sf_{n}")
+            n_ord = max(n // 10, 10)
+            n_sup = max(n // 100, 10)
+            n_cust = max(n // 20, 25)
+
+            def _bh(salt: str) -> str:
+                return (
+                    f"cast(conv(substr(md5(concat('{salt}', id)), 1, 15),"
+                    " 16, 10) as bigint)"
+                )
+
+            (
+                spark.range(n)
+                .selectExpr(
+                    f"{_bh('o:')} % {n_ord} as l_orderkey",
+                    f"{_bh('s:')} % {n_sup} as l_suppkey",
+                )
+                .repartition(spark.sparkContext.defaultParallelism)
+                .write.mode("overwrite")
+                .parquet(os.path.join(bc_dir, "lineitem.parquet"))
+            )
+            (
+                spark.range(n_ord)
+                .selectExpr(
+                    "id as o_orderkey", f"{_bh('c:')} % {n_cust} as o_custkey"
+                )
+                .repartition(spark.sparkContext.defaultParallelism)
+                .write.mode("overwrite")
+                .parquet(os.path.join(bc_dir, "orders.parquet"))
+            )
+            r["betweenness"] = timed_l(
+                "betweenness",
+                lambda: _BREG["graph_betweenness_sampled"]
+                .fn(spark, bc_dir)
+                .count(),
+            )
+
         ret_ops = {"retention_rowjoin", "retention_bitmap"}
         if OPS is None or OPS & ret_ops:
             pres_path = os.path.join(args.workdir, f"ret_pres_{n}")
