@@ -124,7 +124,7 @@ _EVIDENCE_PRIORITY = (
 # driver evidence yet: dedup_simhash_blocks, sample_dsir_importance,
 # similarity_sq8_recall, events_stl_decompose, events_theil_sen,
 # events_forecast_holt_winters, multimodal_audio_fingerprint,
-# graph_betweenness_sampled.
+# graph_betweenness_sampled, events_hmm_viterbi.
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]
 assert not _missing, f"evidence-priority names not in REGISTRY: {_missing}"

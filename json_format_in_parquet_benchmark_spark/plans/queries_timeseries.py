@@ -2104,3 +2104,180 @@ def events_forecast_holt_winters(
         .cast("bigint")
         .alias("path_checksum"),
     )
+
+
+# --- HMM Viterbi decoding -------------------------------------------------
+
+# 3-state session HMM over the event-type stream.  Parameters are FIXED
+# integer log2-probability costs scaled by 100 (in a real pipeline these
+# come from Baum-Welch training; serving-side decode is the engine
+# capability, like the fastText-shaped classifier in queries_text).  All
+# Viterbi arithmetic is int64 addition and max, so the decode -- scores,
+# argmax backpointers, and therefore the full path -- is bit-exact
+# cross-engine.  The best path per state is tracked as a running
+# checksum (chk' = chk[argmax] * 31 + state mod P), which pins the exact
+# Viterbi PATH without materializing per-step backpointer tables.
+HMM_STATES = (1, 2, 3)  # ENGAGED, STRUGGLING, CONVERTING
+HMM_T = {  # transition costs T[i][j]
+    1: {1: -50, 2: -230, 3: -330},
+    2: {1: -230, 2: -70, 3: -400},
+    3: {1: -150, 2: -300, 3: -100},
+}
+HMM_E = {  # emission costs E[state][event_type]
+    1: {"view": -120, "click": -130, "signup": -350, "error": -450,
+        "purchase": -400},
+    2: {"view": -250, "click": -300, "signup": -400, "error": -80,
+        "purchase": -550},
+    3: {"view": -350, "click": -250, "signup": -250, "error": -500,
+        "purchase": -100},
+}
+HMM_P = 1_000_000_007
+HMM_USERS = 100
+
+
+def _hmm_emit(j: int, obs: str) -> str:
+    arms = " ".join(
+        f"WHEN '{o}' THEN ({c})" for o, c in HMM_E[j].items()
+    )
+    return f"(CASE {obs} {arms} ELSE -1000 END)"
+
+
+def _hmm_step(d: dict[int, str], c: dict[int, str], obs: str) -> dict:
+    """Render (d_j', c_j') from OLD state exprs {i: dp_i}, {i: chk_i}."""
+    out = {}
+    for j in HMM_STATES:
+        cand = {i: f"({d[i]} + ({HMM_T[i][j]}))" for i in HMM_STATES}
+        best_i = (
+            f"(CASE WHEN {cand[1]} >= {cand[2]} AND {cand[1]} >= {cand[3]}"
+            f" THEN 1 WHEN {cand[2]} >= {cand[3]} THEN 2 ELSE 3 END)"
+        )
+        m = f"GREATEST({cand[1]}, {cand[2]}, {cand[3]})"
+        out[f"d{j}"] = f"({m} + {_hmm_emit(j, obs)})"
+        chk_of_best = (
+            f"(CASE {best_i} WHEN 1 THEN {c[1]} WHEN 2 THEN {c[2]}"
+            f" ELSE {c[3]} END)"
+        )
+        out[f"c{j}"] = f"(({chk_of_best} * 31 + {j}) % {HMM_P})"
+    return out
+
+
+_HMM_STEP_D = _hmm_step(
+    {i: f"d{i}" for i in HMM_STATES},
+    {i: f"c{i}" for i in HMM_STATES},
+    "elems[step + 1].o",
+)
+_HMM_STEP_S = _hmm_step(
+    {i: f"acc.d{i}" for i in HMM_STATES},
+    {i: f"acc.c{i}" for i in HMM_STATES},
+    "e.o",
+)
+
+_HMM_BEST = (
+    "(CASE WHEN d1 >= d2 AND d1 >= d3 THEN 1"
+    " WHEN d2 >= d3 THEN 2 ELSE 3 END)"
+)
+
+
+@register(
+    "events_hmm_viterbi",
+    oracle=f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list({{'us': epoch_us(ts), 'eid': event_id,
+                            'o': event_type}})),
+           r -> {{'o': r.o}}) AS elems,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < {HMM_USERS}
+  GROUP BY user_id
+),
+walk AS (
+  SELECT user_id, CAST(1 AS BIGINT) AS step, n, elems,
+         {", ".join(f"CAST({_hmm_emit(j, 'elems[1].o')} AS BIGINT) AS d{j}" for j in HMM_STATES)},
+         {", ".join(f"CAST({j} AS BIGINT) AS c{j}" for j in HMM_STATES)}
+  FROM seq
+  UNION ALL
+  SELECT user_id, step + 1, n, elems,
+         {", ".join(f"CAST({_HMM_STEP_D[f'd{j}']} AS BIGINT)" for j in HMM_STATES)},
+         {", ".join(f"CAST({_HMM_STEP_D[f'c{j}']} AS BIGINT)" for j in HMM_STATES)}
+  FROM walk WHERE step < n
+)
+SELECT user_id, n AS n_events,
+       CAST({_HMM_BEST} AS BIGINT) AS best_state,
+       CAST(CASE {_HMM_BEST} WHEN 1 THEN d1 WHEN 2 THEN d2 ELSE d3 END
+            AS BIGINT) AS score_q,
+       CAST(CASE {_HMM_BEST} WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END
+            AS BIGINT) AS path_checksum
+FROM walk WHERE step = n
+""",
+    doc="HMM Viterbi decoding of per-user event streams (3-state session "
+    "model over the event-type alphabet): the classic dynamic program "
+    "dp'[j] = max_i(dp[i] + T[i][j]) + E[j][obs] folds over each user's "
+    "time-ordered sequence entirely in int64 adds/maxes, with argmax "
+    "ties resolved to the lowest state index and the best path per "
+    "state carried as a running checksum -- so the exact Viterbi PATH, "
+    "not just the final score, is oracle-pinned without per-step "
+    "backpointer tables.  Parameters are fixed quantized log-prob "
+    "costs (serving-side decode; training is out of scope, as with the "
+    "fastText-shaped classifier).  Scale shape: one shuffle groups "
+    "events by user; the fold is a map-side ordered-array aggregate "
+    "(state = 6 int64s regardless of sequence length), the same shape "
+    "as the Holt/Holt-Winters folds.  The oracle walks the identical "
+    "recurrence with a recursive CTE (coupled state fields).",
+    tags=("timeseries", "sequence", "hmm", "iterative"),
+)
+def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") < HMM_USERS
+    )
+    seq = events.groupBy("user_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(unix_micros(ts) as us,"
+            " event_id as eid, event_type as o))),"
+            " r -> named_struct('o', r.o))"
+        ).alias("elems")
+    )
+    init_d = ", ".join(
+        f"'d{j}', cast({_hmm_emit(j, 'e.o')} as bigint)" for j in HMM_STATES
+    )
+    init_c = ", ".join(f"'c{j}', {j}L" for j in HMM_STATES)
+    step_d = ", ".join(
+        f"'d{j}', cast({_HMM_STEP_S[f'd{j}']} as bigint)" for j in HMM_STATES
+    )
+    step_c = ", ".join(
+        f"'c{j}', cast({_HMM_STEP_S[f'c{j}']} as bigint)" for j in HMM_STATES
+    )
+    folded = seq.select(
+        "user_id",
+        F.size("elems").cast("bigint").alias("n_events"),
+        F.expr(
+            f"""aggregate(
+              elems,
+              named_struct('d1', 0L, 'd2', 0L, 'd3', 0L,
+                           'c1', 0L, 'c2', 0L, 'c3', 0L, 'n', 0L),
+              (acc, e) -> CASE WHEN acc.n = 0
+                THEN named_struct({init_d}, {init_c}, 'n', 1L)
+                ELSE named_struct({step_d}, {step_c}, 'n', acc.n + 1L)
+              END)"""
+        ).alias("st"),
+    )
+    best = _HMM_BEST.replace("d1", "st.d1").replace("d2", "st.d2").replace(
+        "d3", "st.d3"
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.expr(best).cast("bigint").alias("best_state"),
+        F.expr(
+            f"CASE {best} WHEN 1 THEN st.d1 WHEN 2 THEN st.d2"
+            " ELSE st.d3 END"
+        )
+        .cast("bigint")
+        .alias("score_q"),
+        F.expr(
+            f"CASE {best} WHEN 1 THEN st.c1 WHEN 2 THEN st.c2"
+            " ELSE st.c3 END"
+        )
+        .cast("bigint")
+        .alias("path_checksum"),
+    )

@@ -1673,3 +1673,62 @@ def test_audio_fingerprint_refinds_source_clip(spark, sf_dir):
         # 16-frame excerpt -> anchors 8..22 with dt<=3 capped at frame 23:
         # 15 anchors x 3 - (2 + 1) boundary losses = 42 landmarks
         assert r["n_matched"] == 42, r
+
+
+def test_hmm_viterbi_matches_python_backpointer_reference(spark, sf_dir):
+    """The fold's running path checksum must equal the checksum of the TRUE
+    Viterbi path reconstructed through explicit backpointers in pure
+    Python -- proving the running-hash trick tracks the argmax path
+    exactly (scores alone could agree while paths diverged)."""
+    from json_format_in_parquet_benchmark_spark.plans.queries_timeseries import (
+        HMM_E,
+        HMM_P,
+        HMM_STATES,
+        HMM_T,
+        HMM_USERS,
+        events_hmm_viterbi,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < HMM_USERS)
+        .selectExpr("user_id", "unix_micros(ts) as us", "event_id",
+                    "event_type")
+        .collect()
+    )
+    seqs: dict = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["event_type"])
+        )
+    expect = {}
+    for uid, rows in seqs.items():
+        obs = [o for _, _, o in sorted(rows)]
+        dp = {j: HMM_E[j][obs[0]] for j in HMM_STATES}
+        bp: list = []  # bp[t][j] = argmax predecessor
+        for o in obs[1:]:
+            nxt, ptrs = {}, {}
+            for j in HMM_STATES:
+                best_i = max(
+                    HMM_STATES, key=lambda i: (dp[i] + HMM_T[i][j], -i)
+                )
+                nxt[j] = dp[best_i] + HMM_T[best_i][j] + HMM_E[j][o]
+                ptrs[j] = best_i
+            dp, _ = nxt, bp.append(ptrs)
+        final = max(HMM_STATES, key=lambda j: (dp[j], -j))
+        # reconstruct the path backward, then recompute the running hash
+        path = [final]
+        for ptrs in reversed(bp):
+            path.append(ptrs[path[-1]])
+        path.reverse()
+        chk = path[0]
+        for s in path[1:]:
+            chk = (chk * 31 + s) % HMM_P
+        expect[uid] = (len(obs), final, dp[final], chk)
+    got = {
+        r["user_id"]: (
+            r["n_events"], r["best_state"], r["score_q"], r["path_checksum"]
+        )
+        for r in events_hmm_viterbi(spark, sf_dir).collect()
+    }
+    assert got == expect
