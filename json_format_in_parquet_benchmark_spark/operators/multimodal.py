@@ -443,6 +443,8 @@ FP_FRAMES = 32  # spectrogram frames per item (decode stub)
 FP_BINS = 256  # frequency bins (8-bit peak)
 FP_FANOUT = 3  # anchor pairs with targets at dt in [1, FANOUT]
 FP_Q_LO, FP_Q_HI = 8, 24  # query excerpt = frames [FP_Q_LO, FP_Q_HI)
+FP_Q_STRIDE = 10  # every FP_Q_STRIDE-th audio item is a query clip
+FP_DT_M = FP_FANOUT + 1  # landmark packing: f1*BINS*DT_M + f2*DT_M + dt
 
 
 def audio_landmarks(media: DataFrame) -> DataFrame:
@@ -479,7 +481,11 @@ def audio_landmarks(media: DataFrame) -> DataFrame:
                         mids.append(mid)
                         ts.append(t)
                         dts.append(dt)
-                        lms.append(peaks[t] * 1024 + peaks[t + dt] * 4 + dt)
+                        lms.append(
+                            peaks[t] * FP_BINS * FP_DT_M
+                            + peaks[t + dt] * FP_DT_M
+                            + dt
+                        )
             yield pd.DataFrame(
                 {"media_id": mids, "t": ts, "dt": dts, "lm": lms}
             )

@@ -718,22 +718,32 @@ def multimodal_clip_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- audio fingerprint retrieval ------------------------------------------
 
-_FP_FRAMES_CTE = """
+from ..operators.multimodal import (  # noqa: E402  (fingerprint knobs)
+    FP_BINS,
+    FP_DT_M,
+    FP_FANOUT,
+    FP_FRAMES,
+    FP_Q_HI,
+    FP_Q_LO,
+    FP_Q_STRIDE,
+)
+
+_FP_FRAMES_CTE = f"""
 , frames AS (
-  SELECT media_id, unnest(range(32)) AS t, fingerprint
+  SELECT media_id, unnest(range({FP_FRAMES})) AS t, fingerprint
   FROM media WHERE kind = 'audio'
 ),
 peaks AS (
   SELECT media_id, t,
          ('0x' || substr(md5(fingerprint || ':pk:' || CAST(t AS VARCHAR)),
-                         1, 15))::BIGINT % 256 AS f
+                         1, 15))::BIGINT % {FP_BINS} AS f
   FROM frames
 ),
 landmarks AS (
   SELECT a.media_id, a.t, b.t - a.t AS dt,
-         a.f * 1024 + b.f * 4 + (b.t - a.t) AS lm
+         a.f * {FP_BINS * FP_DT_M} + b.f * {FP_DT_M} + (b.t - a.t) AS lm
   FROM peaks a JOIN peaks b
-    ON a.media_id = b.media_id AND b.t - a.t BETWEEN 1 AND 3
+    ON a.media_id = b.media_id AND b.t - a.t BETWEEN 1 AND {FP_FANOUT}
 )
 """
 
@@ -742,11 +752,12 @@ landmarks AS (
     "multimodal_audio_fingerprint",
     oracle=_MEDIA_CTE
     + _FP_FRAMES_CTE
-    + """
+    + f"""
 , queries AS (
-  SELECT media_id AS query_id, t - 8 AS tq, lm
+  SELECT media_id AS query_id, t - {FP_Q_LO} AS tq, lm
   FROM landmarks
-  WHERE media_id % 10 = 1 AND t >= 8 AND t + dt < 24
+  WHERE media_id % {FP_Q_STRIDE} = 1 AND t >= {FP_Q_LO}
+    AND t + dt < {FP_Q_HI}
 ),
 matches AS (
   SELECT q.query_id, c.media_id AS matched_id, c.t - q.tq AS time_offset,
@@ -771,11 +782,14 @@ FROM best WHERE rn = 1
     "item is the query set, matched against the full corpus landmark "
     "index by equi-join on the hash, scored by the offset-histogram peak "
     "(count per candidate x time offset), top-1 per query.  Every query "
-    "must re-find its source at offset 8 -- clip-invariance is the "
-    "algorithm's defining property and the oracle checks the full "
+    f"must re-find its source at offset {FP_Q_LO} -- clip-invariance is "
+    "the algorithm's defining property and the oracle checks the full "
     "(match, offset, count) triple.  Scale shape: landmarks are ~90 rows "
     "per item feeding an inverted-index equi-join keyed by the 18-bit "
-    "hash (query side broadcast-small); no decode bytes cross the join.  "
+    "hash; the query side is a fixed FRACTION of the corpus "
+    f"(1/{FP_Q_STRIDE}), so the join is left to AQE -- broadcast when "
+    "the clip set is small, shuffle-hash keyed by landmark otherwise.  "
+    "No decode bytes cross the join.  "
     "A real FFT peak-picker replaces one line of the stub "
     "(operators/multimodal.py:audio_landmarks).",
     tags=("multimodal", "audio", "similarity", "mapInPandas"),
@@ -789,18 +803,21 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     lms = _track_persist(audio_landmarks(_media(spark, sf_dir)))
     queries = (
         lms.where(
-            (F.col("media_id") % 10 == 1)
-            & (F.col("t") >= 8)
-            & (F.col("t") + F.col("dt") < 24)
+            (F.col("media_id") % FP_Q_STRIDE == 1)
+            & (F.col("t") >= FP_Q_LO)
+            & (F.col("t") + F.col("dt") < FP_Q_HI)
         )
         .select(
             F.col("media_id").alias("query_id"),
-            (F.col("t") - 8).alias("tq"),
+            (F.col("t") - FP_Q_LO).alias("tq"),
             "lm",
         )
     )
+    # No broadcast hint: the query side is 1/FP_Q_STRIDE of the corpus
+    # (unbounded), so AQE must keep the option of a shuffle-hash join
+    # keyed by landmark at scale.
     matches = (
-        lms.join(F.broadcast(queries), "lm")
+        lms.join(queries, "lm")
         .groupBy(
             "query_id",
             F.col("media_id").alias("matched_id"),

@@ -1676,8 +1676,7 @@ def events_absence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- classical seasonal-trend decomposition ------------------------------
 
-DAY_US = 24 * HOUR_US
-STL_PERIOD = 7  # weekly seasonality over daily buckets
+STL_PERIOD = 7  # weekly seasonality over daily buckets (DAY_US above)
 
 
 @register(
@@ -2022,7 +2021,7 @@ SELECT event_type,
        CAST(s[(n % {HW_PERIOD}) + 1] AS BIGINT) AS season_next_cents,
        CAST(l + b + s[(n % {HW_PERIOD}) + 1] AS BIGINT)
          AS forecast_next_cents,
-       CAST({_HW_SUM_D.replace("st.s", "s")} AS BIGINT) AS season_sum_cents,
+       CAST({_HW_SUM_D} AS BIGINT) AS season_sum_cents,
        CAST((chk + l) % {SES_P} AS BIGINT) AS path_checksum
 FROM walk WHERE step = n
 """,

@@ -1008,16 +1008,20 @@ def main() -> None:
                 synth_text_corpus(
                     spark, n, os.path.join(tx_dir, "documents.parquet")
                 )
-                r["dsir_importance"] = timed_l(
-                    "dsir_importance",
-                    lambda: _TREG["sample_dsir_importance"]
-                    .fn(spark, tx_dir)
-                    .count(),
-                )
-                r["bm25_topk"] = timed_l(
-                    "bm25_topk",
-                    lambda: _TREG["text_bm25_topk"].fn(spark, tx_dir).count(),
-                )
+                if OPS is None or "dsir_importance" in OPS:
+                    r["dsir_importance"] = timed_l(
+                        "dsir_importance",
+                        lambda: _TREG["sample_dsir_importance"]
+                        .fn(spark, tx_dir)
+                        .count(),
+                    )
+                if OPS is None or "bm25_topk" in OPS:
+                    r["bm25_topk"] = timed_l(
+                        "bm25_topk",
+                        lambda: _TREG["text_bm25_topk"]
+                        .fn(spark, tx_dir)
+                        .count(),
+                    )
             if OPS is None or "sq8_recall" in OPS:
                 synth_embeddings(
                     spark, n_emb, os.path.join(tx_dir, "embeddings.parquet")

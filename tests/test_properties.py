@@ -1507,11 +1507,16 @@ def test_holt_winters_matches_python_reference(spark, sf_dir):
     expect = {}
     for et, pts in series.items():
         xs = [c for _, c in sorted(pts)]
+        def tmod(a: int, p: int) -> int:
+            # truncated %, matching Spark/DuckDB sign semantics (Python's
+            # % floors; differs when chk + lvl goes negative)
+            return a - int(a / p) * p
+
         lvl, trd, s, chk = xs[0], 0, [0] * HW_PERIOD, 0
         for k in range(1, len(xs)):
             pos = k % HW_PERIOD
             x = xs[k]
-            chk = (chk + lvl) % SES_P
+            chk = tmod(chk + lvl, SES_P)
             l_new = ((x - s[pos]) + 3 * (lvl + trd)) // 4
             b_new = (l_new - lvl + 3 * trd) // 4
             s[pos] = ((x - l_new) + 3 * s[pos]) // 4
@@ -1519,7 +1524,7 @@ def test_holt_winters_matches_python_reference(spark, sf_dir):
         pos = len(xs) % HW_PERIOD
         expect[et] = (
             len(xs), lvl, trd, s[pos], lvl + trd + s[pos], sum(s),
-            (chk + lvl) % SES_P,
+            tmod(chk + lvl, SES_P),
         )
     got = {
         r["event_type"]: (
@@ -1704,7 +1709,7 @@ def test_hmm_viterbi_matches_python_backpointer_reference(spark, sf_dir):
     expect = {}
     for uid, rows in seqs.items():
         obs = [o for _, _, o in sorted(rows)]
-        dp = {j: HMM_E[j][obs[0]] for j in HMM_STATES}
+        dp = {j: HMM_E[j].get(obs[0], -1000) for j in HMM_STATES}
         bp: list = []  # bp[t][j] = argmax predecessor
         for o in obs[1:]:
             nxt, ptrs = {}, {}
@@ -1712,7 +1717,8 @@ def test_hmm_viterbi_matches_python_backpointer_reference(spark, sf_dir):
                 best_i = max(
                     HMM_STATES, key=lambda i: (dp[i] + HMM_T[i][j], -i)
                 )
-                nxt[j] = dp[best_i] + HMM_T[best_i][j] + HMM_E[j][o]
+                nxt[j] = (dp[best_i] + HMM_T[best_i][j]
+                          + HMM_E[j].get(o, -1000))
                 ptrs[j] = best_i
             dp, _ = nxt, bp.append(ptrs)
         final = max(HMM_STATES, key=lambda j: (dp[j], -j))
