@@ -6604,3 +6604,125 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- off-policy evaluation (IPS / SNIPS) ----------------------------------
+
+# Logged-policy propensities live on the exact 1/8 grid (p = k/8 with
+# k in 1..6 hash-assigned per user; treatment T drawn as hash%8 < k, so
+# P(T=1) is exactly k/8).  Inverse weights 8/k and 8/(8-k) become exact
+# integers after scaling by 420 (= lcm(1..7)): w420 = 3360/denominator.
+# Every sum is int64 (order-free); each estimate is ONE double division
+# of identical operands.  int64 budget: n_users * y_max_cents * 3360
+# must stay under 2^63 (~2.7e15 user-cents; switch the sums to
+# DECIMAL(38,0)/HUGEINT beyond that -- the documented knob).
+IPS_VIEW_CUT = 3  # target policy: treat users with >= 3 view events
+
+
+@register(
+    "events_offpolicy_ips",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y_cents,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS views
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT user_id, y_cents, views,
+         1 + ({hash64_sql_duckdb("'prop:' || CAST(user_id AS VARCHAR)")}) % 6
+           AS k,
+         CASE WHEN ({hash64_sql_duckdb("'t:' || CAST(user_id AS VARCHAR)")})
+                   % 8 < 1 + ({hash64_sql_duckdb("'prop:' || CAST(user_id AS VARCHAR)")}) % 6
+              THEN 1 ELSE 0 END AS t
+  FROM per_user
+),
+weighted AS (
+  SELECT user_id, y_cents, t,
+         CASE WHEN views >= {IPS_VIEW_CUT} THEN 1 ELSE 0 END AS pi_new,
+         CASE WHEN t = 1 THEN 3360 // k ELSE 3360 // (8 - k) END AS w420
+  FROM assigned
+),
+matched AS (
+  SELECT CASE WHEN pi_new = t THEN 1 ELSE 0 END AS m, y_cents, w420
+  FROM weighted
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(m) AS BIGINT) AS n_matched,
+       CAST(SUM(m * y_cents * w420) AS BIGINT) AS ips_num_q,
+       CAST(SUM(m * w420) AS BIGINT) AS w_sum_q,
+       CAST(SUM(m * y_cents * w420) AS DOUBLE)
+         / (CAST(420 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+         AS ips_value_cents,
+       CAST(SUM(m * y_cents * w420) AS DOUBLE)
+         / CAST(SUM(m * w420) AS DOUBLE) AS snips_value_cents,
+       (CAST(SUM(m * w420) AS DOUBLE) * CAST(SUM(m * w420) AS DOUBLE))
+         / CAST(SUM(m * w420 * w420) AS DOUBLE) AS effective_sample_size
+FROM matched
+""",
+    doc="Off-policy evaluation of a counterfactual targeting policy from "
+    "logged randomized data (Horvitz-Thompson IPS and self-normalized "
+    "SNIPS): per-user outcomes under a hash-randomized logged policy "
+    "with known propensities on the exact 1/8 grid are re-weighted by "
+    "1/P(T|x) wherever the NEW policy (treat users with >= "
+    f"{IPS_VIEW_CUT} views) agrees with the logged action -- the "
+    "standard counterfactual estimator for 'what would this targeting "
+    "rule have earned' without an experiment.  The effective sample "
+    "size (sum w)^2 / sum w^2 quantifies how much logged data the new "
+    "policy actually uses.  All weights are exact integers on a "
+    "420-scaled grid (propensity denominators divide 420), every sum "
+    "is order-free int64, and each emitted estimate is one IEEE "
+    "division -- bit-exact cross-engine.  Scale shape: one groupBy "
+    "user shuffle, then a single global aggregate; the estimator adds "
+    "zero joins.",
+    tags=("events", "experimentation", "counterfactual"),
+)
+def events_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("cast(round(value * 100) as bigint)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("y_cents"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("views"),
+    )
+    h_prop = hash64_sql_spark("concat('prop:', cast(user_id as string))")
+    h_t = hash64_sql_spark("concat('t:', cast(user_id as string))")
+    weighted = per_user.selectExpr(
+        "user_id",
+        "y_cents",
+        f"case when views >= {IPS_VIEW_CUT} then 1 else 0 end as pi_new",
+        f"case when ({h_t}) % 8 < 1 + ({h_prop}) % 6 then 1 else 0 end as t",
+        f"1 + ({h_prop}) % 6 as k",
+    ).selectExpr(
+        "y_cents",
+        "case when pi_new = t then 1 else 0 end as m",
+        "case when t = 1 then 3360 div k else 3360 div (8 - k) end as w420",
+    )
+    return weighted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("m").cast("bigint").alias("n_matched"),
+        F.sum(F.expr("m * y_cents * w420")).cast("bigint").alias("ips_num_q"),
+        F.sum(F.expr("m * w420")).cast("bigint").alias("w_sum_q"),
+        F.expr(
+            "cast(sum(m * y_cents * w420) as double)"
+            " / (cast(420 as double) * cast(count(*) as double))"
+        ).alias("ips_value_cents"),
+        F.expr(
+            "cast(sum(m * y_cents * w420) as double)"
+            " / cast(sum(m * w420) as double)"
+        ).alias("snips_value_cents"),
+        F.expr(
+            "(cast(sum(m * w420) as double) * cast(sum(m * w420) as double))"
+            " / cast(sum(m * w420 * w420) as double)"
+        ).alias("effective_sample_size"),
+    )

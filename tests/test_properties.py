@@ -1738,3 +1738,55 @@ def test_hmm_viterbi_matches_python_backpointer_reference(spark, sf_dir):
         for r in events_hmm_viterbi(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_offpolicy_ips_matches_python_reference(spark, sf_dir):
+    """IPS/SNIPS/ESS recomputed in pure Python from the raw events must
+    equal the registered aggregate exactly -- pinning the estimator
+    independently of the DuckDB oracle's SQL transcription (hash
+    assignment, 420-grid weights, and the one-division estimates)."""
+    import hashlib as hl
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_relational import (
+        IPS_VIEW_CUT,
+        events_offpolicy_ips,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", "event_type", "cast(round(value * 100) as bigint) c"
+        )
+        .collect()
+    )
+    users: dict = {}
+    for r in ev:
+        y, v = users.get(r["user_id"], (0, 0))
+        users[r["user_id"]] = (
+            y + (r["c"] if r["event_type"] == "purchase" else 0),
+            v + (1 if r["event_type"] == "view" else 0),
+        )
+
+    def h(s: str) -> int:
+        return int(hl.md5(s.encode()).hexdigest()[:15], 16)
+
+    n = len(users)
+    s_m = s_num = s_w = s_w2 = 0
+    for uid, (y, views) in users.items():
+        k = 1 + h(f"prop:{uid}") % 6
+        t = 1 if h(f"t:{uid}") % 8 < k else 0
+        pi_new = 1 if views >= IPS_VIEW_CUT else 0
+        m = 1 if pi_new == t else 0
+        w420 = 3360 // k if t == 1 else 3360 // (8 - k)
+        s_m += m
+        s_num += m * y * w420
+        s_w += m * w420
+        s_w2 += m * w420 * w420
+    row = events_offpolicy_ips(spark, sf_dir).collect()[0]
+    assert row["n_users"] == n
+    assert row["n_matched"] == s_m
+    assert row["ips_num_q"] == s_num
+    assert row["w_sum_q"] == s_w
+    assert row["ips_value_cents"] == s_num / (420.0 * n)
+    assert row["snips_value_cents"] == s_num / s_w
+    assert row["effective_sample_size"] == (float(s_w) * float(s_w)) / s_w2
