@@ -2350,3 +2350,146 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("bigint").alias("min_score"),
         F.max("score").cast("bigint").alias("max_score"),
     )
+
+
+# --- semantic chunking (cosine-dip boundaries) ----------------------------
+
+CHUNK_WIN = 8  # tokens per window
+# Boundary predicate: adjacent-window bag-of-words cosine < 1/2, tested
+# entirely in integers: cos < 1/2  <=>  4*dot^2 < n1*n2 (dot >= 0), so
+# the boundary decision -- and therefore the whole chunking -- never
+# touches a float.
+
+
+@register(
+    "text_chunk_semantic",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, tok, CAST(i - 1 AS BIGINT) // {CHUNK_WIN} AS widx
+  FROM (
+    SELECT doc_id, unnest({_TOKS_D}) AS tok,
+           generate_subscripts({_TOKS_D}, 1) AS i
+    FROM documents WHERE len({_TOKS_D}) > 0
+  )
+),
+wc AS (
+  SELECT doc_id, widx, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2, 3
+),
+norms AS (
+  SELECT doc_id, widx, CAST(SUM(c * c) AS BIGINT) AS n2
+  FROM wc GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.doc_id, a.widx, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM wc a JOIN wc b
+    ON a.doc_id = b.doc_id AND b.widx = a.widx + 1 AND a.tok = b.tok
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT n.doc_id, n.widx,
+         CASE WHEN n.widx = 0 THEN 0
+              WHEN 4 * COALESCE(d.dot, 0) * COALESCE(d.dot, 0)
+                   < p.n2 * n.n2 THEN 1 ELSE 0 END AS boundary
+  FROM norms n
+  LEFT JOIN norms p ON p.doc_id = n.doc_id AND p.widx = n.widx - 1
+  LEFT JOIN dots d ON d.doc_id = n.doc_id AND d.widx = n.widx - 1
+),
+chunked AS (
+  SELECT doc_id, widx,
+         CAST(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY widx)
+              AS BIGINT) AS chunk_id
+  FROM bounds
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MAX(chunk_id) + 1 AS BIGINT) AS n_chunks,
+       CAST(SUM((widx + 1) * chunk_id) AS BIGINT) AS assign_checksum
+FROM chunked
+GROUP BY doc_id
+""",
+    doc="Semantic chunking for RAG ingestion: documents split into "
+    f"{CHUNK_WIN}-token windows, with a chunk boundary wherever the "
+    "bag-of-words cosine between adjacent windows dips below 1/2 -- "
+    "topic shifts become chunk breaks, unlike the fixed-stride chunker "
+    "(text_chunk_overlap), which cuts mid-topic.  The dip test runs "
+    "entirely in integers (cos < 1/2 <=> 4*dot^2 < |w1|^2*|w2|^2 for "
+    "non-negative counts), so boundaries -- and the per-doc assignment "
+    "checksum pinning every window->chunk mapping -- are bit-exact with "
+    "no float anywhere.  Scale shape: one explode + (doc, window, "
+    "token) groupBy, one adjacent-window equi-join co-keyed on (doc, "
+    "token), and a per-doc running sum -- all shuffles keyed by doc "
+    "or (doc, token); no corpus-wide state.",
+    tags=("text", "chunking", "rag", "pipeline"),
+)
+def text_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.expr(f"size({_TOKS_S}) > 0")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(_TOKS_S)).alias("i", "tok"),
+    ).select(
+        "doc_id", "tok", F.expr(f"cast(i as bigint) div {CHUNK_WIN}").alias("widx")
+    )
+    wc = toks.groupBy("doc_id", "widx", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    norms = wc.groupBy("doc_id", "widx").agg(
+        F.sum(F.expr("c * c")).cast("bigint").alias("n2")
+    )
+    a = wc.alias("a")
+    b = wc.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.widx") == F.col("a.widx") + 1)
+            & (F.col("a.tok") == F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"), F.col("a.widx").alias("widx")
+        )
+        .agg(F.sum(F.expr("a.c * b.c")).cast("bigint").alias("dot"))
+    )
+    n = norms.alias("n")
+    p = norms.alias("p")
+    d = dots.alias("d")
+    bounds = (
+        n.join(
+            p,
+            (F.col("p.doc_id") == F.col("n.doc_id"))
+            & (F.col("p.widx") == F.col("n.widx") - 1),
+            "left",
+        )
+        .join(
+            d,
+            (F.col("d.doc_id") == F.col("n.doc_id"))
+            & (F.col("d.widx") == F.col("n.widx") - 1),
+            "left",
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("n.widx").alias("widx"),
+            F.expr(
+                "case when n.widx = 0 then 0"
+                " when 4 * coalesce(d.dot, 0L) * coalesce(d.dot, 0L)"
+                "      < p.n2 * n.n2 then 1 else 0 end"
+            ).alias("boundary"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("widx")
+    chunked = bounds.select(
+        "doc_id",
+        "widx",
+        F.sum("boundary").over(w).cast("bigint").alias("chunk_id"),
+    )
+    return chunked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        (F.max("chunk_id") + 1).cast("bigint").alias("n_chunks"),
+        F.sum(F.expr("(widx + 1) * chunk_id")).cast("bigint").alias(
+            "assign_checksum"
+        ),
+    )

@@ -1790,3 +1790,52 @@ def test_offpolicy_ips_matches_python_reference(spark, sf_dir):
     assert row["ips_value_cents"] == s_num / (420.0 * n)
     assert row["snips_value_cents"] == s_num / s_w
     assert row["effective_sample_size"] == (float(s_w) * float(s_w)) / s_w2
+
+
+def test_semantic_chunking_matches_python_and_splits_topics(spark, tmp_path):
+    """On a crafted corpus, the integer cosine-dip chunker must (a) keep a
+    single-topic document in ONE chunk, (b) split a document whose two
+    halves share no vocabulary at exactly the topic seam, and (c) match
+    a pure-Python implementation of the same definition on both."""
+    from collections import Counter
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_text import (
+        CHUNK_WIN,
+        text_chunk_semantic,
+    )
+
+    topic_a = "alpha beta gamma delta " * 8  # 32 tokens, one topic
+    two_topic = ("alpha beta gamma delta " * 4  # 16 tokens topic A
+                 + "one two three four " * 4)  # 16 tokens topic B
+    rows = [(0, topic_a.strip(), "en"), (1, two_topic.strip(), "en")]
+    sf = str(tmp_path / "chunk_sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    def py_chunks(text: str):
+        toks = text.split()
+        wins = [
+            toks[i : i + CHUNK_WIN] for i in range(0, len(toks), CHUNK_WIN)
+        ]
+        chunk, chunks, checksum = 0, 1, 0
+        for i in range(1, len(wins)):
+            c1, c2 = Counter(wins[i - 1]), Counter(wins[i])
+            dot = sum(c1[t] * c2[t] for t in c1)
+            n1 = sum(v * v for v in c1.values())
+            n2 = sum(v * v for v in c2.values())
+            if 4 * dot * dot < n1 * n2:
+                chunk += 1
+                chunks += 1
+            checksum += (i + 1) * chunk
+        return len(wins), chunks, checksum
+
+    got = {r["doc_id"]: r for r in text_chunk_semantic(spark, sf).collect()}
+    for doc_id, text, _ in rows:
+        nw, nc, chk = py_chunks(text)
+        r = got[doc_id]
+        assert (r["n_windows"], r["n_chunks"], r["assign_checksum"]) == (
+            nw, nc, chk,
+        ), (doc_id, r)
+    assert got[0]["n_chunks"] == 1  # one topic -> one chunk
+    assert got[1]["n_chunks"] == 2  # vocabulary seam -> exactly two
