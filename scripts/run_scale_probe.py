@@ -997,17 +997,26 @@ def main() -> None:
         # per-doc cost); BM25's: two map-side scans + a broadcast stats
         # row; SQ8's: train/encode are corpus-linear and the recall
         # harness joins only the broadcast query set.
-        text_ops = {"dsir_importance", "bm25_topk", "sq8_recall"}
+        text_ops = {"dsir_importance", "bm25_topk", "sq8_recall",
+                    "chunk_semantic"}
         if OPS is None or OPS & text_ops:
             from json_format_in_parquet_benchmark_spark.plans import (
                 REGISTRY as _TREG,
             )
 
             tx_dir = os.path.join(args.workdir, f"text_sf_{n}")
-            if OPS is None or OPS & {"dsir_importance", "bm25_topk"}:
+            if OPS is None or OPS & {"dsir_importance", "bm25_topk",
+                                     "chunk_semantic"}:
                 synth_text_corpus(
                     spark, n, os.path.join(tx_dir, "documents.parquet")
                 )
+                if OPS is None or "chunk_semantic" in OPS:
+                    r["chunk_semantic"] = timed_l(
+                        "chunk_semantic",
+                        lambda: _TREG["text_chunk_semantic"]
+                        .fn(spark, tx_dir)
+                        .count(),
+                    )
                 if OPS is None or "dsir_importance" in OPS:
                     r["dsir_importance"] = timed_l(
                         "dsir_importance",
