@@ -125,7 +125,8 @@ _EVIDENCE_PRIORITY = (
 # similarity_sq8_recall, events_stl_decompose, events_theil_sen,
 # events_forecast_holt_winters, multimodal_audio_fingerprint,
 # graph_betweenness_sampled, events_hmm_viterbi,
-# events_offpolicy_ips, text_chunk_semantic.
+# events_offpolicy_ips, text_chunk_semantic,
+# events_anomaly_stl_residual, sample_neyman_allocation.
 
 _missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]
 assert not _missing, f"evidence-priority names not in REGISTRY: {_missing}"

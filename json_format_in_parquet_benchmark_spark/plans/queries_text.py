@@ -2493,3 +2493,162 @@ def text_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assign_checksum"
         ),
     )
+
+
+# --- Neyman-optimal stratified allocation ---------------------------------
+
+NEYMAN_K = 100  # total sample size across strata
+
+# Neyman allocation n_h = K * N_h*S_h / sum(N_h*S_h).  The weight
+# N_h*S_h is computed as floor(sqrt(N_h*sum(x^2) - sum(x)^2)) -- that
+# radicand equals N_h^2 * var_h exactly in int64, and IEEE sqrt of an
+# identical integer-valued double is correctly rounded in both engines,
+# so the floor lands identically (the language_temperature precedent).
+# Integer seats are dealt by largest remainder (exact total, no floats).
+# int64 budget: N_h * sum(x^2) with x = n_chars <= ~1e4 needs
+# N_h^2 * x^2 < 2^63 -> N_h < ~3e5 per stratum at this x; quantize x
+# down (or lift to DECIMAL) beyond that -- the documented knob.
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+WITH strata AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(COUNT(*) * SUM(n_chars * n_chars) - SUM(n_chars) * SUM(n_chars)
+              AS BIGINT) AS v_h
+  FROM documents GROUP BY lang
+),
+weighted AS (
+  SELECT lang, n_h,
+         CAST(FLOOR(sqrt(CAST(v_h AS DOUBLE))) AS BIGINT) AS w_h
+  FROM strata
+),
+tot AS (SELECT CAST(SUM(w_h) AS BIGINT) AS w_tot FROM weighted),
+seats AS (
+  SELECT lang, n_h, w_h,
+         CAST(({NEYMAN_K} * w_h) // w_tot AS BIGINT) AS base,
+         CAST(({NEYMAN_K} * w_h) % w_tot AS BIGINT) AS rem
+  FROM weighted CROSS JOIN tot
+),
+dealt AS (
+  SELECT lang, n_h, w_h,
+         CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+                          <= {NEYMAN_K} - (SELECT SUM(base) FROM seats)
+                     THEN 1 ELSE 0 END AS BIGINT) AS alloc
+  FROM seats
+),
+picked AS (
+  SELECT d.lang, d.doc_id
+  FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY md5('ney:' || CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rk
+    FROM documents
+  ) d JOIN dealt a ON a.lang = d.lang AND d.rk <= a.alloc
+)
+SELECT w.lang, w.n_h, w.w_h, a.alloc,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(p.doc_id), 0) AS BIGINT) AS id_checksum
+FROM weighted w
+JOIN dealt a ON a.lang = w.lang
+LEFT JOIN picked p ON p.lang = w.lang
+GROUP BY 1, 2, 3, 4
+""",
+    doc="Neyman-optimal stratified sampling: per-language strata get "
+    f"sample seats proportional to N_h * S_h (the allocation minimizing "
+    "the stratified-mean variance for a fixed budget), with the weight "
+    "computed as floor(sqrt(N*sum(x^2) - sum(x)^2)) -- an exact-int64 "
+    "radicand equal to N^2 * var, so the irrational S_h never leaves "
+    "the correctly-rounded-sqrt-then-floor form both engines share.  "
+    f"The {NEYMAN_K} seats are dealt by largest remainder (exact total, "
+    "all integer), and the selected rows are a per-stratum hash-rank "
+    "prefix whose id checksum pins the exact sample.  Completes the "
+    "sampling family's design-of-experiments arm (proportional, "
+    "temperature, weighted, exact-count -> variance-optimal).  One "
+    "shuffle on the stratum key; the allocation table is "
+    "strata-bounded.",
+    tags=("text", "sampling", "stratified", "pipeline"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        (
+            F.count(F.lit(1)) * F.sum(F.expr("n_chars * n_chars"))
+            - F.sum("n_chars") * F.sum("n_chars")
+        )
+        .cast("bigint")
+        .alias("v_h"),
+    )
+    weighted = strata.select(
+        "lang",
+        "n_h",
+        F.expr("cast(floor(sqrt(cast(v_h as double))) as bigint)").alias(
+            "w_h"
+        ),
+    )
+    tot = weighted.agg(F.sum("w_h").cast("bigint").alias("w_tot"))
+    seats = weighted.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_h",
+        "w_h",
+        F.expr(f"({NEYMAN_K} * w_h) div w_tot").cast("bigint").alias("base"),
+        F.expr(f"({NEYMAN_K} * w_h) % w_tot").cast("bigint").alias("rem"),
+    )
+    base_tot = seats.agg(F.sum("base").cast("bigint").alias("base_tot"))
+    wdeal = Window.orderBy(F.desc("rem"), "lang")
+    dealt = (
+        seats.crossJoin(F.broadcast(base_tot))
+        .select(
+            "lang",
+            "n_h",
+            "w_h",
+            (
+                F.col("base")
+                + F.when(
+                    F.row_number().over(wdeal)
+                    <= F.lit(NEYMAN_K) - F.col("base_tot"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+    wrk = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("ney:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(wrk).alias("rk")
+    )
+    picked = ranked.join(F.broadcast(dealt.select("lang", "alloc")), "lang").where(
+        F.col("rk") <= F.col("alloc")
+    )
+    return (
+        dealt.join(
+            picked.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+                F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_h",
+            "w_h",
+            "alloc",
+            F.coalesce("n_sampled", F.lit(0).cast("bigint")).alias(
+                "n_sampled"
+            ),
+            F.coalesce("id_checksum", F.lit(0).cast("bigint")).alias(
+                "id_checksum"
+            ),
+        )
+    )

@@ -2280,3 +2280,132 @@ def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("path_checksum"),
     )
+
+
+# --- seasonal-adjusted anomaly detection ----------------------------------
+
+# Builds ON the registered STL decomposition (oracle reuses its SQL as a
+# CTE; the Spark side calls the same builder), flagging days whose
+# residual deviates from the residual median by more than 3 MADs.  The
+# median/MAD chain stays integer-exact by working in DOUBLED units:
+# med2 = lo+hi central residuals (= 2*median), dev = |2*rq - med2|
+# (= 2*|rq - med|), mad2x = lo+hi central devs (= 4*MAD), and the flag
+# |rq - med| > 3*MAD becomes the pure-integer test 2*dev > 3*mad2x.
+
+
+def _stl_anomaly_oracle() -> str:
+    from .registry import REGISTRY as _REG
+
+    stl_sql = _REG["events_stl_decompose"].oracle.strip()
+    return f"""
+WITH stl AS ({stl_sql}),
+rq AS (
+  SELECT day, dow, y, residual,
+         CAST(FLOOR(residual * 1000000e0) AS BIGINT) AS r_q
+  FROM stl
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY r_q, day) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM rq
+),
+med AS (
+  SELECT CAST(MIN(r_q) + MAX(r_q) AS BIGINT) AS med2
+  FROM ranked WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+),
+devs AS (
+  SELECT r.day, r.dow, r.y, r.residual, r.r_q,
+         ABS(2 * r.r_q - m.med2) AS dev
+  FROM rq r CROSS JOIN med m
+),
+dranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY dev, day) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM devs
+),
+mad AS (
+  SELECT CAST(MIN(dev) + MAX(dev) AS BIGINT) AS mad2x
+  FROM dranked WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+)
+SELECT d.day, d.dow, d.y, d.residual,
+       CAST(d.dev AS BIGINT) AS dev2x,
+       CAST(m.mad2x AS BIGINT) AS mad2x,
+       CAST(CASE WHEN m.mad2x > 0 AND 2 * d.dev > 3 * m.mad2x
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM devs d CROSS JOIN mad m
+"""
+
+
+@register(
+    "events_anomaly_stl_residual",
+    oracle=_stl_anomaly_oracle(),
+    doc="Seasonal-adjusted anomaly detection: the STL residual series "
+    "(trend and weekly seasonality removed by the registered "
+    "events_stl_decompose, whose oracle this one embeds as a CTE) is "
+    "screened by a median/MAD rule -- a day flags when its residual "
+    "sits more than 3 MADs from the residual median, so weekday "
+    "rhythm and growth trends cannot masquerade as anomalies the way "
+    "they do under a raw z-score.  The robust statistics stay "
+    "integer-exact in doubled units (med2 = 2*median, mad2x = 4*MAD, "
+    "flag test 2*dev > 3*mad2x -- no float comparisons), with "
+    "rank-selected medians.  Scale shape: inherits the decomposition's "
+    "one corpus-sized rollup; the screening runs on the k-bounded day "
+    "series.",
+    tags=("timeseries", "anomaly", "robust"),
+)
+def events_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stl = events_stl_decompose(spark, sf_dir).select(
+        "day",
+        "dow",
+        "y",
+        "residual",
+        F.expr("cast(floor(residual * 1000000e0) as bigint)").alias("r_q"),
+    )
+    wall = Window.orderBy("r_q", "day")
+    cnt_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = stl.select(
+        "*",
+        F.row_number().over(wall).alias("rn"),
+        F.count(F.lit(1)).over(cnt_w).alias("cnt"),
+    )
+    med = (
+        ranked.where(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        .agg((F.min("r_q") + F.max("r_q")).cast("bigint").alias("med2"))
+    )
+    devs = stl.crossJoin(F.broadcast(med)).select(
+        "day",
+        "dow",
+        "y",
+        "residual",
+        F.expr("abs(2 * r_q - med2)").alias("dev"),
+    )
+    dwall = Window.orderBy("dev", "day")
+    dranked = devs.select(
+        "*",
+        F.row_number().over(dwall).alias("rn"),
+        F.count(F.lit(1)).over(cnt_w).alias("cnt"),
+    )
+    mad = (
+        dranked.where(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        .agg((F.min("dev") + F.max("dev")).cast("bigint").alias("mad2x"))
+    )
+    return devs.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "dow",
+        "y",
+        "residual",
+        F.col("dev").cast("bigint").alias("dev2x"),
+        F.col("mad2x").cast("bigint").alias("mad2x"),
+        F.expr(
+            "cast(case when mad2x > 0 and 2 * dev > 3 * mad2x"
+            " then 1 else 0 end as bigint)"
+        ).alias("is_anomaly"),
+    )

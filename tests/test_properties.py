@@ -1839,3 +1839,76 @@ def test_semantic_chunking_matches_python_and_splits_topics(spark, tmp_path):
         ), (doc_id, r)
     assert got[0]["n_chunks"] == 1  # one topic -> one chunk
     assert got[1]["n_chunks"] == 2  # vocabulary seam -> exactly two
+
+
+def test_neyman_allocation_exact_and_matches_python(spark, sf_dir):
+    """Seats must sum exactly to the budget, match a pure-Python
+    largest-remainder allocation over floor(sqrt(N*sumsq - sum^2))
+    weights, and each stratum's realized sample must be
+    min(alloc, N_h) with the hash-rank prefix's id checksum."""
+    import hashlib as hl
+    import math
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_text import (
+        NEYMAN_K,
+        sample_neyman_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    ).collect()
+    strata: dict = {}
+    for r in docs:
+        s, ss, n, ids = strata.get(r["lang"], (0, 0, 0, []))
+        strata[r["lang"]] = (
+            s + r["n_chars"], ss + r["n_chars"] ** 2, n + 1,
+            ids + [r["doc_id"]],
+        )
+    w = {
+        lg: math.floor(math.sqrt(float(n * ss - s * s)))
+        for lg, (s, ss, n, _) in strata.items()
+    }
+    w_tot = sum(w.values())
+    base = {lg: (NEYMAN_K * wh) // w_tot for lg, wh in w.items()}
+    rem = {lg: (NEYMAN_K * wh) % w_tot for lg, wh in w.items()}
+    leftover = NEYMAN_K - sum(base.values())
+    order = sorted(w, key=lambda lg: (-rem[lg], lg))
+    alloc = {
+        lg: base[lg] + (1 if i < leftover else 0)
+        for i, lg in enumerate(order)
+    }
+    got = {r["lang"]: r for r in sample_neyman_allocation(spark, sf_dir).collect()}
+    assert sum(r["alloc"] for r in got.values()) == NEYMAN_K
+    for lg, r in got.items():
+        assert r["alloc"] == alloc[lg], (lg, r["alloc"], alloc[lg])
+        n_h = strata[lg][2]
+        assert r["n_sampled"] == min(r["alloc"], n_h)
+        ids = sorted(
+            strata[lg][3],
+            key=lambda d: (hl.md5(f"ney:{d}".encode()).hexdigest(), d),
+        )[: r["alloc"]]
+        assert r["id_checksum"] == sum(ids)
+
+
+def test_stl_residual_anomaly_median_mad_consistent(spark, sf_dir):
+    """The emitted doubled-unit robust statistics must equal a pure-Python
+    median/MAD over the same quantized residuals, and every flag must
+    follow the 2*dev > 3*mad2x rule."""
+    import math
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_timeseries import (
+        events_anomaly_stl_residual,
+    )
+
+    rows = events_anomaly_stl_residual(spark, sf_dir).collect()
+    assert rows
+    rq = sorted(math.floor(r["residual"] * 1e6) for r in rows)
+    n = len(rq)
+    med2 = rq[(n + 1) // 2 - 1] + rq[(n + 2) // 2 - 1]
+    devs = sorted(abs(2 * q - med2) for q in rq)
+    mad2x = devs[(n + 1) // 2 - 1] + devs[(n + 2) // 2 - 1]
+    for r in rows:
+        dev = abs(2 * math.floor(r["residual"] * 1e6) - med2)
+        assert r["dev2x"] == dev
+        assert r["mad2x"] == mad2x
+        assert r["is_anomaly"] == (1 if mad2x > 0 and 2 * dev > 3 * mad2x else 0)
