@@ -116,6 +116,31 @@ def _exec_metrics(df) -> dict:
     return acc
 
 
+def _latest_compact_reported(repo_root: str) -> set[str]:
+    """Query names that made the most recent driver-recorded compact bench
+    line (BENCH_r*.json) -- the shed-first set for this round's rotation."""
+    import glob
+    import re
+
+    best_round, names = -1, set()
+    for p in glob.glob(os.path.join(repo_root, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) <= best_round:
+            continue
+        try:
+            with open(p) as f:
+                data = json.load(f)
+            # The driver wraps the parsed compact line under "parsed"
+            # ({"n": .., "rc": .., "tail": .., "parsed": {...}}).
+            parsed = data.get("parsed") or data
+            qnames = set(parsed.get("queries", {}))
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if qnames:
+            best_round, names = int(m.group(1)), qnames
+    return names
+
+
 def infer_sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -188,26 +213,39 @@ def main() -> None:
     t_phase = _phase("headline_queries", t_phase)
 
     # Storage benchmark on the reference's own corpus (comparable to
-    # BASELINE.md ndv=0.1 / 8192 rows).
+    # BASELINE.md ndv=0.1 / 8192 rows).  The HEADLINE arm writes at
+    # REF_ZSTD_LEVEL (parquet-rs ZstdLevel::default() = 1, the reference
+    # writer's effective level) so the cross-framework ratio measures
+    # format representation, not a compression-knob asymmetry; the
+    # engine's tuned level-9 arm is reported separately as storage_zstd9.
     storage: dict[str, dict] = {}
+    storage_zstd9: dict[str, dict] = {}
     try:
+        from json_format_in_parquet_benchmark_spark.formats.base import (
+            REF_ZSTD_LEVEL,
+            ZSTD_LEVEL,
+        )
         from json_format_in_parquet_benchmark_spark.metrics import measure_all_formats
         from json_format_in_parquet_benchmark_spark.sources.ndjson import (
             read_ndjson_raw,
         )
 
         raw = read_ndjson_raw(spark, STORAGE_CORPUS)
-        out_dir = "/tmp/jfipb_bench_storage"
-        for m in measure_all_formats(spark, raw, out_dir):
-            storage[m.format] = {
-                "num_of_lines": m.num_of_lines,
-                "parquet_file_size": m.parquet_file_size,
-                "compressed_rate": round(m.compressed_rate, 4),
-                "encode_s": round(m.encode_s, 3),
-                "flush_s": round(m.flush_s, 3),
-                "load_s": round(m.load_s, 3),
-                "decode_s": round(m.decode_s, 3),
-            }
+        for level, sink in (
+            (REF_ZSTD_LEVEL, storage),
+            (ZSTD_LEVEL, storage_zstd9),
+        ):
+            out_dir = f"/tmp/jfipb_bench_storage_l{level}"
+            for m in measure_all_formats(spark, raw, out_dir, zstd_level=level):
+                sink[m.format] = {
+                    "num_of_lines": m.num_of_lines,
+                    "parquet_file_size": m.parquet_file_size,
+                    "compressed_rate": round(m.compressed_rate, 4),
+                    "encode_s": round(m.encode_s, 3),
+                    "flush_s": round(m.flush_s, 3),
+                    "load_s": round(m.load_s, 3),
+                    "decode_s": round(m.decode_s, 3),
+                }
     except Exception as exc:  # storage bench must never sink the query bench
         storage = {"error": str(exc)[:200]}
 
@@ -215,9 +253,13 @@ def main() -> None:
 
     # O24 breadth: the reference's per-corpus encode/decode/flush/load loop
     # (benches/encode.rs, benches/flush.rs) over the real-world corpora,
-    # with the reference's own 3-format allowlist (consts.rs:3-4).
+    # with the reference's own 3-format allowlist (consts.rs:3-4), at the
+    # reference-matched writer level (cross-framework comparable).
     storage_by_corpus: dict[str, dict] = {}
     try:
+        from json_format_in_parquet_benchmark_spark.formats.base import (
+            REF_ZSTD_LEVEL,
+        )
         from json_format_in_parquet_benchmark_spark.metrics import measure_format
         from json_format_in_parquet_benchmark_spark.sources.ndjson import (
             read_ndjson_raw,
@@ -228,7 +270,7 @@ def main() -> None:
             cdir = os.path.join("/tmp/jfipb_bench_corpora", corpus.split(".")[0])
             per_fmt: dict[str, dict] = {}
             for fmt in CORPUS_FORMATS:
-                m = measure_format(spark, raw, fmt, cdir)
+                m = measure_format(spark, raw, fmt, cdir, zstd_level=REF_ZSTD_LEVEL)
                 per_fmt[fmt] = {
                     "num_of_lines": m.num_of_lines,
                     "parquet_file_size": m.parquet_file_size,
@@ -359,6 +401,7 @@ def main() -> None:
         "plan_hash": plan_hashes,
         "exec_metrics": exec_metrics,
         "storage": storage,
+        "storage_zstd9": storage_zstd9,
         "storage_by_corpus": storage_by_corpus,
         "path_query": path_query,
         "path_query_golden": path_query_golden,
@@ -383,21 +426,33 @@ def main() -> None:
             k: v.get("compressed_rate", v) if isinstance(v, dict) else v
             for k, v in storage.items()
         },
+        # rates above are written at the reference writer's effective zstd
+        # level (parquet-rs default = 1); the tuned arm is in the full file
+        "storage_zstd_level": 1,
         "path_query": path_query,
         "full": "results/bench_full.json",
     }
     # Belt-and-braces: if the compact line ever creeps toward the driver's
     # ~2000-char stdout window, shed detail rather than losing the parse.
-    # Shed order: the full-results pointer first, then the FASTEST per-query
-    # timings (their detail stays in results/bench_full.json) -- storage and
+    # Shed order: the full-results pointer first, then per-query timings
+    # (their detail stays in results/bench_full.json) -- storage and
     # path_query are the sections BASELINE.md compares against, so they are
-    # never dropped.
+    # never dropped.  Which timings to shed ROTATES round over round:
+    # queries that made the PREVIOUS round's compact line (read back from
+    # the driver-written BENCH_r*.json) are dropped first, so with ~38 of
+    # 61 headliners fitting, every headliner reaches a compact line at
+    # least once every two rounds instead of a fixed 23 never appearing
+    # (round-7 verdict item 5).  Within a tier, fastest first.
     if len(json.dumps(compact)) > 1600:
         compact.pop("full", None)
+    reported_last = _latest_compact_reported(
+        os.path.dirname(os.path.abspath(__file__))
+    )
     omitted = 0
     while len(json.dumps(compact)) > 1600 and len(compact["queries"]) > 1:
-        fastest = min(compact["queries"], key=compact["queries"].get)
-        compact["queries"].pop(fastest)
+        qd = compact["queries"]
+        cands = [q for q in qd if q in reported_last] or list(qd)
+        qd.pop(min(cands, key=qd.get))
         omitted += 1
         compact["queries_omitted"] = omitted
 

@@ -29,15 +29,20 @@ from pyspark.sql import DataFrame, SparkSession
 DOC_COL = "doc"
 
 # ZSTD compression level for the format-family flush path (parquet-java's
-# parquet.compression.codec.zstd.level; parquet default is 3).  Measured on
-# the 100k-row ndv=0.1 corpus (results/bench_notes.md): level 9 shrinks
-# plain/jsonc parquet ~5% at no measurable flush-time cost on this box;
-# level 19 shrinks ~15% at ~2.4x flush time.  Level 9 is the better Pareto
-# point for write-once-read-many analytics corpora (decompression speed is
-# level-independent in zstd), so it is the default; the property is applied
-# scoped-and-restored because the Hadoop conf is JVM-global and the
-# session is often the external driver's.
+# parquet.compression.codec.zstd.level; parquet-java's default is 3).
+# Measured on the 100k-row ndv=0.1 corpus (results/bench_notes.md): level 9
+# shrinks plain/jsonc parquet ~5% at no measurable flush-time cost on this
+# box; level 19 shrinks ~15% at ~2.4x flush time.  Level 9 is the better
+# Pareto point for write-once-read-many analytics corpora (decompression
+# speed is level-independent in zstd), so it is THIS ENGINE'S default --
+# a deliberate divergence from the reference writer, which compresses at
+# parquet-rs ZstdLevel::default() = level 1 (plain_json.rs:38 etc.;
+# arrow-rs basic.rs `impl Default for ZstdLevel`).  Cross-framework size
+# comparisons against BASELINE.md therefore use REF_ZSTD_LEVEL so the
+# ratio measures format representation, not a writer knob; the level-9
+# numbers are reported as a separate tuned arm (results/bench_notes.md).
 ZSTD_LEVEL = 9
+REF_ZSTD_LEVEL = 1  # parquet-rs ZstdLevel::default(), the reference's level
 
 
 class JsonFormatBase(abc.ABC):
@@ -59,22 +64,23 @@ class JsonFormatBase(abc.ABC):
         paths; round-trip tests compare re-parsed semantics.
         """
 
-    def flush(self, encoded: DataFrame, path: str) -> None:
-        """Write the representation to Parquet with ZSTD (matching the
-        reference's writer choice, plain_json.rs:37-44) at ZSTD_LEVEL
-        (scoped on the JVM-global Hadoop conf and restored)."""
-        spark = encoded.sparkSession
-        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        key = "parquet.compression.codec.zstd.level"
-        old = hconf.get(key)
-        hconf.set(key, str(ZSTD_LEVEL))
-        try:
-            encoded.write.mode("overwrite").parquet(path, compression="zstd")
-        finally:
-            if old is None:
-                hconf.unset(key)
-            else:
-                hconf.set(key, old)
+    def flush(
+        self, encoded: DataFrame, path: str, zstd_level: int = ZSTD_LEVEL
+    ) -> None:
+        """Write the representation to Parquet with the ZSTD codec (the
+        reference's codec choice, plain_json.rs:37-44) at ``zstd_level``
+        (default: this engine's tuned level; pass REF_ZSTD_LEVEL for the
+        reference-matched arm).  The level travels as a per-write
+        DataFrameWriter option -- Spark folds write options into that
+        write's Hadoop conf snapshot -- so concurrent flushes on one
+        session cannot race a JVM-global setting, and nothing here touches
+        the private _jsc (Spark Connect safe)."""
+        (
+            encoded.write.mode("overwrite")
+            .option("compression", "zstd")
+            .option("parquet.compression.codec.zstd.level", str(int(zstd_level)))
+            .parquet(path)
+        )
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         """Read the representation back (column types round-trip through

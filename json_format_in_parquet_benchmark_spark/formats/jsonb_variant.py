@@ -59,11 +59,11 @@ class JsonbVariantFormat(JsonFormatBase):
             else:
                 spark.conf.set(k, old)
 
-    def flush(self, encoded: DataFrame, path: str) -> None:
+    def flush(self, encoded: DataFrame, path: str, **kwargs) -> None:
         spark = encoded.sparkSession
         saved = self._scoped(spark, self._WRITE_CONFS)
         try:
-            super().flush(encoded, path)
+            super().flush(encoded, path, **kwargs)
         finally:
             self._restore(spark, saved)
 

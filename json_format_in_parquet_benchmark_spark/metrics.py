@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .formats import FORMATS, get_format
-from .formats.base import DOC_COL
+from .formats.base import DOC_COL, ZSTD_LEVEL
 
 
 def dir_bytes(path: str) -> int:
@@ -53,10 +53,17 @@ class StorageMetric:
 
 
 def measure_format(
-    spark: SparkSession, raw: DataFrame, fmt, out_dir: str
+    spark: SparkSession,
+    raw: DataFrame,
+    fmt,
+    out_dir: str,
+    zstd_level: int = ZSTD_LEVEL,
 ) -> StorageMetric:
     """Round-trip one corpus through one format (name or instance),
-    measuring size + stage times.  `raw` must have a string column ``doc``."""
+    measuring size + stage times.  `raw` must have a string column ``doc``.
+    ``zstd_level`` selects the writer arm: REF_ZSTD_LEVEL (parquet-rs
+    default, the cross-framework-comparable headline) or the engine's
+    tuned ZSTD_LEVEL."""
     fmt = get_format(fmt) if isinstance(fmt, str) else fmt
     fmt_name = fmt.name
     raw = raw.persist()
@@ -73,7 +80,7 @@ def measure_format(
     t1 = time.perf_counter()
 
     path = os.path.join(out_dir, f"{fmt_name}.parquet")
-    fmt.flush(encoded, path)
+    fmt.flush(encoded, path, zstd_level=zstd_level)
     t2 = time.perf_counter()
 
     loaded = fmt.load(spark, path)
@@ -132,6 +139,7 @@ def sweep_corpora(
     corpus_paths: list[str],
     out_dir: str,
     csv_path: str | None = None,
+    zstd_level: int = ZSTD_LEVEL,
 ) -> list[dict]:
     """Reproduce the reference's full storage benchmark table: every corpus
     x every format -> rows in the exact column layout of
@@ -148,7 +156,9 @@ def sweep_corpora(
         corpus_dir = os.path.join(
             out_dir, os.path.splitext(os.path.basename(path))[0]
         )
-        for m in measure_all_formats(spark, raw, corpus_dir):
+        for m in measure_all_formats(
+            spark, raw, corpus_dir, zstd_level=zstd_level
+        ):
             rows.append(
                 {
                     "format": _REFERENCE_FORMAT_NAMES.get(m.format, m.format),
@@ -168,7 +178,11 @@ def sweep_corpora(
 
 
 def measure_all_formats(
-    spark: SparkSession, raw: DataFrame, out_dir: str, shred_ddl: str | None = None
+    spark: SparkSession,
+    raw: DataFrame,
+    out_dir: str,
+    shred_ddl: str | None = None,
+    zstd_level: int = ZSTD_LEVEL,
 ) -> list[StorageMetric]:
     """All four formats over one corpus; `shred_ddl` overrides the variant
     format's declared schema to match the corpus shape."""
@@ -180,4 +194,7 @@ def measure_all_formats(
             fmts.append(VariantShredFormat(shred_ddl))
         else:
             fmts.append(get_format(name))
-    return [measure_format(spark, raw, f, out_dir) for f in fmts]
+    return [
+        measure_format(spark, raw, f, out_dir, zstd_level=zstd_level)
+        for f in fmts
+    ]

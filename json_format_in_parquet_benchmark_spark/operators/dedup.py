@@ -63,8 +63,16 @@ _ACTIVE_CACHES: list[tuple[str, DataFrame]] = []
 _CACHE_OWNER: list[str] = [""]
 
 
-def _track_persist(df: DataFrame) -> DataFrame:
-    _ACTIVE_CACHES.append((_CACHE_OWNER[0], df.persist()))
+def _track_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """Persist and track for release_caches.  ``storage_level`` overrides
+    the DataFrame default (MEMORY_AND_DISK_DESER) -- pass the SERIALIZED
+    MEMORY_AND_DISK when the cached rows are wide arrays whose
+    deserialized form is several x the on-wire size (measured: the DSIR
+    bucket-array cache)."""
+    _ACTIVE_CACHES.append(
+        (_CACHE_OWNER[0],
+         df.persist(storage_level) if storage_level is not None else df.persist())
+    )
     return df
 
 

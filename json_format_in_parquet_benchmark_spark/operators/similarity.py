@@ -110,17 +110,25 @@ def bucket_expr_duckdb(vec: str, n_planes: int, dim: int) -> str:
     return " + ".join(terms)
 
 
-def centroids(n_cells: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random IVF centroids (same md5 scheme as
-    :func:`hyperplanes`, different salt)."""
+def centroids_int(n_cells: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random IVF centroids on the integer grid:
+    entry = md5-derived int in [-1000, 1000] (exactly 1000x the float form
+    below, which only ever holds thousandths)."""
     cells = []
     for c in range(n_cells):
         w = []
         for d in range(dim):
             h = int(hashlib.md5(f"iv{c}:{d}".encode()).hexdigest()[:15], 16)
-            w.append((h % 2001 - 1000) / 1000.0)
+            w.append(h % 2001 - 1000)
         cells.append(w)
     return cells
+
+
+def centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random IVF centroids (same md5 scheme as
+    :func:`hyperplanes`, different salt); thousandths, so exactly
+    representable and exactly 1/1000 of :func:`centroids_int`."""
+    return [[v / 1000.0 for v in w] for w in centroids_int(n_cells, dim)]
 
 
 def _centroids_spark_literal(cells: list[list[float]]) -> str:
@@ -270,6 +278,154 @@ def ivf_assign_hier(
     return src.mapInPandas(assign, schema="vec_id long, cell int")
 
 
+# --- integer-exact two-level assignment (the oracle-checkable scale arm) ---
+#
+# ivf_assign_hier above fixed the O(N * n_cells * dim) assignment wall but
+# its float BLAS argmax is not bit-reproducible in a SQL oracle, so the
+# REGISTERED knn-graph query kept the flat assignment (round-7 verdict's one
+# weak item).  This variant closes that gap by moving the whole decision to
+# exact integer arithmetic:
+#
+# - vectors quantize once to the 1e6 grid (floor(x * 1e6) as int64 -- the
+#   same engine-portable recipe as the PQ machinery below),
+# - centroids are ALREADY integers at scale 1000 (centroids_int),
+# - both argmaxes (coarse group, then fine cell within the group) compare
+#   exact int64 dot products, ties to the lowest index.
+#
+# Every decision is therefore bit-identical across the numpy kernel, a Spark
+# SQL expression, and DuckDB (integer products stay far below 2^53, so even
+# a double-domain evaluation of the same dots is exact), which lets the
+# O(N * 2*sqrt(n_cells) * dim) assignment BE the driver-checked plan.
+
+EQ_GRID = "1e6"  # integer quantization grid for exact assignment decisions
+
+
+def hier_groups(n_cells: int, n_groups: int | None) -> int:
+    """The coarse-group count: always a divisor of n_cells so groups are
+    equal-sized (argmax over group SUMS then equals argmax over group
+    means -- no division anywhere).  Defaulting picks the divisor nearest
+    sqrt(n_cells) (ties to the smaller), which keeps the two-level flop
+    count O(N * ~2*sqrt(n_cells) * dim) for any n_cells the growth rule
+    produces; an explicit non-divisor is an error."""
+    if n_groups is None:
+        root = n_cells ** 0.5
+        return min(
+            (d for d in range(1, n_cells + 1) if n_cells % d == 0),
+            key=lambda d: (abs(d - root), d),
+        )
+    if not 1 <= n_groups <= n_cells or n_cells % n_groups:
+        raise ValueError(
+            f"n_groups ({n_groups}) must divide n_cells ({n_cells}) for "
+            "the integer-exact coarse step (equal group sizes)"
+        )
+    return n_groups
+
+
+def ivf_assign_hier_exact(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 64,
+    dim: int = 64,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Two-level IVF assignment with every decision in exact int64: quantize
+    to the 1e6 grid, argmax dot against the g group-sum centroids, then
+    against the group's n_cells/g fine centroids (ties to the lowest index
+    at both levels).  O(N * (g + n_cells/g) * dim) integer flops in an
+    Arrow-batched numpy kernel, embarrassingly parallel, zero shuffle --
+    and bit-identical to :func:`hier_assign_duckdb_ctes`' SQL, so the plan
+    that survives the linear-n_cells growth rule is itself oracle-checked
+    (unlike ivf_assign_hier's float coarse step)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    g = hier_groups(n_cells, n_groups)
+    gsize = n_cells // g
+    cint = np.array(centroids_int(n_cells, dim), dtype=np.int64)  # cells x dim
+    coarse = cint.reshape(g, gsize, dim).sum(axis=1)  # g x dim (group sums)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            # floor(x * 1e6): identical IEEE multiply + floor as the SQL
+            # twin (float32 -> double cast is exact on both sides).
+            eq = np.floor(X * 1e6).astype(np.int64)
+            cg = (eq @ coarse.T).argmax(axis=1)  # int64 matmul: exact;
+            out = np.empty(len(eq), dtype=np.int32)  # first max = lowest grp
+            for gi in np.unique(cg):
+                m = cg == gi
+                sub = cint[gi * gsize : (gi + 1) * gsize]
+                out[m] = gi * gsize + (eq[m] @ sub.T).argmax(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": out})
+
+    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(assign, schema="vec_id long, cell int")
+
+
+def _int_list_literal(rows: list[list[int]]) -> str:
+    return "[" + ", ".join(
+        "[" + ", ".join(str(x) for x in w) + "]" for w in rows
+    ) + "]"
+
+
+def hier_assign_duckdb_ctes(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 64,
+    dim: int = 64,
+    n_groups: int | None = None,
+) -> str:
+    """CTE chain (to splice after WITH) ending in ``assigned(vec_id, cell)``
+    -- the DuckDB twin of :func:`ivf_assign_hier_exact`.  Integer products
+    stay below 2^53, so list_dot_product's double arithmetic is exact and
+    the argmax decisions match the int64 kernel bit for bit."""
+    g = hier_groups(n_cells, n_groups)
+    gsize = n_cells // g
+    cint = centroids_int(n_cells, dim)
+    coarse = [
+        [sum(cint[gi * gsize + j][d] for j in range(gsize)) for d in range(dim)]
+        for gi in range(g)
+    ]
+    coarse_lit = _int_list_literal(coarse)
+    fine_lit = _int_list_literal(cint)
+    return f"""heq AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col}::DOUBLE[],
+                        x -> CAST(FLOOR(x * {EQ_GRID}) AS BIGINT)) AS eq
+  FROM {table}
+),
+hcoarse AS (
+  SELECT vec_id, grp FROM (
+    SELECT e.vec_id, t.i AS grp,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.eq::DOUBLE[],
+                                       ({coarse_lit})[t.i + 1]::DOUBLE[]) DESC,
+                      t.i) AS rn
+    FROM heq e CROSS JOIN range({g}) t(i)
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.grp * {gsize} + t.i AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(
+                        e.eq::DOUBLE[],
+                        ({fine_lit})[c.grp * {gsize} + t.i + 1]::DOUBLE[]) DESC,
+                      t.i) AS rn
+    FROM heq e JOIN hcoarse c USING (vec_id) CROSS JOIN range({gsize}) t(i)
+  ) WHERE rn = 1
+)"""
+
+
 def ivf_probes(
     queries: DataFrame,
     vec_col: str,
@@ -354,11 +510,12 @@ def knn_graph_ivf(
     single-point bottleneck exists anywhere in the plan.  The full cost
     model has a second term the probe exposed at 5M vectors: ASSIGNMENT
     is O(N * n_cells * dim) flops, which grows quadratically under the
-    same linear-n_cells rule and dominates from ~10^6 vectors.  The scale
-    path pairs this plan shape with :func:`ivf_assign_hier` (two-level
-    coarse quantizer, O(N * 2*sqrt(n_cells) * dim)) and the
-    :func:`knn_graph_ivf_fast` BLAS kernel; this SQL-exact form is the
-    oracle path.
+    same linear-n_cells rule and dominates from ~10^6 vectors.  The
+    registered query therefore supplies ``assigned`` from
+    :func:`ivf_assign_hier_exact` (two-level integer-exact quantizer,
+    O(N * 2*sqrt(n_cells) * dim), oracle-mirrored bit for bit); the
+    :func:`knn_graph_ivf_fast` BLAS scoring kernel remains the
+    bench/probe twin for the pair-cosine stage.
     """
     cells = (
         assigned

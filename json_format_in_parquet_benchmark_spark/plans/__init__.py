@@ -29,106 +29,139 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 
 
-# Evidence-driven ordering, round 7: the external driver cross-checks the
-# FIRST 50 registered queries each round.  CORRECTNESS_r06 landed all 50
-# of the round-6 window green, leaving exactly 28 oracled queries with no
-# driver evidence ever (the 11 deferred singles + the 17 round-6 session
-# additions) -- the round-6 verdict's item 1 says fill the round-7 window
-# with those 28 plus the 22 stalest r1/r2 greens.  The 22 re-pins chosen
-# by code churn since their last driver green: the format/JSON core (the
-# reference-parity heart, last green r1/r2, verdict item 5 names all
-# nine), the two queries whose plan+oracle CHANGED this round
-# (dedup_simhash gained the max_bucket guard, text_tf_cosine_pairs moved
-# to the corpus-relative df cap -- their prior evidence describes code
-# that no longer exists), then the dedup family (operators/dedup.py has
-# churned every round since r2) and the text/generator cohort.
-# Ordering within the 50: most failure-prone first (stream-stream outer
-# join, partition-evolution staging, the exotic-API singles), the
-# changed-this-round pair mid-window, and the slowest (dedup_clusters,
-# minhash) at the tail so a budget truncation costs the least evidence.
+# Evidence-driven ordering, round 8: the external driver cross-checks the
+# FIRST 50 registered queries each round.  CORRECTNESS_r07 landed all 50
+# of the round-7 window green, so cumulative driver coverage stands at
+# 280/293 with the 13 round-7 session additions never sampled -- the
+# round-7 verdict's item 2 says fill the round-8 window with those 13
+# plus the stalest r1-r3 greens, prioritizing churn.  Composition:
+# the 13 never-sampled; the three queries whose PLAN changed this round
+# (similarity_knn_graph moved to the integer-exact two-level assignment
+# with a rewritten oracle, sample_dsir_importance moved to the
+# single-scan cached-bucket-array shape, stream_upsert_foreachbatch
+# gained the idempotent-redelivery marker -- their prior evidence
+# describes code that no longer exists); the whole r1/r2-last-green
+# cohort (1 + 31 queries: the TPC-H/relational/window/scan/text
+# singles); and three r3 picks from the families the round-7 verdict
+# names as most churned (multimodal decode, sketch, sink).
+# Ordering within the 50: most failure-prone first (the Arrow-stage and
+# iterative time-series singles), the changed-this-round trio next so a
+# truncation still covers them, the broad r2 cohort, slowest re-pins at
+# the tail.
 _EVIDENCE_PRIORITY = (
-    # -- never-sampled: round-6 additions, most failure-prone first --
-    "stream_stream_left_outer",
-    "scan_partition_evolution",
-    "udf_arrow_scalar_normalize",
-    "aqp_stratified_value",
-    "asof_join_nearest_click",
-    "dq_dp_noisy_counts",
-    "join_point_in_polygon",
-    "events_global_rownum",
-    "events_rolling_hll_wau",
-    "events_concurrency_peak",
-    "events_pattern_funnel",
-    "events_survival_km",
-    "events_did_estimator",
-    "events_attribution_markov",
-    "events_attribution_shapley",
-    "events_absence_gaps",
-    "dq_duplicate_payments",
-    # -- never-sampled: the 11 singles deferred from round 6 --
-    "dq_benford_digits",
-    "dq_referential_integrity",
-    "dq_outlier_mad",
-    "dq_drift_chisq",
-    "dq_l_diversity",
-    "suppliers_market_hhi",
-    "customers_gini_spend",
-    "events_dau_wau",
-    "events_time_to_activation",
-    "orders_cohort_ltv",
-    "events_kpi_decomposition",
-    # -- re-pins: the format/JSON reference-parity core (last green
-    #    r1/r2; four rounds of churn since) --
-    "json_golden_probes",
-    "json_golden_probes_tape",
-    "json_golden_probes_variant",
-    "json_roundtrip_plain",
-    "json_shred_typed",
-    "json_tojson_canonical",
-    "format_roundtrip_jsonb",
-    "format_roundtrip_jsonc",
-    "format_roundtrip_variant_shred",
-    # -- re-pins: plan+oracle changed THIS round --
-    "dedup_simhash",
-    "text_tf_cosine_pairs",
-    # -- re-pins: churned text/generator/dedup families (slowest last) --
-    "generator_events",
-    "generator_ndv_profile",
-    "text_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_token_count_bpe",
-    "dedup_exact",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
+    # -- never-sampled: round-7 additions, most failure-prone first --
+    "multimodal_audio_fingerprint",
+    "events_hmm_viterbi",
+    "events_stl_decompose",
+    "events_anomaly_stl_residual",
+    "events_forecast_holt_winters",
+    "events_theil_sen",
+    "events_offpolicy_ips",
+    "graph_betweenness_sampled",
+    "dedup_simhash_blocks",
+    "similarity_sq8_recall",
+    "sample_neyman_allocation",
+    "text_chunk_semantic",
+    "sample_dsir_importance",
+    # -- re-pins: plan changed THIS round --
+    "similarity_knn_graph",
+    "stream_upsert_foreachbatch",
+    # -- re-pins: the r1/r2-last-green cohort (stalest first) --
+    "dedup_exact_normalized",
+    "flagship_events_enriched",
+    "filter_pushdown_scan",
+    "q3_shipping_priority",
+    "asof_join_purchase_click",
+    "range_join_user_events",
+    "join_semi_anti_customers",
+    "join_sortmerge_order_fulfilment",
+    "agg_cube_order_status",
+    "agg_grouping_sets_orders",
+    "agg_salted_skew_user",
+    "window_topn_orders_per_customer",
+    "window_running_customer_spend",
+    "pivot_daily_event_types",
+    "unpivot_daily_event_types",
+    "sort_topk_lineitems",
+    "set_ops_nations",
+    "subquery_orders_above_cust_avg",
+    "sample_stratified",
+    "string_funcs_parts",
+    "date_funcs_order_calendar",
+    "array_funcs_order_lines",
+    "map_funcs_event_props",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "json_keys_profile",
+    "json_ndv_profile",
+    "text_top_terms_per_lang",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_gopher_quality",
+    "text_decontaminate",
+    # -- re-pins: r3 picks from the most-churned families --
+    "multimodal_decode_features",
+    "sketch_theta_intersection",
+    "sink_merge_upsert",
 )
-# ROUND-8 EVIDENCE TODO: if CORRECTNESS_r07 lands this window green,
-# cumulative driver coverage reaches 279/279 oracled queries sampled at
-# least once.  Round-8 window should then re-pin by staleness: the
-# remaining r1/r2-last-green cohort not re-sampled here (the TPC-H/
-# relational/window/scan singles: q3_shipping_priority, flagship_events
-# _enriched, filter_pushdown_scan, asof_join_purchase_click,
-# range_join_user_events, join_semi_anti_customers, join_sortmerge_
-# order_fulfilment, agg_cube_order_status, agg_grouping_sets_orders,
-# agg_salted_skew_user, window_topn_orders_per_customer, window_running_
-# customer_spend, pivot/unpivot_daily_event_types, sort_topk_lineitems,
-# set_ops_nations, subquery_orders_above_cust_avg, sample_stratified,
-# string/date/array/map_funcs, events_funnel_conversion, events_
-# retention_cohorts, text_top_terms_per_lang, text_fingerprint,
-# text_pii_redact, text_gopher_quality, text_decontaminate,
-# json_keys_profile, json_ndv_profile), plus the round-7 session
-# additions, which were each gated individually at sf0.001+sf0.01
-# vanilla AND TZ=America/New_York before their commits but have no
-# driver evidence yet: dedup_simhash_blocks, sample_dsir_importance,
-# similarity_sq8_recall, events_stl_decompose, events_theil_sen,
-# events_forecast_holt_winters, multimodal_audio_fingerprint,
-# graph_betweenness_sampled, events_hmm_viterbi,
-# events_offpolicy_ips, text_chunk_semantic,
-# events_anomaly_stl_residual, sample_neyman_allocation.
+# ROUND-9 EVIDENCE TODO (checked below so a rename/removal cannot
+# silently desynchronize it from the registry): if CORRECTNESS_r08 lands
+# this window green, cumulative coverage reaches 293/293 and the stalest
+# remaining cohort is the r3-last-green remainder -- fill the round-9
+# window with it (45 queries + 5 slots for whatever churns in round 8).
+_ROUND9_EVIDENCE_TODO = (
+    "dedup_incremental",
+    "dedup_ngram_prefix",
+    "dedup_semantic",
+    "dedup_winnow_spans",
+    "events_rollup_hll",
+    "join_salted_skew_events",
+    "multimodal_catalog",
+    "multimodal_image_resize",
+    "multimodal_video_frame_sample",
+    "pack_token_shards",
+    "pipeline_clean_corpus",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "sample_mixture_epochs",
+    "scan_schema_evolution",
+    "similarity_ivf_partitioned",
+    "similarity_ivf_recall",
+    "similarity_lsh_buckets",
+    "similarity_lsh_recall",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "sink_bucketed_join",
+    "sink_compacted_events",
+    "sink_ndjson_export",
+    "sink_partitioned_events",
+    "sketch_bloom_decontaminate",
+    "sketch_cms_heavy_hitters",
+    "sketch_histogram_quantiles",
+    "sketch_hll_ndv",
+    "sketch_kmv_ndv",
+    "split_train_valid_test",
+    "stream_dedup_watermarked",
+    "stream_hll_distinct_users",
+    "stream_sessionize_batch",
+    "stream_sessionize_stateful",
+    "stream_sliding_window",
+    "stream_sliding_window_batch",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_tumbling_window",
+    "stream_tumbling_window_batch",
+    "text_bm25_topk",
+    "udaf_median_value",
+    "udtf_tokenize_positions",
+)
 
-_missing = [n for n in _EVIDENCE_PRIORITY if n not in REGISTRY]
+_missing = [
+    n
+    for n in _EVIDENCE_PRIORITY + _ROUND9_EVIDENCE_TODO
+    if n not in REGISTRY
+]
 assert not _missing, f"evidence-priority names not in REGISTRY: {_missing}"
 _ordered = {n: REGISTRY[n] for n in _EVIDENCE_PRIORITY}
 _ordered.update((n, q) for n, q in REGISTRY.items() if n not in _ordered)

@@ -752,56 +752,104 @@ GROUP BY user_id
 def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    from pyspark.sql import functions as F
-
     events_dir = _staged_events_two_files(spark, sf_dir)
     tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
     state_dir = os.path.join(_STAGE_ROOT, f"upsert_state_{tag}")
     shutil.rmtree(state_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix=f"jfipb_ckpt_upsert_{tag}_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_upsert_stream(spark, events_dir, state_dir, ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(state_dir)
+
+
+_APPLIED_MARKER = "_applied_batch"  # underscore-prefixed: invisible to readers
+
+
+def upsert_merge_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> None:
+    """Idempotent per-batch MERGE into the parquet state table.
+
+    foreachBatch delivers AT-LEAST-once: after a crash between this
+    function's commit and the engine's checkpoint commit, the same batch is
+    REDELIVERED under the same batch_id -- re-merging it would double-count
+    every aggregate.  The guard is a marker file recording the last applied
+    batch_id, written into the tmp dir BEFORE the atomic rename, so state
+    and marker can never disagree: redelivered batch ids <= the marker are
+    skipped, making the merge exactly-once end to end
+    (tests/test_streaming.py::test_upsert_foreachbatch_restart_exactly_once
+    kills the query inside exactly that crash window)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(state_dir, _APPLIED_MARKER)
+    if os.path.isfile(marker):
+        with open(marker, encoding="utf-8") as fh:
+            if int(fh.read().strip()) >= batch_id:
+                return  # redelivery of an already-applied batch
+    partial = batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("vq").cast("bigint").alias("total_vq"),
+        F.max("us").cast("bigint").alias("last_us"),
+    )
+    if os.path.isdir(state_dir):
+        current = batch_df.sparkSession.read.parquet(state_dir)
+        merged = (
+            current.unionByName(partial)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("total_vq").cast("bigint").alias("total_vq"),
+                F.max("last_us").cast("bigint").alias("last_us"),
+            )
+        )
+    else:
+        merged = partial
+    tmp_dir = state_dir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp_dir)
+    with open(os.path.join(tmp_dir, _APPLIED_MARKER), "w", encoding="utf-8") as fh:
+        fh.write(str(batch_id))
+    shutil.rmtree(state_dir, ignore_errors=True)
+    os.rename(tmp_dir, state_dir)
+
+
+def run_upsert_stream(
+    spark: SparkSession,
+    events_dir: str,
+    state_dir: str,
+    ckpt: str,
+    fail_after_batch: int | None = None,
+) -> None:
+    """Drive the staged two-file event stream through the foreachBatch
+    upsert sink (availableNow, one file per micro-batch).  Restartable: a
+    second call with the SAME ckpt resumes from the engine's offsets and
+    redelivers any batch whose engine commit is missing.
+
+    ``fail_after_batch`` is crash injection for the restart test: the merge
+    APPLIES that batch, then raises before returning -- the engine never
+    records the batch as committed, reproducing a crash in the window
+    between sink commit and checkpoint commit."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partial = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum("vq").cast("bigint").alias("total_vq"),
-            F.max("us").cast("bigint").alias("last_us"),
-        )
-        if os.path.isdir(state_dir):
-            current = batch_df.sparkSession.read.parquet(state_dir)
-            merged = (
-                current.unionByName(partial)
-                .groupBy("user_id")
-                .agg(
-                    F.sum("n_events").cast("bigint").alias("n_events"),
-                    F.sum("total_vq").cast("bigint").alias("total_vq"),
-                    F.max("last_us").cast("bigint").alias("last_us"),
-                )
-            )
-        else:
-            merged = partial
-        tmp_dir = state_dir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp_dir)
-        shutil.rmtree(state_dir, ignore_errors=True)
-        os.rename(tmp_dir, state_dir)
+        upsert_merge_batch(state_dir, batch_df, batch_id)
+        if fail_after_batch is not None and batch_id == fail_after_batch:
+            raise RuntimeError(f"injected crash after batch {batch_id}")
 
     stream = (
         spark.readStream.schema("user_id long, us long, vq long")
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    ckpt = tempfile.mkdtemp(prefix=f"jfipb_ckpt_upsert_{tag}_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(merge_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(state_dir)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
 
 
 @register(

@@ -2298,30 +2298,53 @@ FROM picked GROUP BY lang
     "importance ratio with add-one smoothing on an integer grid (linearized "
     "ratio instead of log -- see inline note), per-document score = sum of "
     f"its tokens' bucket ratios, top-{DSIR_K} resample rolled up per lang "
-    "with an id checksum pinning the exact selection.  Scale shape: ONE "
-    "exploded scan builds the 64-row bucket-count table (map-side partial "
-    "agg, 64-group shuffle); the ratio table returns as a broadcast "
-    "single-row MAP, so scoring is a second map-only scan (aggregate over "
-    "the token array, zero Python, zero shuffle) and the top-k is "
-    "TakeOrdered -- no global sort.  At 100 TB: two corpus scans, one "
-    "64-row shuffle.",
+    "with an id checksum pinning the exact selection.  Scale shape: the "
+    "corpus is scanned (and tokenized) exactly ONCE into a persisted "
+    "compact per-doc bucket array (~8 B/token vs the raw text); the "
+    "64-row bucket-count table comes from exploding that cached column "
+    "(map-side partial agg, 64-group shuffle), the ratio table returns "
+    "as a broadcast single-row MAP, scoring is a map-only pass over the "
+    "same cached arrays (zero Python, zero shuffle), and the top-k is "
+    "TakeOrdered -- no global sort.  At 100 TB: one corpus scan, one "
+    "64-row shuffle.  (The round-7 50M-doc probe measured the previous "
+    "two-scan form disk-bound on the doubled read+tokenize; caching the "
+    "bucket arrays halves the scan bytes and drops the second "
+    "tokenization -- results/scale_probe.txt records both forms.)",
     tags=("text", "sampling", "dsir", "pipeline"),
 )
 def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hash64_sql_spark
+    from ..operators.dedup import _track_persist
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.expr(f"size({_TOKS_S}) > 0")
     )
-    h_tok = hash64_sql_spark("tok", salt="dsir:")
-    exploded = docs.select(
-        "lang", F.explode(F.expr(_TOKS_S)).alias("tok")
-    ).select(
-        F.expr(f"({h_tok}) % {DSIR_BUCKETS}").alias("bucket"),
-        F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0).alias("is_tgt"),
+    h_x = hash64_sql_spark("x", salt="dsir:")
+    # One scan + one tokenization: every downstream pass reads this compact
+    # (doc_id, lang, bucket-array) cache, never the raw text again.
+    # SERIALIZED storage level: the deserialized array-row form is several
+    # x the serialized bytes, and at the 50M-doc probe tier the
+    # deserialized cache's unroll+GC cost exceeded a second corpus scan
+    # (results/scale_probe.txt, round 8).
+    from pyspark import StorageLevel
+
+    bs = _track_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"transform({_TOKS_S}, x -> ({h_x}) % {DSIR_BUCKETS})"
+            ).alias("bs"),
+        ),
+        storage_level=StorageLevel.MEMORY_AND_DISK,
     )
-    counts = exploded.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("src_cnt"), F.sum("is_tgt").alias("tgt_cnt")
+    counts = (
+        bs.select(
+            F.explode("bs").alias("bucket"),
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0).alias("is_tgt"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("src_cnt"), F.sum("is_tgt").alias("tgt_cnt"))
     )
     totals = counts.agg(
         F.sum("src_cnt").alias("src_total"), F.sum("tgt_cnt").alias("tgt_total")
@@ -2329,18 +2352,16 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios = counts.crossJoin(F.broadcast(totals)).select(
         "bucket", F.expr(_DSIR_RATIO).alias("r")
     )
-    # 64-entry broadcast map: scoring becomes a map-only scan.
+    # 64-entry broadcast map: scoring becomes a map-only cache pass.
     rmap = ratios.agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "r"))).alias("rmap")
     )
-    h_x = hash64_sql_spark("x", salt="dsir:")
-    scored = docs.crossJoin(F.broadcast(rmap)).select(
+    scored = bs.crossJoin(F.broadcast(rmap)).select(
         "doc_id",
         "lang",
         F.expr(
-            f"aggregate(transform({_TOKS_S},"
-            f" x -> element_at(rmap, ({h_x}) % {DSIR_BUCKETS})),"
-            f" 0L, (acc, v) -> acc + v)"
+            "aggregate(transform(bs, b -> element_at(rmap, b)),"
+            " 0L, (acc, v) -> acc + v)"
         ).alias("score"),
     )
     picked = scored.orderBy(F.desc("score"), "doc_id").limit(DSIR_K)

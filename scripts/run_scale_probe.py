@@ -49,6 +49,7 @@ from json_format_in_parquet_benchmark_spark.operators.multimodal import (
 from json_format_in_parquet_benchmark_spark.operators.similarity import (
     ivf_assign_fast,
     ivf_assign_hier,
+    ivf_assign_hier_exact,
     knn_graph_ivf,
     knn_graph_ivf_fast,
     pq_topk,
@@ -247,7 +248,8 @@ def main() -> None:
         emb_ops = {
             "embedding_near_dup", "ivf_topk", "semantic_dedup",
             "gram_matrix", "pq_topk", "kcenter_8", "knn_graph",
-            "knn_graph_fast",
+            "knn_graph_fast", "knn_graph_hier_exact",
+            "assign_flat_sql", "assign_hier_exact",
         }
         # zipf/CC arms synthesize their own inputs; skip the 2n-doc corpus
         # when an --ops filter selects none of its consumers (a 50M zipf
@@ -256,6 +258,7 @@ def main() -> None:
             "zipf_join_naive", "zipf_join_naive_aqeskew", "zipf_join_salted",
             "zipf_agg_naive", "zipf_agg_salted", "cc_distributed_bigraph",
             "knn_graph", "knn_graph_fast",  # embeddings-only: a 5M-vector
+            "knn_graph_hier_exact", "assign_flat_sql", "assign_hier_exact",
             # tier must not pay for a 12.5M-doc corpus it never reads
         }
         docs = None
@@ -490,6 +493,45 @@ def main() -> None:
                     embs, "embedding", "vec_id",
                     max(16, n_emb // 500), DIM,
                 ),
+            ).count()
+        )
+        # The REGISTERED similarity_knn_graph shape since round 8: the
+        # SQL-exact pair-join scoring fed by the INTEGER-EXACT two-level
+        # assignment (oracle-mirrored bit for bit) -- so this row times
+        # the driver-checked plan itself under the linear-n_cells growth
+        # rule, not a stand-in.  vs the knn_graph row above, the only
+        # delta is flat O(N*n_cells*dim) assignment -> two-level
+        # O(N*~2*sqrt(n_cells)*dim); the scoring join is identical.
+        r["knn_graph_hier_exact"] = timed_l("knn_graph_hier_exact",
+            lambda: knn_graph_ivf(
+                embs, "embedding", "vec_id", k=5,
+                n_cells=max(16, n_emb // 500), dim=DIM,
+                assigned=ivf_assign_hier_exact(
+                    embs, "embedding", "vec_id",
+                    max(16, n_emb // 500), DIM,
+                ),
+            ).count()
+        )
+        # Assignment-ONLY pair at the same growth rule: the round-7 weak
+        # item was that the registered plan carried the DECLARATIVE flat
+        # assignment (interpreted argmax-dot over all n_cells,
+        # O(N*n_cells*dim) -- quadratic when n_cells ~ N); these two rows
+        # isolate that term from the scoring join.  assign_flat_sql is
+        # the OLD registered assignment; assign_hier_exact is the new one
+        # (integer-exact two-level kernel, O(N*~2*sqrt(n_cells)*dim)).
+        from json_format_in_parquet_benchmark_spark.operators.similarity import (
+            ivf_assign as _ivf_assign_sql,
+        )
+
+        r["assign_flat_sql"] = timed_l("assign_flat_sql",
+            lambda: _ivf_assign_sql(
+                embs, "embedding", "vec_id", max(16, n_emb // 500), DIM
+            ).count()
+        )
+        r["assign_hier_exact"] = timed_l("assign_hier_exact",
+            lambda: ivf_assign_hier_exact(
+                embs, "embedding", "vec_id",
+                n_cells=max(16, n_emb // 500), dim=DIM,
             ).count()
         )
         # SemDeDup: the cluster count is the published scale knob -- grow k

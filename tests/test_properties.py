@@ -216,6 +216,39 @@ def test_ivf_assign_hier_valid_and_deterministic(spark, sf_dir):
     _ = centroids(n_cells, dim)  # determinism anchor: same scheme both paths
 
 
+def test_ivf_assign_hier_exact_matches_duckdb(spark, sf_dir):
+    """The integer-exact two-level assignment (the REGISTERED knn-graph
+    scale arm) must agree with its DuckDB CTE twin bit for bit -- the
+    cross-engine pin that lets the O(N*2*sqrt(n_cells)*dim) plan carry a
+    hash oracle, unlike the float-coarse ivf_assign_hier."""
+    import duckdb
+
+    from json_format_in_parquet_benchmark_spark.operators.similarity import (
+        hier_assign_duckdb_ctes,
+        ivf_assign_hier_exact,
+    )
+    from json_format_in_parquet_benchmark_spark.tables import table_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r.vec_id: r.cell
+        for r in ivf_assign_hier_exact(
+            emb, "embedding", "vec_id", n_cells=64, dim=64
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{table_path(sf_dir, 'embeddings')}')"
+    )
+    ctes = hier_assign_duckdb_ctes("embeddings", "embedding", "vec_id", 64, 64)
+    want = dict(
+        con.execute(f"WITH {ctes} SELECT vec_id, cell FROM assigned").fetchall()
+    )
+    assert got == want
+    assert all(0 <= c < 64 for c in got.values())
+
+
 def test_simhash_banding_equals_all_pairs(spark, sf_dir):
     """The band-blocked Hamming join must produce EXACTLY the all-pairs
     result (bands > max_hamming => pigeonhole guarantees a shared band for

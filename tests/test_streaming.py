@@ -330,6 +330,77 @@ def test_late_data_actually_dropped_by_watermark(spark, sf_dir):
     assert state_after_late <= prev_state, (state_after_late, prev_state)
 
 
+def test_upsert_foreachbatch_restart_exactly_once(spark):
+    """Kill-restart exactly-once for the foreachBatch upsert sink -- the
+    third stateful-commit surface, matching the custom source/sink twins'
+    restart tests.  Attempt 1 crashes inside the exact window foreachBatch's
+    at-least-once contract exposes: batch 0's merge has swapped state+marker
+    in, but the engine checkpoint commit was never written.  The restart
+    REDELIVERS batch 0 under the same batch_id; the marker guard must skip
+    it (re-merging would double n_events/total_vq), then batch 1 applies,
+    and the final state table must equal the one-shot batch aggregate over
+    ALL events."""
+    import shutil
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        _staged_events_two_files,
+        run_upsert_stream,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events_dir = _staged_events_two_files(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="jfipb_upsert_restart_state_")
+    shutil.rmtree(state_dir)  # the first merge must create it
+    ckpt = tempfile.mkdtemp(prefix="jfipb_upsert_restart_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            run_upsert_stream(
+                spark, events_dir, state_dir, ckpt, fail_after_batch=0
+            )
+        marker = os.path.join(state_dir, "_applied_batch")
+        assert os.path.isfile(marker), "crash window never materialized"
+        with open(marker, encoding="utf-8") as fh:
+            assert fh.read().strip() == "0"
+        partial = {
+            r["user_id"]: r["n_events"]
+            for r in spark.read.parquet(state_dir).collect()
+        }
+        assert partial, "crashed run applied nothing"
+
+        run_upsert_stream(spark, events_dir, state_dir, ckpt)
+
+        got = sorted(
+            (r["user_id"], r["n_events"], r["total_vq"], r["last_us"])
+            for r in spark.read.parquet(state_dir).collect()
+        )
+        want = sorted(
+            (r["user_id"], r["n_events"], r["total_vq"], r["last_us"])
+            for r in spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("vq").cast("bigint").alias("total_vq"),
+                F.max("us").cast("bigint").alias("last_us"),
+            )
+            .collect()
+        )
+        assert got == want, "restart double-counted or lost a batch"
+        # The restart must have made progress past the crashed batch --
+        # some user's count strictly grew (batch 1 is non-empty by the
+        # chronological split construction).
+        grew = [
+            uid for uid, n, _vq, _us in got
+            if uid in partial and n > partial[uid]
+        ] + [uid for uid, *_ in got if uid not in partial]
+        assert grew, "batch 1 never applied after restart"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_pyds_sink_restart_exactly_once(spark):
     """Sink-side exactly-once under a REAL restart, not just a re-invoked
     commit(): run the replay stream into the NDJSON manifest sink, stop it
