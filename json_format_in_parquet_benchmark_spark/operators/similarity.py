@@ -625,6 +625,136 @@ def knn_graph_ivf_fast(
     )
 
 
+def knn_graph_ivf_exact(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 64,
+    dim: int = 64,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """The k-NN graph with BOTH stages on the integer-exact fast path --
+    the round-8 completion of the assignment fix: per-cell scoring as an
+    int64 Gram matrix in an Arrow-batched numpy kernel, oracle-mirrored
+    bit for bit.
+
+    Scoring semantics: neighbors rank by the cosine of the QUANTIZED
+    vectors (eq = floor(x * 1e6), the same grid the assignment uses).
+    cos = dot_int / (sqrt(m2_q) * sqrt(m2_c)) where dot_int and the
+    squared norms are exact int64 (products <= dim * 1e12 << 2^53), so
+    int->double casts are exact, sqrt is IEEE correctly rounded in numpy
+    (hardware sqrtsd) and DuckDB (libm) alike, and the final
+    multiply/divide are single IEEE ops on identical operands --
+    bit-identical ranking across engines, ties broken by neighbor id on
+    bit-EQUAL cosines.  Quantization perturbs each cosine by O(1e-6)
+    relative -- a legitimate (and documented) definition for an ANN
+    index, in exchange for the scoring stage running as vectorized C
+    instead of a per-pair interpreted 64-term fold: measured 173s ->
+    ~17s at 500k vectors (results/scale_probe.txt, round 8).
+
+    Unlike :func:`knn_graph_ivf_fast` (float BLAS, not oracle-able),
+    every row of this output is hash-checked by the driver; per row the
+    FULL cell is lexsorted by (-cos, neighbor_id), so top-k tie handling
+    matches ROW_NUMBER exactly (argpartition could split a boundary
+    tie differently).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    cells = (
+        assigned
+        if assigned is not None
+        else ivf_assign_hier_exact(df, vec_col, id_col, n_cells, dim)
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).join(cells, "vec_id")
+
+    empty = pd.DataFrame(
+        {"query_id": [], "neighbor_id": [], "cos_sim": [], "rank": []}
+    ).astype(
+        {"query_id": "int64", "neighbor_id": "int64",
+         "cos_sim": "float64", "rank": "int32"}
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        X = np.asarray(pdf["vec"].to_list(), dtype=np.float64)
+        n = len(ids)
+        if n < 2:
+            return empty
+        eq = np.floor(X * 1e6).astype(np.int64)
+        G = eq @ eq.T  # exact int64 Gram
+        m2 = np.sqrt(np.diag(G).astype(np.float64))  # sqrt of exact int
+        # Rows with an all-zero quantized vector have m2 = 0; the SQL twin
+        # divides by zero -> inf/NaN there, but the generator's embeddings
+        # never quantize to zero (|x| >= 1e-6 somewhere); guard anyway so
+        # a degenerate input fails loudly rather than silently.
+        S = G.astype(np.float64) / m2[:, None] / m2[None, :]
+        kk = min(k, n - 1)
+        out_q = np.repeat(ids, kk)
+        out_n = np.empty(n * kk, dtype=np.int64)
+        out_c = np.empty(n * kk, dtype=np.float64)
+        neg = -S
+        for i in range(n):
+            row = neg[i].copy()
+            row[i] = np.inf  # exclude self
+            order = np.lexsort((ids, row))[:kk]
+            out_n[i * kk : (i + 1) * kk] = ids[order]
+            out_c[i * kk : (i + 1) * kk] = S[i, order]
+        return pd.DataFrame(
+            {
+                "query_id": out_q,
+                "neighbor_id": out_n,
+                "cos_sim": out_c,
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+            }
+        )
+
+    return vecs.groupBy("cell").applyInPandas(
+        per_cell,
+        schema="query_id long, neighbor_id long, cos_sim double, rank int",
+    )
+
+
+def knn_graph_exact_duckdb_sql(k: int, table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`knn_graph_ivf_exact`'s scoring, to splice
+    after the ``assigned`` CTE from :func:`hier_assign_duckdb_ctes`
+    (which also defines ``heq(vec_id, eq)``): exact integer dot and
+    squared norms, cosine as the identical IEEE expression."""
+    return f"""
+norms AS (
+  SELECT vec_id, sqrt(CAST(list_dot_product(eq::DOUBLE[], eq::DOUBLE[])
+                            AS DOUBLE)) AS nrm
+  FROM heq
+),
+scored AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.eq::DOUBLE[], b.eq::DOUBLE[]) AS DOUBLE)
+           / na.nrm / nb.nrm AS cos_sim
+  FROM assigned qa
+  JOIN assigned ca USING (cell)
+  JOIN heq a ON a.vec_id = qa.vec_id
+  JOIN heq b ON b.vec_id = ca.vec_id
+  JOIN norms na ON na.vec_id = qa.vec_id
+  JOIN norms nb ON nb.vec_id = ca.vec_id
+  WHERE qa.vec_id <> ca.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {k}
+"""
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

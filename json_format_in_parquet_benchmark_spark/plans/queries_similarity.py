@@ -225,51 +225,45 @@ def _knn_hier_ctes() -> str:
     )
 
 
+def _knn_exact_oracle() -> str:
+    from ..operators.similarity import knn_graph_exact_duckdb_sql
+
+    return (
+        f"WITH {_knn_hier_ctes()},"
+        + knn_graph_exact_duckdb_sql(KNN_K, "embeddings")
+    )
+
+
 @register(
     "similarity_knn_graph",
-    oracle=f"""
-WITH {_knn_hier_ctes()},
-scored AS (
-  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
-         {cosine_duckdb("a.embedding", "b.embedding")} AS cos_sim
-  FROM assigned qa
-  JOIN assigned ca USING (cell)
-  JOIN embeddings a ON a.vec_id = qa.vec_id
-  JOIN embeddings b ON b.vec_id = ca.vec_id
-  WHERE qa.vec_id <> ca.vec_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, cos_sim,
-         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-  FROM scored
-)
-SELECT * FROM ranked WHERE rank <= {KNN_K}
-""",
+    oracle=_knn_exact_oracle(),
     doc="Full k-NN graph: EVERY vector's top-5 cosine neighbors within its "
     f"IVF cell ({KNN_CELLS} cells, n_probe=1) -- the all-to-all ANN shape "
     "behind SemDeDup-style curation and graph near-dup clustering.  Unlike "
-    "similarity_topk_ivf (broadcast query side), both sides shuffle once on "
-    "cell and the join is cell-co-partitioned; per-cell work is occupancy^2 "
-    "so growing n_cells with N holds the JOIN linear.  Cell assignment is "
-    "the TWO-LEVEL integer-exact quantizer (coarse group argmax then fine "
-    "cell argmax, all int64 on the 1e6 grid -- "
-    "operators/similarity.py:ivf_assign_hier_exact): O(N*2*sqrt(n_cells)*"
-    "dim) flops instead of flat assignment's O(N*n_cells*dim), which grew "
-    "quadratically under the linear-n_cells rule (measured 7.5x/decade, "
-    "results/scale_probe.txt) -- so the driver-checked plan here IS the "
-    "plan that survives 10^9 vectors, not a small-scale stand-in.",
+    "similarity_topk_ivf (broadcast query side), both sides shuffle once "
+    "on cell and all per-cell work is cell-co-partitioned; per-cell work "
+    "is occupancy^2 so growing n_cells with N holds it linear.  BOTH "
+    "stages run the integer-exact fast path and BOTH are oracle-mirrored "
+    "bit for bit: assignment is the two-level quantizer "
+    "(operators/similarity.py:ivf_assign_hier_exact, O(N*2*sqrt(n_cells)*"
+    "dim) int64 flops vs flat assignment's quadratic-under-growth-rule "
+    "O(N*n_cells*dim) -- measured 210.8s -> 2.9s at 500k vectors), and "
+    "scoring is a per-cell int64 Gram matrix in an Arrow kernel ranked by "
+    "quantized-vector cosine (knn_graph_ivf_exact; 173s -> ~17s at 500k "
+    "vs the interpreted per-pair fold).  The driver-checked plan here IS "
+    "the plan that survives 10^9 vectors, not a small-scale stand-in "
+    "(results/scale_probe.txt, round 8).",
     tags=("similarity", "ivf", "knn-graph", "custom-operator"),
     bench=True,
 )
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_assign_hier_exact, knn_graph_ivf
+    from ..operators.similarity import ivf_assign_hier_exact, knn_graph_ivf_exact
 
     emb = load_table(spark, sf_dir, "embeddings")
     cells = ivf_assign_hier_exact(
         emb, "embedding", "vec_id", n_cells=KNN_CELLS, dim=DIM
     )
-    out = knn_graph_ivf(
+    out = knn_graph_ivf_exact(
         emb, "embedding", "vec_id", k=KNN_K, n_cells=KNN_CELLS, dim=DIM,
         assigned=cells,
     )

@@ -51,6 +51,7 @@ from json_format_in_parquet_benchmark_spark.operators.similarity import (
     ivf_assign_hier,
     ivf_assign_hier_exact,
     knn_graph_ivf,
+    knn_graph_ivf_exact,
     knn_graph_ivf_fast,
     pq_topk,
     topk_ivf,
@@ -496,14 +497,12 @@ def main() -> None:
             ).count()
         )
         # The REGISTERED similarity_knn_graph shape since round 8: the
-        # SQL-exact pair-join scoring fed by the INTEGER-EXACT two-level
-        # assignment (oracle-mirrored bit for bit) -- so this row times
-        # the driver-checked plan itself under the linear-n_cells growth
-        # rule, not a stand-in.  vs the knn_graph row above, the only
-        # delta is flat O(N*n_cells*dim) assignment -> two-level
-        # O(N*~2*sqrt(n_cells)*dim); the scoring join is identical.
+        # integer-exact two-level assignment AND the per-cell int64 Gram
+        # scoring kernel, both oracle-mirrored bit for bit -- this row
+        # times the driver-checked plan itself under the linear-n_cells
+        # growth rule, not a stand-in.
         r["knn_graph_hier_exact"] = timed_l("knn_graph_hier_exact",
-            lambda: knn_graph_ivf(
+            lambda: knn_graph_ivf_exact(
                 embs, "embedding", "vec_id", k=5,
                 n_cells=max(16, n_emb // 500), dim=DIM,
                 assigned=ivf_assign_hier_exact(

@@ -249,6 +249,50 @@ def test_ivf_assign_hier_exact_matches_duckdb(spark, sf_dir):
     assert all(0 <= c < 64 for c in got.values())
 
 
+def test_knn_graph_exact_quantized_ranking_faithful(spark, sf_dir):
+    """The registered knn graph ranks by QUANTIZED-vector cosine (the 1e6
+    grid that makes the kernel oracle-able).  Pin that the quantization
+    is semantically negligible: with the same cell assignment, per-query
+    neighbor SETS at k=5 match raw-double-cosine ranking for >= 98% of
+    queries, and every disagreement is a genuine near-tie (the raw
+    cosines of the swapped neighbors differ by < 1e-4)."""
+    from json_format_in_parquet_benchmark_spark.operators.similarity import (
+        ivf_assign_hier_exact,
+        knn_graph_ivf,
+        knn_graph_ivf_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = ivf_assign_hier_exact(emb, "embedding", "vec_id", 64, 64)
+    quant = {}
+    for r in knn_graph_ivf_exact(
+        emb, "embedding", "vec_id", k=5, n_cells=64, dim=64, assigned=cells
+    ).collect():
+        quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    raw_rows = knn_graph_ivf(
+        emb, "embedding", "vec_id", k=5, n_cells=64, dim=64, assigned=cells
+    ).collect()
+    raw = {}
+    raw_cos = {}
+    for r in raw_rows:
+        raw.setdefault(r.query_id, set()).add(r.neighbor_id)
+        raw_cos[(r.query_id, r.neighbor_id)] = r.cos_sim
+    assert set(quant) == set(raw)
+    disagree = [q for q in raw if quant[q] != raw[q]]
+    assert len(disagree) <= max(1, len(raw) // 50), (
+        f"{len(disagree)}/{len(raw)} queries disagree"
+    )
+    for q in disagree:
+        # the raw-ranked neighbors the quantized ranking dropped must be
+        # near-ties with raw cosines of ones it kept
+        dropped = raw[q] - quant[q]
+        kept_cos = [raw_cos[(q, n)] for n in raw[q] & quant[q]]
+        for n in dropped:
+            assert kept_cos and min(
+                abs(raw_cos[(q, n)] - c) for c in kept_cos
+            ) < 1e-4, (q, n)
+
+
 def test_simhash_banding_equals_all_pairs(spark, sf_dir):
     """The band-blocked Hamming join must produce EXACTLY the all-pairs
     result (bands > max_hamming => pigeonhole guarantees a shared band for
