@@ -538,8 +538,11 @@ def knn_graph_ivf(
     # measured SLOWER at the 500k-vector tier (171.6s vs 155.9s min-of-2,
     # same box, same session): the interpreted pair-cosine dominates this
     # plan, not the scored-pair shuffle, and the wider sort key costs more
-    # than the exchange saves.  The at-scale kernel is knn_graph_ivf_fast
-    # below (numpy per-cell top-k, no pair materialization at all).
+    # than the exchange saves.  Since round 8 the registered query runs
+    # knn_graph_ivf_exact below (per-cell int64 Gram, oracle-exact, no
+    # pair materialization); this SQL pair-join form remains the
+    # raw-cosine reference the quantization-faithfulness test compares
+    # against (tests/test_properties.py).
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -553,8 +556,13 @@ def knn_graph_ivf_fast(
     dim: int = 64,
     assigned: DataFrame | None = None,
 ) -> DataFrame:
-    """``knn_graph_ivf``'s at-scale twin: per-cell numpy top-k via
+    """``knn_graph_ivf``'s float-BLAS twin: per-cell numpy top-k via
     applyInPandas instead of a pair join + interpreted cosine + window.
+    Since round 8 this is a COMPARISON ARM, no longer the only fast
+    path: :func:`knn_graph_ivf_exact` gets within ~2x of the BLAS Gram
+    using exact int64 products and IS oracle-checkable, so the
+    registered query runs that; this float form remains the raw-cosine
+    (unquantized) reference for probe comparisons.
 
     The SQL form materializes occupancy x N scored pairs and evaluates an
     interpreted (non-codegen) 64-term zip_with/aggregate per pair -- the

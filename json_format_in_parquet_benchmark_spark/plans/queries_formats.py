@@ -137,7 +137,10 @@ def format_roundtrip_jsonb_shredded(spark: SparkSession, sf_dir: str) -> DataFra
     oracle=None,  # filesystem sizes are writer-dependent; rows-only check
     doc="O23: per-format Parquet size + compression ratio over the events "
     "JSON corpus (the reference's headline result table, "
-    "scripts/benchmark_results.csv).",
+    "scripts/benchmark_results.csv).  Written at the engine's tuned "
+    "ZSTD_LEVEL; the cross-framework-comparable numbers live in "
+    "results/storage_results.csv at REF_ZSTD_LEVEL (see "
+    "formats/base.py and results/bench_notes.md round 8).",
     tags=("format", "metrics"),
 )
 def format_storage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
