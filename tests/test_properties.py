@@ -249,6 +249,68 @@ def test_ivf_assign_hier_exact_matches_duckdb(spark, sf_dir):
     assert all(0 <= c < 64 for c in got.values())
 
 
+def test_hier_groups_divisor_rule():
+    """The coarse-group default must always DIVIDE n_cells (equal group
+    sizes are what make group-sum argmax == group-mean argmax), picking
+    the divisor nearest sqrt; explicit non-divisors are rejected."""
+    import pytest as _pytest
+
+    from json_format_in_parquet_benchmark_spark.operators.similarity import (
+        hier_groups,
+    )
+
+    assert hier_groups(64, None) == 8
+    assert hier_groups(1, None) == 1
+    for n_cells in (1000, 1024, 10000, 96, 17):
+        g = hier_groups(n_cells, None)
+        assert n_cells % g == 0
+        # no other divisor is strictly closer to sqrt
+        root = n_cells ** 0.5
+        best = min(
+            (d for d in range(1, n_cells + 1) if n_cells % d == 0),
+            key=lambda d: (abs(d - root), d),
+        )
+        assert g == best
+    assert hier_groups(64, 16) == 16
+    with _pytest.raises(ValueError):
+        hier_groups(64, 7)  # not a divisor
+    with _pytest.raises(ValueError):
+        hier_groups(64, 0)
+
+
+def test_knn_graph_exact_singleton_cells(spark):
+    """Cells with fewer than 2 members must emit nothing (a vector with
+    no cell-mates has no neighbors) and the schema must hold."""
+    from json_format_in_parquet_benchmark_spark.operators.similarity import (
+        knn_graph_ivf_exact,
+    )
+
+    # Two far-apart vectors forced into distinct cells via an explicit
+    # assignment: no co-located pair, so the graph is empty.
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [-1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    assigned = spark.createDataFrame(
+        [(0, 0), (1, 1)], "vec_id long, cell int"
+    )
+    out = knn_graph_ivf_exact(
+        emb, "embedding", "vec_id", k=5, n_cells=2, dim=64, assigned=assigned
+    )
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert out.count() == 0
+    # and with both in ONE cell, exactly one mutual edge pair at rank 1
+    together = spark.createDataFrame(
+        [(0, 0), (1, 0)], "vec_id long, cell int"
+    )
+    rows = knn_graph_ivf_exact(
+        emb, "embedding", "vec_id", k=5, n_cells=2, dim=64, assigned=together
+    ).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in rows) == [
+        (0, 1, 1), (1, 0, 1)
+    ]
+    assert all(abs(r.cos_sim + 1.0) < 1e-12 for r in rows)
+
+
 def test_knn_graph_exact_quantized_ranking_faithful(spark, sf_dir):
     """The registered knn graph ranks by QUANTIZED-vector cosine (the 1e6
     grid that makes the kernel oracle-able).  Pin that the quantization
