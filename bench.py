@@ -24,6 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from json_format_in_parquet_benchmark_spark.formats.base import REF_ZSTD_LEVEL
 from json_format_in_parquet_benchmark_spark.plans import REGISTRY
 from json_format_in_parquet_benchmark_spark.session import get_spark
 
@@ -222,7 +223,6 @@ def main() -> None:
     storage_zstd9: dict[str, dict] = {}
     try:
         from json_format_in_parquet_benchmark_spark.formats.base import (
-            REF_ZSTD_LEVEL,
             ZSTD_LEVEL,
         )
         from json_format_in_parquet_benchmark_spark.metrics import measure_all_formats
@@ -257,9 +257,6 @@ def main() -> None:
     # reference-matched writer level (cross-framework comparable).
     storage_by_corpus: dict[str, dict] = {}
     try:
-        from json_format_in_parquet_benchmark_spark.formats.base import (
-            REF_ZSTD_LEVEL,
-        )
         from json_format_in_parquet_benchmark_spark.metrics import measure_format
         from json_format_in_parquet_benchmark_spark.sources.ndjson import (
             read_ndjson_raw,
@@ -427,8 +424,8 @@ def main() -> None:
             for k, v in storage.items()
         },
         # rates above are written at the reference writer's effective zstd
-        # level (parquet-rs default = 1); the tuned arm is in the full file
-        "storage_zstd_level": 1,
+        # level (parquet-rs default); the tuned arm is in the full file
+        "storage_zstd_level": REF_ZSTD_LEVEL,
         "path_query": path_query,
         "full": "results/bench_full.json",
     }

@@ -297,7 +297,12 @@ def ivf_assign_hier(
 # a double-domain evaluation of the same dots is exact), which lets the
 # O(N * 2*sqrt(n_cells) * dim) assignment BE the driver-checked plan.
 
-EQ_GRID = "1e6"  # integer quantization grid for exact assignment decisions
+# Integer quantization grid for exact assignment decisions.  ONE numeric
+# constant feeds both sides: the numpy kernels multiply by EQ_GRID_F and the
+# DuckDB twins splice EQ_GRID (its repr) into FLOOR(x * {EQ_GRID}), so
+# changing the grid cannot desynchronize a registered plan from its oracle.
+EQ_GRID_F = 1e6
+EQ_GRID = repr(EQ_GRID_F)
 
 
 def hier_groups(n_cells: int, n_groups: int | None) -> int:
@@ -353,9 +358,9 @@ def ivf_assign_hier_exact(
             if not len(pdf):
                 continue
             X = np.array(pdf["v"].tolist(), dtype=np.float64)
-            # floor(x * 1e6): identical IEEE multiply + floor as the SQL
-            # twin (float32 -> double cast is exact on both sides).
-            eq = np.floor(X * 1e6).astype(np.int64)
+            # floor(x * EQ_GRID_F): identical IEEE multiply + floor as the
+            # SQL twin (float32 -> double cast is exact on both sides).
+            eq = np.floor(X * EQ_GRID_F).astype(np.int64)
             cg = (eq @ coarse.T).argmax(axis=1)  # int64 matmul: exact;
             out = np.empty(len(eq), dtype=np.int32)  # first max = lowest grp
             for gi in np.unique(cg):
@@ -695,13 +700,21 @@ def knn_graph_ivf_exact(
         n = len(ids)
         if n < 2:
             return empty
-        eq = np.floor(X * 1e6).astype(np.int64)
+        eq = np.floor(X * EQ_GRID_F).astype(np.int64)
         G = eq @ eq.T  # exact int64 Gram
         m2 = np.sqrt(np.diag(G).astype(np.float64))  # sqrt of exact int
         # Rows with an all-zero quantized vector have m2 = 0; the SQL twin
-        # divides by zero -> inf/NaN there, but the generator's embeddings
-        # never quantize to zero (|x| >= 1e-6 somewhere); guard anyway so
-        # a degenerate input fails loudly rather than silently.
+        # divides by zero -> inf/NaN there and NaN ordering in lexsort may
+        # diverge from the oracle's ORDER BY, so a degenerate input must
+        # fail loudly rather than silently.  The generator's embeddings
+        # never quantize to zero (|x| >= 1/EQ_GRID_F somewhere), so this
+        # only ever trips on foreign data.
+        if not m2.all():
+            raise ValueError(
+                "knn_graph_ivf_exact: vector quantizes to all-zero on the "
+                f"{EQ_GRID} grid (ids "
+                f"{ids[m2 == 0][:5].tolist()}); cosine is undefined there"
+            )
         S = G.astype(np.float64) / m2[:, None] / m2[None, :]
         kk = min(k, n - 1)
         out_q = np.repeat(ids, kk)
@@ -729,11 +742,13 @@ def knn_graph_ivf_exact(
     )
 
 
-def knn_graph_exact_duckdb_sql(k: int, table: str = "embeddings") -> str:
+def knn_graph_exact_duckdb_sql(k: int) -> str:
     """DuckDB twin of :func:`knn_graph_ivf_exact`'s scoring, to splice
     after the ``assigned`` CTE from :func:`hier_assign_duckdb_ctes`
     (which also defines ``heq(vec_id, eq)``): exact integer dot and
-    squared norms, cosine as the identical IEEE expression."""
+    squared norms, cosine as the identical IEEE expression.  Reads only
+    those CTEs -- the source table is whatever the assignment CTEs were
+    built over, so there is no table parameter here."""
     return f"""
 norms AS (
   SELECT vec_id, sqrt(CAST(list_dot_product(eq::DOUBLE[], eq::DOUBLE[])

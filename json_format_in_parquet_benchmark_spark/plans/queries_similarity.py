@@ -230,7 +230,7 @@ def _knn_exact_oracle() -> str:
 
     return (
         f"WITH {_knn_hier_ctes()},"
-        + knn_graph_exact_duckdb_sql(KNN_K, "embeddings")
+        + knn_graph_exact_duckdb_sql(KNN_K)
     )
 
 

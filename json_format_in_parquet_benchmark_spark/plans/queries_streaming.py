@@ -768,6 +768,11 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _APPLIED_MARKER = "_applied_batch"  # underscore-prefixed: invisible to readers
 
+# Crash-injection seam for the swap window (rmtree done, rename not yet):
+# a no-op in production, monkeypatched by the kill-restart test so the
+# recovery path in upsert_merge_batch is exercised against a REAL torn swap.
+_SWAP_WINDOW_HOOK = lambda: None  # noqa: E731
+
 
 def upsert_merge_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> None:
     """Idempotent per-batch MERGE into the parquet state table.
@@ -780,11 +785,26 @@ def upsert_merge_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> No
     and marker can never disagree: redelivered batch ids <= the marker are
     skipped, making the merge exactly-once end to end
     (tests/test_streaming.py::test_upsert_foreachbatch_restart_exactly_once
-    kills the query inside exactly that crash window)."""
+    kills the query inside exactly that crash window).
+
+    The swap itself has a SECOND crash window: between rmtree(state_dir)
+    and rename(tmp -> state_dir) neither directory carries the state.  The
+    tmp dir is always complete at that point (parquet AND marker are fully
+    written before the rmtree starts), so recovery is to finish the
+    interrupted rename on entry: state_dir missing + a marker-bearing tmp
+    present => rename it in, then the ordinary marker guard sees the
+    recovered batch as applied and skips its redelivery
+    (tests/test_streaming.py::test_upsert_foreachbatch_swap_window_recovery
+    kills between the rmtree and the rename)."""
     import shutil
 
     from pyspark.sql import functions as F
 
+    tmp_dir = state_dir + ".tmp"
+    if not os.path.isdir(state_dir) and os.path.isfile(
+        os.path.join(tmp_dir, _APPLIED_MARKER)
+    ):
+        os.rename(tmp_dir, state_dir)  # finish the interrupted swap
     marker = os.path.join(state_dir, _APPLIED_MARKER)
     if os.path.isfile(marker):
         with open(marker, encoding="utf-8") as fh:
@@ -808,11 +828,11 @@ def upsert_merge_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> No
         )
     else:
         merged = partial
-    tmp_dir = state_dir + ".tmp"
     merged.write.mode("overwrite").parquet(tmp_dir)
     with open(os.path.join(tmp_dir, _APPLIED_MARKER), "w", encoding="utf-8") as fh:
         fh.write(str(batch_id))
     shutil.rmtree(state_dir, ignore_errors=True)
+    _SWAP_WINDOW_HOOK()  # test-only crash injection between rmtree and rename
     os.rename(tmp_dir, state_dir)
 
 

@@ -311,6 +311,39 @@ def test_knn_graph_exact_singleton_cells(spark):
     assert all(abs(r.cos_sim + 1.0) < 1e-12 for r in rows)
 
 
+def test_knn_graph_exact_zero_vector_fails_loudly(spark):
+    """A vector that quantizes to all-zero on the EQ_GRID has no defined
+    cosine; the kernel must raise (matching its documented failure mode)
+    rather than emit NaN/inf rows whose lexsort order could silently
+    diverge from the DuckDB oracle's ORDER BY."""
+    import pytest as _pytest
+
+    from json_format_in_parquet_benchmark_spark.operators.similarity import (
+        knn_graph_ivf_exact,
+    )
+
+    # |x| < 1/EQ_GRID_F everywhere -> floor(x * 1e6) == 0 on every axis.
+    emb = spark.createDataFrame(
+        [(0, [1e-7] * 64), (1, [1.0] * 64), (2, [0.5] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    together = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "vec_id long, cell int"
+    )
+    out = knn_graph_ivf_exact(
+        emb, "embedding", "vec_id", k=5, n_cells=1, dim=64, assigned=together
+    )
+    with _pytest.raises(Exception, match="quantizes to all-zero"):
+        out.collect()
+    # and without the degenerate row the same plan succeeds
+    ok = knn_graph_ivf_exact(
+        emb.filter("vec_id > 0"), "embedding", "vec_id",
+        k=5, n_cells=1, dim=64,
+        assigned=together.filter("vec_id > 0"),
+    ).collect()
+    assert sorted((r.query_id, r.neighbor_id) for r in ok) == [(1, 2), (2, 1)]
+
+
 def test_knn_graph_exact_quantized_ranking_faithful(spark, sf_dir):
     """The registered knn graph ranks by QUANTIZED-vector cosine (the 1e6
     grid that makes the kernel oracle-able).  Pin that the quantization

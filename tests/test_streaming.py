@@ -401,6 +401,77 @@ def test_upsert_foreachbatch_restart_exactly_once(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_upsert_foreachbatch_swap_window_recovery(spark, monkeypatch):
+    """Kill-restart in the SECOND crash window of the upsert sink's commit:
+    after rmtree(state_dir) but before rename(tmp -> state_dir).  At that
+    instant neither directory is the state table -- the fully-written tmp
+    (parquet + marker) is the only copy.  Without the recovery path the
+    restart would merge batch 0's redelivery against NOTHING and silently
+    lose every prior batch; with it, entry finishes the interrupted rename,
+    the marker guard then skips the redelivery, and the final table equals
+    the one-shot aggregate over all events."""
+    import shutil
+
+    from json_format_in_parquet_benchmark_spark.plans import queries_streaming
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        _staged_events_two_files,
+        run_upsert_stream,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events_dir = _staged_events_two_files(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="jfipb_upsert_swap_state_")
+    shutil.rmtree(state_dir)
+    ckpt = tempfile.mkdtemp(prefix="jfipb_upsert_swap_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def torn_swap():
+        raise RuntimeError("injected crash in swap window")
+
+    try:
+        monkeypatch.setattr(queries_streaming, "_SWAP_WINDOW_HOOK", torn_swap)
+        with pytest.raises(Exception, match="injected crash in swap window"):
+            run_upsert_stream(spark, events_dir, state_dir, ckpt)
+        # The torn state the docstring describes must actually exist:
+        # no state_dir, complete tmp with the batch-0 marker.
+        assert not os.path.isdir(state_dir), "swap window never materialized"
+        tmp_marker = os.path.join(state_dir + ".tmp", "_applied_batch")
+        assert os.path.isfile(tmp_marker)
+        with open(tmp_marker, encoding="utf-8") as fh:
+            assert fh.read().strip() == "0"
+
+        monkeypatch.setattr(
+            queries_streaming, "_SWAP_WINDOW_HOOK", lambda: None
+        )
+        run_upsert_stream(spark, events_dir, state_dir, ckpt)
+
+        assert not os.path.exists(state_dir + ".tmp") or os.path.isdir(
+            state_dir
+        )
+        got = sorted(
+            (r["user_id"], r["n_events"], r["total_vq"], r["last_us"])
+            for r in spark.read.parquet(state_dir).collect()
+        )
+        want = sorted(
+            (r["user_id"], r["n_events"], r["total_vq"], r["last_us"])
+            for r in spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("vq").cast("bigint").alias("total_vq"),
+                F.max("us").cast("bigint").alias("last_us"),
+            )
+            .collect()
+        )
+        assert got == want, "torn swap lost or double-counted a batch"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(state_dir + ".tmp", ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_pyds_sink_restart_exactly_once(spark):
     """Sink-side exactly-once under a REAL restart, not just a re-invoked
     commit(): run the replay stream into the NDJSON manifest sink, stop it
