@@ -29,137 +29,143 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 
 
-# Evidence-driven ordering, round 8: the external driver cross-checks the
-# FIRST 50 registered queries each round.  CORRECTNESS_r07 landed all 50
-# of the round-7 window green, so cumulative driver coverage stands at
-# 280/293 with the 13 round-7 session additions never sampled -- the
-# round-7 verdict's item 2 says fill the round-8 window with those 13
-# plus the stalest r1-r3 greens, prioritizing churn.  Composition:
-# the 13 never-sampled; the three queries whose PLAN changed this round
-# (similarity_knn_graph moved to the integer-exact two-level assignment
-# with a rewritten oracle, sample_dsir_importance moved to the
-# single-scan cached-bucket-array shape, stream_upsert_foreachbatch
-# gained the idempotent-redelivery marker -- their prior evidence
-# describes code that no longer exists); the whole r1/r2-last-green
-# cohort (1 + 31 queries: the TPC-H/relational/window/scan/text
-# singles); and three r3 picks from the families the round-7 verdict
-# names as most churned (multimodal decode, sketch, sink).
-# Ordering within the 50: most failure-prone first (the Arrow-stage and
-# iterative time-series singles), the changed-this-round trio next so a
-# truncation still covers them, the broad r2 cohort, slowest re-pins at
-# the tail.
+# Evidence-driven ordering, round 9: the external driver cross-checks the
+# FIRST 50 registered queries each round.  CORRECTNESS_r08 landed 50/50
+# green, so cumulative coverage is 293/293 and the round-8 verdict's item
+# 1 orders this round's window spent on evidence FRESHNESS: the 45
+# queries whose most recent driver green is round 3 (the staged
+# _ROUND9_EVIDENCE_TODO, now promoted wholesale), plus the three plans
+# that CHANGED this round (stream_upsert_foreachbatch gained the
+# torn-swap recovery path, similarity_knn_graph's kernel gained the
+# zero-norm guard and the shared EQ_GRID constant, format_storage_metrics
+# moved from rows-only to a real oracle over portable invariants -- their
+# prior evidence describes code that no longer exists), plus two r4-stale
+# picks for the remaining slots: graph_pagerank_trading (this round's
+# scale-probe target, per verdict item 6) and dedup_substring_exact (the
+# most expensive non-stream plan in the round-8 audit).
+# Ordering within the 50: the changed trio first so a truncated pass
+# still covers them, then the failure-prone Arrow/streaming/multimodal
+# singles, the similarity/sketch/sink arms, the broad batch cohort, and
+# the slow pipeline/pack re-pins at the tail.
 _EVIDENCE_PRIORITY = (
-    # -- never-sampled: round-7 additions, most failure-prone first --
-    "multimodal_audio_fingerprint",
-    "events_hmm_viterbi",
-    "events_stl_decompose",
-    "events_anomaly_stl_residual",
-    "events_forecast_holt_winters",
-    "events_theil_sen",
-    "events_offpolicy_ips",
-    "graph_betweenness_sampled",
-    "dedup_simhash_blocks",
-    "similarity_sq8_recall",
-    "sample_neyman_allocation",
-    "text_chunk_semantic",
-    "sample_dsir_importance",
-    # -- re-pins: plan changed THIS round --
-    "similarity_knn_graph",
+    # -- re-pins: plan or oracle changed THIS round --
     "stream_upsert_foreachbatch",
-    # -- re-pins: the r1/r2-last-green cohort (stalest first) --
-    "dedup_exact_normalized",
-    "flagship_events_enriched",
-    "filter_pushdown_scan",
-    "q3_shipping_priority",
-    "asof_join_purchase_click",
-    "range_join_user_events",
-    "join_semi_anti_customers",
-    "join_sortmerge_order_fulfilment",
-    "agg_cube_order_status",
-    "agg_grouping_sets_orders",
-    "agg_salted_skew_user",
-    "window_topn_orders_per_customer",
-    "window_running_customer_spend",
-    "pivot_daily_event_types",
-    "unpivot_daily_event_types",
-    "sort_topk_lineitems",
-    "set_ops_nations",
-    "subquery_orders_above_cust_avg",
-    "sample_stratified",
-    "string_funcs_parts",
-    "date_funcs_order_calendar",
-    "array_funcs_order_lines",
-    "map_funcs_event_props",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "json_keys_profile",
-    "json_ndv_profile",
-    "text_top_terms_per_lang",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_gopher_quality",
-    "text_decontaminate",
-    # -- re-pins: r3 picks from the most-churned families --
-    "multimodal_decode_features",
-    "sketch_theta_intersection",
-    "sink_merge_upsert",
-)
-# ROUND-9 EVIDENCE TODO (checked below so a rename/removal cannot
-# silently desynchronize it from the registry): if CORRECTNESS_r08 lands
-# this window green, cumulative coverage reaches 293/293 and the stalest
-# remaining cohort is the r3-last-green remainder -- fill the round-9
-# window with it (45 queries + 5 slots for whatever churns in round 8).
-_ROUND9_EVIDENCE_TODO = (
+    "similarity_knn_graph",
+    "format_storage_metrics",
+    # -- r3-stale: streaming family (stateful/Arrow stages first) --
+    "stream_sessionize_stateful",
+    "stream_dedup_watermarked",
+    "stream_hll_distinct_users",
+    "stream_stream_join",
+    "stream_static_enrich",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "stream_sessionize_batch",
+    "stream_sliding_window_batch",
+    "stream_tumbling_window_batch",
+    # -- r3-stale: multimodal / UDF / UDTF Arrow surfaces --
+    "multimodal_catalog",
+    "multimodal_image_resize",
+    "multimodal_video_frame_sample",
+    "udaf_median_value",
+    "udtf_tokenize_positions",
+    # -- r3-stale: similarity arms --
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_lsh_buckets",
+    "similarity_lsh_recall",
+    "similarity_ivf_partitioned",
+    "similarity_ivf_recall",
+    # -- r3-stale: sketches --
+    "sketch_hll_ndv",
+    "sketch_kmv_ndv",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_decontaminate",
+    "sketch_histogram_quantiles",
+    # -- r3-stale: sinks --
+    "sink_partitioned_events",
+    "sink_compacted_events",
+    "sink_bucketed_join",
+    "sink_ndjson_export",
+    # -- r3-stale: batch cohort --
+    "events_rollup_hll",
+    "join_salted_skew_events",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "scan_schema_evolution",
+    "split_train_valid_test",
+    "sample_mixture_epochs",
+    "text_bm25_topk",
     "dedup_incremental",
     "dedup_ngram_prefix",
     "dedup_semantic",
     "dedup_winnow_spans",
-    "events_rollup_hll",
-    "join_salted_skew_events",
-    "multimodal_catalog",
-    "multimodal_image_resize",
-    "multimodal_video_frame_sample",
+    # -- r4-stale picks for the spare slots --
+    "graph_pagerank_trading",
+    "dedup_substring_exact",
+    # -- slow r3-stale re-pins at the tail --
     "pack_token_shards",
     "pipeline_clean_corpus",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "sample_mixture_epochs",
-    "scan_schema_evolution",
-    "similarity_ivf_partitioned",
-    "similarity_ivf_recall",
-    "similarity_lsh_buckets",
-    "similarity_lsh_recall",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
-    "sink_bucketed_join",
-    "sink_compacted_events",
-    "sink_ndjson_export",
-    "sink_partitioned_events",
-    "sketch_bloom_decontaminate",
-    "sketch_cms_heavy_hitters",
-    "sketch_histogram_quantiles",
-    "sketch_hll_ndv",
-    "sketch_kmv_ndv",
-    "split_train_valid_test",
-    "stream_dedup_watermarked",
-    "stream_hll_distinct_users",
-    "stream_sessionize_batch",
-    "stream_sessionize_stateful",
-    "stream_sliding_window",
-    "stream_sliding_window_batch",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_tumbling_window",
-    "stream_tumbling_window_batch",
-    "text_bm25_topk",
-    "udaf_median_value",
-    "udtf_tokenize_positions",
+)
+# ROUND-10 EVIDENCE TODO (registry-checked below): with the round-9
+# window above green, every query's most recent driver green is r4+ and
+# the stalest cohort is the r4-last-green remainder (49 minus the two
+# promoted into this window).  Fill the round-10 window with these 47
+# plus slots for whatever churns in round 9.
+_ROUND10_EVIDENCE_TODO = (
+    "aqp_sampled_revenue",
+    "dedup_substring_remove",
+    "dq_fd_repair",
+    "dq_validate_suite",
+    "events_anomaly_zscore",
+    "events_cusum_changepoints",
+    "events_gapfill_locf",
+    "events_markov_transitions",
+    "events_moving_average",
+    "events_top_paths",
+    "events_user_trend_ols",
+    "graph_triangle_count",
+    "multimodal_audio_chunks",
+    "multimodal_clip_pairing",
+    "orders_market_basket",
+    "parts_abc_pareto",
+    "parts_skyline_cheap_small",
+    "pipeline_contamination_sweep",
+    "profile_length_histogram",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q22_dormant_accounts",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "sample_domain_cap",
+    "sample_weighted_priority",
+    "scan_csv_events",
+    "scan_ndjson_corrupt",
+    "scan_orc_events",
+    "scd2_customer_priority",
+    "search_hybrid_rrf",
+    "search_rerank_proximity",
+    "similarity_hard_negatives",
+    "similarity_ivf_append",
+    "similarity_ivfpq_topk",
+    "similarity_pq_topk",
+    "sink_backfill_partition",
+    "sink_zorder_events",
+    "table_diff_snapshots",
+    "text_bpe_encode_corpus",
+    "text_bpe_train_merges",
+    "text_char_bigram_lm",
+    "text_keyword_pagerank",
+    "window_ntile_deciles",
 )
 
 _missing = [
     n
-    for n in _EVIDENCE_PRIORITY + _ROUND9_EVIDENCE_TODO
+    for n in _EVIDENCE_PRIORITY + _ROUND10_EVIDENCE_TODO
     if n not in REGISTRY
 ]
 assert not _missing, f"evidence-priority names not in REGISTRY: {_missing}"

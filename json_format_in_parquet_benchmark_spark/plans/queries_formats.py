@@ -132,15 +132,37 @@ def format_roundtrip_jsonb_shredded(spark: SparkSession, sf_dir: str) -> DataFra
     return _roundtrip_canon(spark, sf_dir, "jsonb_shredded")
 
 
+_STORAGE_METRICS_ORACLE = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS num_of_lines,
+         CAST(SUM(length(props)) + COUNT(*) AS BIGINT) AS original
+  FROM events
+)
+SELECT f.format, s.num_of_lines, s.original,
+       TRUE AS compresses, TRUE AS smallest_is_shredded
+FROM s, (VALUES ('plain_json'), ('jsonb'), ('jsonc'), ('variant'),
+                ('jsonb_shredded')) AS f(format)
+"""
+
+
 @register(
     "format_storage_metrics",
-    oracle=None,  # filesystem sizes are writer-dependent; rows-only check
-    doc="O23: per-format Parquet size + compression ratio over the events "
-    "JSON corpus (the reference's headline result table, "
-    "scripts/benchmark_results.csv).  Written at the engine's tuned "
-    "ZSTD_LEVEL; the cross-framework-comparable numbers live in "
-    "results/storage_results.csv at REF_ZSTD_LEVEL (see "
-    "formats/base.py and results/bench_notes.md round 8).",
+    oracle=_STORAGE_METRICS_ORACLE,
+    doc="O23: the storage-metrics sweep (the reference's headline result "
+    "table, scripts/benchmark_results.csv) run as a DRIVER-CHECKABLE "
+    "invariant: per format, the exact line count and original NDJSON "
+    "byte count (chars + newlines -- both oracle-computable from the "
+    "events table), plus the reproducible findings as booleans: every "
+    "format's Parquet lands strictly inside (0, original), and the "
+    "typed shredded layout ('variant') writes the SMALLEST file of all "
+    "five -- the reference's core storage result.  Raw per-format byte "
+    "sizes are writer-version-dependent and live in bench_full.json / "
+    "results/storage_results.csv (at REF_ZSTD_LEVEL for the "
+    "cross-framework comparison); only the portable facts are hashed.  "
+    "NOTE the tape ordering is corpus-dependent: on the tiny events "
+    "slices jsonc is the LARGEST (string/number pools don't amortize "
+    "below ~100k rows), unlike the 8192-row reference grid where it "
+    "beats jsonb -- so only shredded-smallest is pinned.",
     tags=("format", "metrics"),
 )
 def format_storage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,20 +170,23 @@ def format_storage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _events_docs(spark, sf_dir)
     out = _tmp(sf_dir, "storage_metrics")
+    metrics = measure_all_formats(spark, docs, out, shred_ddl="k bigint")
+    smallest = min(m.parquet_file_size for m in metrics)
+    shredded = next(m for m in metrics if m.format == "variant")
     rows = [
         (
             m.format,
             m.num_of_lines,
             m.original,
-            m.parquet_file_size,
-            float(m.compressed_rate),
+            0 < m.parquet_file_size < m.original,
+            shredded.parquet_file_size == smallest,
         )
-        for m in measure_all_formats(spark, docs, out, shred_ddl="k bigint")
+        for m in metrics
     ]
     return spark.createDataFrame(
         rows,
         "format string, num_of_lines bigint, original bigint,"
-        " parquet_file_size bigint, compressed_rate double",
+        " compresses boolean, smallest_is_shredded boolean",
     )
 
 
