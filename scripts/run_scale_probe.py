@@ -1131,6 +1131,64 @@ def main() -> None:
                 .count(),
             )
 
+        # ---- trading-graph iterative arm (round-8 verdict item 6): the
+        # registered PageRank and LPA headliners against the same staged
+        # trading sf_dir shape.  Claim under test: each superstep is one
+        # (PageRank) or two (LPA) map-side-combined shuffles over the
+        # cached |E| edge list with |V|-row state and per-round
+        # localCheckpoint pacing, so 10x/100x edges grows wall time
+        # ~linearly -- rounds x |E|, never rounds x lineage.
+        graph_ops = {"pagerank_trading", "communities_trading"}
+        if OPS is None or OPS & graph_ops:
+            from json_format_in_parquet_benchmark_spark.plans import (
+                REGISTRY as _GREG,
+            )
+
+            tg_dir = os.path.join(args.workdir, f"bc_sf_{n}")
+            tg_ord = max(n // 10, 10)
+            tg_sup = max(n // 100, 10)
+            tg_cust = max(n // 20, 25)
+
+            def _th(salt: str) -> str:
+                return (
+                    f"cast(conv(substr(md5(concat('{salt}', id)), 1, 15),"
+                    " 16, 10) as bigint)"
+                )
+
+            if not os.path.isdir(os.path.join(tg_dir, "lineitem.parquet")):
+                (
+                    spark.range(n)
+                    .selectExpr(
+                        f"{_th('o:')} % {tg_ord} as l_orderkey",
+                        f"{_th('s:')} % {tg_sup} as l_suppkey",
+                    )
+                    .repartition(spark.sparkContext.defaultParallelism)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(tg_dir, "lineitem.parquet"))
+                )
+                (
+                    spark.range(tg_ord)
+                    .selectExpr(
+                        "id as o_orderkey",
+                        f"{_th('c:')} % {tg_cust} as o_custkey",
+                    )
+                    .repartition(spark.sparkContext.defaultParallelism)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(tg_dir, "orders.parquet"))
+                )
+            r["pagerank_trading"] = timed_l(
+                "pagerank_trading",
+                lambda: _GREG["graph_pagerank_trading"]
+                .fn(spark, tg_dir)
+                .count(),
+            )
+            r["communities_trading"] = timed_l(
+                "communities_trading",
+                lambda: _GREG["graph_communities_trading"]
+                .fn(spark, tg_dir)
+                .count(),
+            )
+
         ret_ops = {"retention_rowjoin", "retention_bitmap"}
         if OPS is None or OPS & ret_ops:
             pres_path = os.path.join(args.workdir, f"ret_pres_{n}")
