@@ -38,7 +38,13 @@ from pyspark.sql import functions as F
 from ..functions.vectors import dot_spark
 from .dedup import _track_persist
 
-QUANT = 1e8  # element quantization for order-free centroid sums
+# Element quantization for order-free centroid sums.  ONE constant feeds
+# both sides: Spark exprs and the DuckDB oracle splice QUANT_SQL (an
+# e-notation literal, which parses as DOUBLE in both engines -- a plain
+# decimal literal would parse as DECIMAL in DuckDB), and the Python
+# de-quantization divides by its float value.
+QUANT_SQL = "1e8"
+QUANT = float(QUANT_SQL)
 
 
 def _flit(x: float) -> str:
@@ -105,7 +111,9 @@ def kmeans_assign(
             .groupBy("cluster", "pos")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.expr("cast(floor(x * 1e8) as bigint)")).alias("s"),
+                F.sum(
+                    F.expr(f"cast(floor(x * {QUANT_SQL}) as bigint)")
+                ).alias("s"),
             )
             .collect()
         )
@@ -239,7 +247,9 @@ def kmeans_assign_fast(
             .groupBy("cluster", "pos")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.expr("cast(floor(x * 1e8) as bigint)")).alias("s"),
+                F.sum(
+                    F.expr(f"cast(floor(x * {QUANT_SQL}) as bigint)")
+                ).alias("s"),
             )
             .collect()
         )

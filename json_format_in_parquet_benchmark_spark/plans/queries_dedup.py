@@ -730,10 +730,14 @@ def _semantic_oracle(k: int = SEM_K, iters: int = SEM_ITERS,
                      dim: int = 64, tau: float = EMBED_THRESHOLD) -> str:
     """Unrolled k-means + within-cluster cosine dedup, bit-exact vs the
     Spark plan: quantized BIGINT centroid sums (order-free), one double
-    de-quantization with identical operands, sequential-fold dot products."""
+    de-quantization with identical operands, sequential-fold dot products.
+    The quantization grid is operators/semantic.py:QUANT_SQL -- the same
+    constant the Spark exprs splice, so the two sides cannot drift."""
+    from ..operators.semantic import QUANT_SQL
+
     cent_terms = ", ".join(
-        f"CAST(SUM(CAST(FLOOR(vd[{j}] * 1e8) AS BIGINT)) AS DOUBLE)"
-        f" / (CAST(COUNT(*) AS DOUBLE) * 1e8)"
+        f"CAST(SUM(CAST(FLOOR(vd[{j}] * {QUANT_SQL}) AS BIGINT)) AS DOUBLE)"
+        f" / (CAST(COUNT(*) AS DOUBLE) * {QUANT_SQL})"
         for j in range(1, dim + 1)
     )
     parts = [

@@ -464,7 +464,7 @@ def _pq_cte_chain() -> str:
     per-vector codes, bit-exact vs the Spark kernels: int64 distances on
     the 1e6 grid, FLOOR(sum/count) centroid updates, argmin ties to the
     lowest code."""
-    from ..operators.similarity import PQ_DSUB, PQ_K, PQ_M
+    from ..operators.similarity import PQ_DSUB, PQ_GRID, PQ_K, PQ_M
 
     sqd = _pq_sqd
 
@@ -476,7 +476,7 @@ def _pq_cte_chain() -> str:
     return f"""e AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
-                        x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS eq
+                        x -> CAST(FLOOR(x * {PQ_GRID}) AS BIGINT)) AS eq
   FROM embeddings
 ),
 subs AS MATERIALIZED (
