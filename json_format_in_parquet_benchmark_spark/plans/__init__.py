@@ -38,13 +38,13 @@ from . import queries_pipeline  # noqa: E402,F401
 # that CHANGED this round (stream_upsert_foreachbatch gained the
 # torn-swap recovery path, similarity_knn_graph's kernel gained the
 # zero-norm guard and the shared EQ_GRID constant, format_storage_metrics
-# moved from rows-only to a real oracle over portable invariants -- their
-# prior evidence describes code that no longer exists), plus two r4-stale
-# picks for the remaining slots: graph_pagerank_trading (this round's
-# scale-probe target, per verdict item 6) and dedup_substring_exact (the
-# most expensive non-stream plan in the round-8 audit).
-# Ordering within the 50: the changed trio first so a truncated pass
-# still covers them, then the failure-prone Arrow/streaming/multimodal
+# moved from rows-only to a real oracle over portable invariants; the
+# jsonc tape moved its container entry counts from the f64 number pool
+# into the opcode stream as int8 varints, changing format_roundtrip_jsonc
+# and json_golden_probes_tape's encode stage -- their prior evidence
+# describes code that no longer exists).
+# Ordering within the 50: the changed cohort first so a truncated pass
+# still covers it, then the failure-prone Arrow/streaming/multimodal
 # singles, the similarity/sketch/sink arms, the broad batch cohort, and
 # the slow pipeline/pack re-pins at the tail.
 _EVIDENCE_PRIORITY = (
@@ -52,6 +52,8 @@ _EVIDENCE_PRIORITY = (
     "stream_upsert_foreachbatch",
     "similarity_knn_graph",
     "format_storage_metrics",
+    "format_roundtrip_jsonc",
+    "json_golden_probes_tape",
     # -- r3-stale: streaming family (stateful/Arrow stages first) --
     "stream_sessionize_stateful",
     "stream_dedup_watermarked",
@@ -101,20 +103,18 @@ _EVIDENCE_PRIORITY = (
     "dedup_ngram_prefix",
     "dedup_semantic",
     "dedup_winnow_spans",
-    # -- r4-stale picks for the spare slots --
-    "graph_pagerank_trading",
-    "dedup_substring_exact",
     # -- slow r3-stale re-pins at the tail --
     "pack_token_shards",
     "pipeline_clean_corpus",
 )
 # ROUND-10 EVIDENCE TODO (registry-checked below): with the round-9
 # window above green, every query's most recent driver green is r4+ and
-# the stalest cohort is the r4-last-green remainder (49 minus the two
-# promoted into this window).  Fill the round-10 window with these 47
-# plus slots for whatever churns in round 9.
+# the stalest cohort is the whole r4-last-green set (49 queries).  Fill
+# the round-10 window with these 49 plus a slot for whatever churns in
+# round 9.
 _ROUND10_EVIDENCE_TODO = (
     "aqp_sampled_revenue",
+    "dedup_substring_exact",
     "dedup_substring_remove",
     "dq_fd_repair",
     "dq_validate_suite",
@@ -125,6 +125,7 @@ _ROUND10_EVIDENCE_TODO = (
     "events_moving_average",
     "events_top_paths",
     "events_user_trend_ols",
+    "graph_pagerank_trading",
     "graph_triangle_count",
     "multimodal_audio_chunks",
     "multimodal_clip_pairing",

@@ -95,6 +95,29 @@ def test_tape_encoder_pure():
         assert decode_tape(*encode_tape(v)) == v
 
 
+def test_tape_varint_counts_int8_safe():
+    """Container entry counts live in the opcode stream as int8-safe
+    varints (continuation digits negative, terminal 0..127): every emitted
+    node must fit a signed tinyint, counts across the 1- and 2-byte varint
+    boundary must round-trip, and the number pool must hold ONLY values."""
+    from json_format_in_parquet_benchmark_spark.formats.jsonc_tape import (
+        get_path_tape,
+    )
+
+    for count in (0, 1, 127, 128, 255, 300, 16384):
+        arr = list(range(count))
+        obj = {f"k{i}": i for i in range(count)}
+        for v in (arr, obj, {"wrap": [arr, obj]}):
+            nodes, strings, numbers = encode_tape(v)
+            assert all(-128 <= b <= 127 for b in nodes), count
+            assert decode_tape(nodes, strings, numbers) == v
+    doc = {"a": {"b": "hit"}, "big": list(range(200)), "n": 2.5}
+    nodes, strings, numbers = encode_tape(doc)
+    assert numbers == [float(x) for x in range(200)] + [2.5]  # values only
+    assert get_path_tape(nodes, strings, numbers, ("a", "b")) == "hit"
+    assert get_path_tape(nodes, strings, numbers, ("missing",)) is None
+
+
 def test_reference_corpus_roundtrip(spark):
     """Real reference corpus (logs.json: arrays, nulls, nested) through the
     variant binary representation."""
