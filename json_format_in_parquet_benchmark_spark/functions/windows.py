@@ -39,6 +39,75 @@ def pack_shard_spark(
     )
 
 
+def pack_shards_two_phase(
+    df,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    bucket_width: int = 65536,
+    shard_col: str = "shard",
+):
+    """Scalable twin of :func:`pack_shard_spark`: the same shard ids via a
+    TWO-PHASE prefix sum instead of one window per partition key.
+
+    The single-window form sorts each ``part_col`` group on ONE reducer --
+    fine when the partition key has high cardinality, a scale wall when it
+    is something like `lang` (5 values): at 100 TB that is 20 TB per task.
+    Here the prefix sum decomposes: rows bucket by coarse ordered ranges of
+    ``order_col`` (``order_col div bucket_width`` -- monotone in the order
+    column, so bucket order == row order), phase 1 computes the EXCLUSIVE
+    running sum within each (part, bucket) -- many small parallel windows --
+    plus one total per bucket, and phase 2 prefix-sums the per-bucket totals
+    with a window over only ``n_buckets`` rows, broadcast-joined back.
+    ``offset + intra`` is exactly the global preceding sum (BIGINT
+    arithmetic throughout), so ``floor(.. / budget)`` reproduces the
+    single-window shard ids bit for bit; the DuckDB oracle keeps the
+    one-window :func:`pack_shard_duck` definition.
+
+    Returns ``df`` plus ``shard_col``.  Bucket BALANCE (not correctness)
+    assumes ``order_col`` is roughly dense; for skewed id spaces derive the
+    buckets from ``repartitionByRange`` sampling instead.
+    """
+    b = F.expr(f"{order_col} div {bucket_width}")
+    w_in = (
+        Window.partitionBy(part_col, "_pack_b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = df.withColumn("_pack_b", b).withColumn(
+        "_pack_intra", F.sum(size_col).over(w_in) - F.col(size_col)
+    )
+    totals = sized.groupBy(part_col, "_pack_b").agg(
+        F.sum(size_col).alias("_pack_tot")
+    )
+    w_b = (
+        Window.partitionBy(part_col)
+        .orderBy("_pack_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        part_col,
+        "_pack_b",
+        F.coalesce(F.sum("_pack_tot").over(w_b), F.lit(0)).alias("_pack_off"),
+    )
+    # No broadcast hint on purpose: the join key (part, bucket) is exactly
+    # the phase-1 window partitioning, so the big side joins without a new
+    # exchange, and AQE broadcast-converts the offsets side while it is
+    # small (it grows with n_buckets, so forcing broadcast would be the
+    # 100-TB mistake).
+    return (
+        sized.join(offsets, [part_col, "_pack_b"])
+        .withColumn(
+            shard_col,
+            F.floor(
+                (F.col("_pack_off") + F.col("_pack_intra")) / float(budget)
+            ).cast("bigint"),
+        )
+        .drop("_pack_b", "_pack_intra", "_pack_off")
+    )
+
+
 def pack_shard_duck(
     part_col: str, order_col: str, size_col: str, budget: int
 ) -> str:

@@ -41,12 +41,19 @@ from . import queries_pipeline  # noqa: E402,F401
 # moved from rows-only to a real oracle over portable invariants; the
 # jsonc tape moved its container entry counts from the f64 number pool
 # into the opcode stream as int8 varints, changing format_roundtrip_jsonc
-# and json_golden_probes_tape's encode stage -- their prior evidence
-# describes code that no longer exists).
+# and json_golden_probes_tape's encode stage; the shard packers moved
+# from one-window-per-partition-key to the two-phase bucketed prefix sum,
+# changing pack_token_shards, multimodal_pack_shards and
+# pipeline_multimodal_curation -- their prior evidence describes code
+# that no longer exists).  Changed plans outrank staleness, so with the
+# window capped at 50 the two SAFEST r3-stale entries are deferred to
+# lead the round-10 TODO: q10_returned_items and q14_promo_revenue,
+# zero-churn TPC-H aggregate singles whose family re-pinned 100% green
+# in round 8 -- the least-risk postponement available.
 # Ordering within the 50: the changed cohort first so a truncated pass
 # still covers it, then the failure-prone Arrow/streaming/multimodal
 # singles, the similarity/sketch/sink arms, the broad batch cohort, and
-# the slow pipeline/pack re-pins at the tail.
+# the slow pipeline re-pins at the tail.
 _EVIDENCE_PRIORITY = (
     # -- re-pins: plan or oracle changed THIS round --
     "stream_upsert_foreachbatch",
@@ -54,6 +61,9 @@ _EVIDENCE_PRIORITY = (
     "format_storage_metrics",
     "format_roundtrip_jsonc",
     "json_golden_probes_tape",
+    "pack_token_shards",
+    "multimodal_pack_shards",
+    "pipeline_multimodal_curation",
     # -- r3-stale: streaming family (stateful/Arrow stages first) --
     "stream_sessionize_stateful",
     "stream_dedup_watermarked",
@@ -93,8 +103,6 @@ _EVIDENCE_PRIORITY = (
     # -- r3-stale: batch cohort --
     "events_rollup_hll",
     "join_salted_skew_events",
-    "q10_returned_items",
-    "q14_promo_revenue",
     "scan_schema_evolution",
     "split_train_valid_test",
     "sample_mixture_epochs",
@@ -103,16 +111,19 @@ _EVIDENCE_PRIORITY = (
     "dedup_ngram_prefix",
     "dedup_semantic",
     "dedup_winnow_spans",
-    # -- slow r3-stale re-pins at the tail --
-    "pack_token_shards",
+    # -- slow r3-stale re-pin at the tail --
     "pipeline_clean_corpus",
 )
 # ROUND-10 EVIDENCE TODO (registry-checked below): with the round-9
 # window above green, every query's most recent driver green is r4+ and
-# the stalest cohort is the whole r4-last-green set (49 queries).  Fill
-# the round-10 window with these 49 plus a slot for whatever churns in
-# round 9.
+# the stalest cohort is the two r3-greens deferred above plus the whole
+# r4-last-green set (49 queries).  Fill the round-10 window with these
+# 51 minus slots for whatever churns in round 9.
 _ROUND10_EVIDENCE_TODO = (
+    # deferred from the round-9 window (see above) -- re-pin FIRST
+    "q10_returned_items",
+    "q14_promo_revenue",
+    # the r4-last-green cohort
     "aqp_sampled_revenue",
     "dedup_substring_exact",
     "dedup_substring_remove",

@@ -21,7 +21,7 @@ from ..operators.multimodal import (
 )
 from ..functions.windows import (
     pack_shard_duck,
-    pack_shard_spark,
+    pack_shards_two_phase,
     rank_cut_duck,
     rank_cut_spark,
 )
@@ -213,9 +213,8 @@ def multimodal_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.octet_length("payload").cast("bigint").alias("payload_bytes"),
     )
-    packed = media.withColumn(
-        "shard",
-        pack_shard_spark("kind", "media_id", "payload_bytes", SHARD_BYTE_BUDGET),
+    packed = pack_shards_two_phase(
+        media, "kind", "media_id", "payload_bytes", SHARD_BYTE_BUDGET
     )
     return (
         packed.groupBy("kind", "shard")
@@ -412,9 +411,8 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("payload_bytes").between(F.col("lo"), F.col("hi")))
         .join(aligned_ids, "media_id", "left_semi")
     )
-    packed = kept.withColumn(
-        "shard",
-        pack_shard_spark("kind", "media_id", "payload_bytes", SHARD_BYTE_BUDGET),
+    packed = pack_shards_two_phase(
+        kept, "kind", "media_id", "payload_bytes", SHARD_BYTE_BUDGET
     )
     return (
         packed.groupBy("kind", "shard")

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash64_sql_duckdb
 from ..functions.windows import (
     pack_shard_duck,
-    pack_shard_spark,
+    pack_shards_two_phase,
     rank_cut_duck,
     rank_cut_spark,
 )
@@ -425,9 +425,14 @@ GROUP BY lang, shard
     doc="Token-budget shard packing: within each language, documents are "
     "packed in doc_id order into ~2000-token shards by cumulative token "
     "count (shard = floor(preceding-tokens / budget)) -- the standard "
-    "deterministic chunking of a corpus into training shards.  One window "
-    "(sort within lang) + one aggregate; at scale the window partitions "
-    "by lang so no global sort exists.",
+    "deterministic chunking of a corpus into training shards.  The plan "
+    "is the TWO-PHASE prefix sum (functions/windows.py:"
+    "pack_shards_two_phase): a lang-partitioned window would put each "
+    "language on ONE reducer (5 languages -> 5 tasks at 100 TB), so the "
+    "cumsum decomposes into many small per-(lang, doc_id-range) windows "
+    "plus a bucket-offset window over n_buckets rows -- same shard ids "
+    "bit for bit (exact BIGINT prefix arithmetic), checked against the "
+    "single-window oracle.",
     tags=("text", "pipeline", "window"),
 )
 def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,9 +442,8 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("n_tokens"),
     )
-    packed = sized.withColumn(
-        "shard",
-        pack_shard_spark("lang", "doc_id", "n_tokens", SHARD_TOKEN_BUDGET),
+    packed = pack_shards_two_phase(
+        sized, "lang", "doc_id", "n_tokens", SHARD_TOKEN_BUDGET
     )
     return packed.groupBy("lang", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
