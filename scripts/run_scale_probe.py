@@ -1189,6 +1189,68 @@ def main() -> None:
                 .count(),
             )
 
+        # ---- shard-packing arm (round 9): the REGISTERED two-phase
+        # prefix-sum packer vs the single-window form it replaced.  Claim
+        # under test: with only 5 partition keys (lang), the one-window
+        # plan sorts each language's whole corpus on ONE reducer (a
+        # parallelism-5 wall), while the two-phase plan's windows are
+        # per-(lang, doc_id-range-bucket) -- wall time should grow
+        # ~linearly for both at these tiers (tokenize-dominated) but the
+        # window form's sort stage saturates 5 tasks while the two-phase
+        # stage uses the full executor set.
+        pk_ops = {"pack_shards_two_phase", "pack_shards_window"}
+        if OPS is None or OPS & pk_ops:
+            from json_format_in_parquet_benchmark_spark.functions.windows import (
+                pack_shard_spark,
+            )
+            from json_format_in_parquet_benchmark_spark.plans import (
+                REGISTRY as _PREG,
+            )
+            from json_format_in_parquet_benchmark_spark.plans.queries_text import (
+                _TOKS_S,
+                SHARD_TOKEN_BUDGET,
+            )
+
+            pk_dir = os.path.join(args.workdir, f"pack_sf_{n}")
+            ddir = os.path.join(pk_dir, "documents.parquet")
+            if docs is None:
+                synth_documents(spark, n, docs_path)
+                docs = spark.read.parquet(docs_path)
+            # _SUCCESS, not isdir: a killed write leaves a torn directory
+            if not os.path.isfile(os.path.join(ddir, "_SUCCESS")):
+                docs.write.mode("overwrite").parquet(ddir)
+            r["pack_shards_two_phase"] = timed_l(
+                "pack_shards_two_phase",
+                lambda: _PREG["pack_token_shards"].fn(spark, pk_dir).count(),
+            )
+
+            def _pack_window():
+                sized = spark.read.parquet(ddir).selectExpr(
+                    "lang",
+                    "doc_id",
+                    f"cast(size({_TOKS_S}) as bigint) as n_tokens",
+                )
+                packed = sized.withColumn(
+                    "shard",
+                    pack_shard_spark(
+                        "lang", "doc_id", "n_tokens", SHARD_TOKEN_BUDGET
+                    ),
+                )
+                return (
+                    packed.groupBy("lang", "shard")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("n_tokens").alias("n_tokens"),
+                        F.min("doc_id").alias("first_doc"),
+                        F.max("doc_id").alias("last_doc"),
+                    )
+                    .count()
+                )
+
+            r["pack_shards_window"] = timed_l(
+                "pack_shards_window", _pack_window
+            )
+
         ret_ops = {"retention_rowjoin", "retention_bitmap"}
         if OPS is None or OPS & ret_ops:
             pres_path = os.path.join(args.workdir, f"ret_pres_{n}")
