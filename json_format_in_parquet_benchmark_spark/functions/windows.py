@@ -108,6 +108,63 @@ def pack_shards_two_phase(
     )
 
 
+def rank_two_phase(
+    df,
+    part_col: str,
+    value_col: str,
+    order_extra: tuple[str, ...] = (),
+    bucket_width: int = 65536,
+    rn_col: str = "rn",
+    n_col: str = "n",
+):
+    """1-based rank of each row within ``part_col`` ordered by
+    ``(value_col, *order_extra)``, plus the partition row count -- the
+    two-phase twin of ``ROW_NUMBER() / COUNT(*) OVER (PARTITION BY part)``
+    for LOW-cardinality partition keys, where the plain window sorts each
+    key's entire data on one reducer.
+
+    Rows bucket by ``value_col div bucket_width`` (integer division is
+    monotone non-decreasing in the value, and EQUAL values always share a
+    bucket, so the value at any global rank -- the only thing the rank
+    consumers extract -- is preserved under tie permutation exactly as in
+    the single-window form).  Phase 1 ranks within each (part, bucket);
+    phase 2 prefix-sums the per-bucket counts over ``n_buckets`` rows and
+    joins the offsets back on the partitioning phase 1 already
+    established.  Parallelism is bounded by the value spread / width --
+    pick ``bucket_width`` so a typical partition spans many buckets.
+
+    Returns ``df`` plus ``rn_col`` (1-based) and ``n_col``.
+    """
+    b = F.expr(f"{value_col} div {bucket_width}")
+    w_in = (
+        Window.partitionBy(part_col, "_rk_b").orderBy(value_col, *order_extra)
+    )
+    bucketed = df.withColumn("_rk_b", b).withColumn(
+        "_rk_intra", F.row_number().over(w_in)
+    )
+    counts = bucketed.groupBy(part_col, "_rk_b").agg(
+        F.count(F.lit(1)).alias("_rk_c")
+    )
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("_rk_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        part_col,
+        "_rk_b",
+        F.coalesce(F.sum("_rk_c").over(w_off), F.lit(0)).alias("_rk_off"),
+        F.sum("_rk_c").over(Window.partitionBy(part_col)).alias(n_col),
+    )
+    # Same no-broadcast-hint reasoning as pack_shards_two_phase: the join
+    # key matches phase 1's window partitioning, AQE converts while small.
+    return (
+        bucketed.join(offsets, [part_col, "_rk_b"])
+        .withColumn(rn_col, F.col("_rk_off") + F.col("_rk_intra"))
+        .drop("_rk_b", "_rk_intra", "_rk_off")
+    )
+
+
 def pack_shard_duck(
     part_col: str, order_col: str, size_col: str, budget: int
 ) -> str:

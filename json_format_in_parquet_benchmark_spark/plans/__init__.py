@@ -44,12 +44,15 @@ from . import queries_pipeline  # noqa: E402,F401
 # and json_golden_probes_tape's encode stage; the shard packers moved
 # from one-window-per-partition-key to the two-phase bucketed prefix sum,
 # changing pack_token_shards, multimodal_pack_shards and
-# pipeline_multimodal_curation -- their prior evidence describes code
-# that no longer exists).  Changed plans outrank staleness, so with the
-# window capped at 50 the two SAFEST r3-stale entries are deferred to
-# lead the round-10 TODO: q10_returned_items and q14_promo_revenue,
-# zero-churn TPC-H aggregate singles whose family re-pinned 100% green
-# in round 8 -- the least-risk postponement available.
+# pipeline_multimodal_curation; the exact-rank windows moved to the
+# two-phase bucketed rank for the same reason, changing dq_outlier_mad
+# too -- their prior evidence describes code that no longer exists).
+# Changed plans outrank staleness, so with the window capped at 50 the
+# three SAFEST r3-stale entries are deferred to lead the round-10 TODO:
+# q10_returned_items and q14_promo_revenue (zero-churn TPC-H aggregate
+# singles whose family re-pinned 100% green in round 8) and
+# scan_schema_evolution (a mergeSchema scan single, unchanged since
+# round 2) -- the least-risk postponements available.
 # Ordering within the 50: the changed cohort first so a truncated pass
 # still covers it, then the failure-prone Arrow/streaming/multimodal
 # singles, the similarity/sketch/sink arms, the broad batch cohort, and
@@ -64,6 +67,7 @@ _EVIDENCE_PRIORITY = (
     "pack_token_shards",
     "multimodal_pack_shards",
     "pipeline_multimodal_curation",
+    "dq_outlier_mad",
     # -- r3-stale: streaming family (stateful/Arrow stages first) --
     "stream_sessionize_stateful",
     "stream_dedup_watermarked",
@@ -103,7 +107,6 @@ _EVIDENCE_PRIORITY = (
     # -- r3-stale: batch cohort --
     "events_rollup_hll",
     "join_salted_skew_events",
-    "scan_schema_evolution",
     "split_train_valid_test",
     "sample_mixture_epochs",
     "text_bm25_topk",
@@ -116,13 +119,14 @@ _EVIDENCE_PRIORITY = (
 )
 # ROUND-10 EVIDENCE TODO (registry-checked below): with the round-9
 # window above green, every query's most recent driver green is r4+ and
-# the stalest cohort is the two r3-greens deferred above plus the whole
-# r4-last-green set (49 queries).  Fill the round-10 window with these
-# 51 minus slots for whatever churns in round 9.
+# the stalest cohort is the three r3-greens deferred above plus the
+# whole r4-last-green set (49 queries).  Fill the round-10 window with
+# these 52 minus slots for whatever churns in round 9.
 _ROUND10_EVIDENCE_TODO = (
     # deferred from the round-9 window (see above) -- re-pin FIRST
     "q10_returned_items",
     "q14_promo_revenue",
+    "scan_schema_evolution",
     # the r4-last-green cohort
     "aqp_sampled_revenue",
     "dedup_substring_exact",

@@ -200,14 +200,14 @@ ORDER BY kind, shard
     "input is pruned to (id, kind, octet_length(payload)) before the "
     "shuffle -- sizes travel, blobs do not (the wide-row rule of "
     "operators/multimodal.py).  "
-    "One shuffle on kind for the ordered window; at 100 TB the "
-    "per-kind prefix sum distributes by range partitioning on "
-    "media_id with per-partition offsets.",
+    "The prefix sum runs as the TWO-PHASE bucketed form "
+    "(functions/windows.py:pack_shards_two_phase): `kind` has 3 "
+    "values, so a one-window plan would sort each modality's corpus "
+    "on a single reducer; shard ids match the single-window oracle "
+    "bit for bit.",
     tags=("multimodal", "sharding", "window"),
 )
 def multimodal_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     media = _media(spark, sf_dir).select(
         "media_id",
         "kind",
@@ -339,22 +339,27 @@ ORDER BY kind, shard
     "with a content-fingerprint checksum that pins exact MEMBERSHIP, "
     "not just counts.  The whole chain composes into one plan: the "
     "only Python is the two Arrow tower/decode stages, sizes (never "
-    "blobs) travel through the windows, and each stage is the "
-    "already-verified standalone operator -- the text-side "
-    "pipeline_pretrain_corpus pattern applied to media.",
+    "blobs) travel through the windows, the rank and packing prefix "
+    "sums both run as the two-phase bucketed forms (kind has 3 values "
+    "-- functions/windows.py), and each stage is the already-verified "
+    "standalone operator -- the text-side pipeline_pretrain_corpus "
+    "pattern applied to media.",
     tags=("multimodal", "pipeline", "sharding", "quality"),
     bench=True,
 )
 def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..functions.windows import rank_two_phase
 
     feats = decode_features(_media(spark, sf_dir)).select(
         "media_id", "kind", "payload_bytes", "fingerprint"
     )
-    w_rank = Window.partitionBy("kind").orderBy("payload_bytes", "media_id")
-    ranked = feats.withColumn(
-        "rn", F.row_number().over(w_rank) - 1
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("kind")))
+    # Two-phase bucketed rank: `kind` has 3 values, so a plain rank window
+    # would sort each kind's whole corpus on one reducer (same scale wall
+    # as the shard packers); value-at-rank is preserved exactly.
+    ranked = rank_two_phase(
+        feats, "kind", "payload_bytes", order_extra=("media_id",),
+        bucket_width=1024,
+    ).withColumn("rn", F.col("rn") - 1)
     cuts = ranked.groupBy("kind").agg(
         F.max(rank_cut_spark("rn", "n", 0.10, "payload_bytes")).alias("lo"),
         F.max(rank_cut_spark("rn", "n", 0.90, "payload_bytes")).alias("hi"),

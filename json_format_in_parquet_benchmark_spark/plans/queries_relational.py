@@ -3669,23 +3669,23 @@ GROUP BY d.event_type
     "is multiset-determined even when rank assignment among ties is "
     "not, so no tiebreak is needed and the result is cross-engine "
     "exact -- unlike mean/stddev z-scores, immune to the outliers it "
-    "hunts.  Two rank passes over the same event_type shuffle.",
+    "hunts.  Both rank passes run as the TWO-PHASE bucketed rank "
+    "(functions/windows.py:rank_two_phase): event_type has a handful of "
+    "values, so a plain rank window would sort each type's entire data "
+    "on one reducer; the bucketed form preserves value-at-rank exactly "
+    "(equal values share a bucket) and is checked against the "
+    "single-window oracle.",
     tags=("relational", "dq", "audit", "robust-stats"),
 )
 def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.windows import rank_two_phase
+
     events = load_table(spark, sf_dir, "events")
     base = events.select(
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    wr = Window.partitionBy("event_type").orderBy("cents")
-    wn = Window.partitionBy("event_type")
-    ranked = base.select(
-        "event_type",
-        "cents",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    ranked = rank_two_phase(base, "event_type", "cents", bucket_width=1024)
     med = ranked.groupBy("event_type").agg(
         F.max(
             F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
@@ -3706,12 +3706,9 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med_cents",
         )
     )
-    wd = Window.partitionBy("event_type").orderBy("adev")
-    dranked = dev.select(
-        "event_type",
-        "adev",
-        F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    dranked = rank_two_phase(
+        dev.select("event_type", "adev"), "event_type", "adev",
+        bucket_width=1024,
     )
     mad = dranked.groupBy("event_type").agg(
         F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("adev")))

@@ -2121,3 +2121,42 @@ def test_pack_shards_two_phase_equals_single_window(spark):
     }
     assert got == want
     assert len(set(want.values())) > 10  # many shards actually produced
+
+
+def test_rank_two_phase_preserves_value_at_rank(spark):
+    """The two-phase bucketed rank must agree with the single-window form
+    on everything its consumers extract: the VALUE at each (part, rank)
+    and the partition count -- including ties (equal values share a
+    bucket, so rank assignment within a tie may permute but the value at
+    any rank cannot), negative values (Spark `div` truncates toward zero
+    but remains monotone), and ranks that cross bucket boundaries."""
+    import random as _random
+
+    from pyspark.sql import Window as _W
+
+    from json_format_in_parquet_benchmark_spark.functions.windows import (
+        rank_two_phase,
+    )
+
+    rng = _random.Random(11)
+    rows = []
+    for part in ("a", "b"):
+        for i in range(500):
+            # heavy ties + negatives, values spanning many width-16 buckets
+            rows.append((part, i, rng.choice([-250, -17, 0, 3] + list(range(-300, 300, 7)))))
+    df = spark.createDataFrame(rows, "part string, id long, v long")
+
+    w = _W.partitionBy("part").orderBy("v")
+    want = {}
+    for r in (
+        df.select(
+            "part", "v",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(_W.partitionBy("part")).alias("n"),
+        ).collect()
+    ):
+        want[(r["part"], r["rn"])] = (r["v"], r["n"])
+    got = {}
+    for r in rank_two_phase(df, "part", "v", bucket_width=16).collect():
+        got[(r["part"], r["rn"])] = (r["v"], r["n"])
+    assert got == want
