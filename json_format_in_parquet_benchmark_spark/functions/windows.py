@@ -69,16 +69,25 @@ def pack_shards_two_phase(
     assumes ``order_col`` is roughly dense; for skewed id spaces derive the
     buckets from ``repartitionByRange`` sampling instead.
     """
+    from ..operators.dedup import _track_persist
+
     b = F.expr(f"{order_col} div {bucket_width}")
     w_in = (
         Window.partitionBy(part_col, "_pack_b")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    sized = df.withColumn("_pack_b", b).withColumn(
+    # Persist the pre-window projection: BOTH phases read it (the running
+    # sum and the per-bucket totals), and without the cache Catalyst
+    # recomputes the upstream lineage -- including any expensive size
+    # derivation like tokenization -- once per branch (the round-4 fan-out
+    # rule).  A narrow base projection, not an aggregate, so it does not
+    # pin exchanges outside AQE.
+    staged = _track_persist(df.withColumn("_pack_b", b))
+    sized = staged.withColumn(
         "_pack_intra", F.sum(size_col).over(w_in) - F.col(size_col)
     )
-    totals = sized.groupBy(part_col, "_pack_b").agg(
+    totals = staged.groupBy(part_col, "_pack_b").agg(
         F.sum(size_col).alias("_pack_tot")
     )
     w_b = (
@@ -135,14 +144,16 @@ def rank_two_phase(
 
     Returns ``df`` plus ``rn_col`` (1-based) and ``n_col``.
     """
+    from ..operators.dedup import _track_persist
+
     b = F.expr(f"{value_col} div {bucket_width}")
     w_in = (
         Window.partitionBy(part_col, "_rk_b").orderBy(value_col, *order_extra)
     )
-    bucketed = df.withColumn("_rk_b", b).withColumn(
-        "_rk_intra", F.row_number().over(w_in)
-    )
-    counts = bucketed.groupBy(part_col, "_rk_b").agg(
+    # Same two-consumer persist reasoning as pack_shards_two_phase.
+    staged = _track_persist(df.withColumn("_rk_b", b))
+    bucketed = staged.withColumn("_rk_intra", F.row_number().over(w_in))
+    counts = staged.groupBy(part_col, "_rk_b").agg(
         F.count(F.lit(1)).alias("_rk_c")
     )
     w_off = (

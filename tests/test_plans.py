@@ -179,12 +179,35 @@ def test_cms_probes_are_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_shard_packing_single_shuffle(spark):
-    """pack_token_shards: the window's hash-partitioning on lang must be
-    reused by the (lang, shard) aggregate -- exactly one Exchange in the
-    whole plan (plus none for the partial aggregation)."""
+def test_shard_packing_no_per_lang_sort_wall(spark):
+    """pack_token_shards runs the TWO-PHASE prefix sum: no window stage may
+    hash-partition on lang ALONE (that is the one-reducer-per-language sort
+    wall the two-phase form exists to shed -- with 5 languages it caps the
+    sort at parallelism 5).  Every corpus-scale exchange must carry the
+    bucket key alongside lang; only the BOUNDED bucket-offset stage (one
+    row per (lang, bucket)) and the final (lang, shard) aggregate remain,
+    and the big side must reuse phase 1's (lang, bucket) partitioning for
+    the offsets join rather than re-exchanging."""
+    import re as _re
+
     plan = plan_of(spark, "pack_token_shards")
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # Window sort stages over the corpus must be keyed (lang, bucket) --
+    # a Sort whose matching exchange partitions on lang alone is the wall.
+    corpus_single_lang = [
+        m for m in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "lang" in m and "_pack_b" not in m and "shard" not in m
+        and "_rk_b" not in m
+    ]
+    # The only lang-without-bucket exchange allowed is the bucket-OFFSET
+    # window, whose input is one row per (lang, bucket) -- bounded by
+    # construction, not corpus-scale.  It sits directly above the
+    # (lang, _pack_b) partial aggregate in the plan.
+    assert len(corpus_single_lang) <= 1, plan
+    # Phase-1 windows partition by (lang, bucket).
+    assert any(
+        "lang" in m and "_pack_b" in m
+        for m in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    ), plan
 
 
 def test_pipeline_staples_stay_jvm_side(spark):
