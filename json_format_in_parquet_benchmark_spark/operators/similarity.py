@@ -299,10 +299,14 @@ def ivf_assign_hier(
 
 # Integer quantization grid for exact assignment decisions.  ONE numeric
 # constant feeds both sides: the numpy kernels multiply by EQ_GRID_F and the
-# DuckDB twins splice EQ_GRID (its repr) into FLOOR(x * {EQ_GRID}), so
-# changing the grid cannot desynchronize a registered plan from its oracle.
+# DuckDB twins splice EQ_GRID into FLOOR(x * {EQ_GRID}), so changing the
+# grid cannot desynchronize a registered plan from its oracle (the assert
+# pins the pair).  EQ_GRID stays in E-NOTATION: exponent literals parse as
+# DOUBLE in both engines, while a plain decimal literal parses as DECIMAL
+# in DuckDB (the round-5 last-bit trap).
 EQ_GRID_F = 1e6
-EQ_GRID = repr(EQ_GRID_F)
+EQ_GRID = "1e6"
+assert float(EQ_GRID) == EQ_GRID_F, "EQ_GRID and EQ_GRID_F must agree"
 
 
 def hier_groups(n_cells: int, n_groups: int | None) -> int:
