@@ -1251,6 +1251,62 @@ def main() -> None:
                 "pack_shards_window", _pack_window
             )
 
+        # ---- global-rank arm (round 9, staged round-10 candidate):
+        # customers_rfm_segments ranks per-customer aggregates with GLOBAL
+        # row_number windows (Window.orderBy, no partition) -- one reducer
+        # for the whole customer dimension.  Quantify the wall and the
+        # two-phase fix over synthetic per-customer rows (value = exact
+        # cents, skew-free) WITHOUT touching the registered plan: rank by
+        # monetary_cents with custkey tiebreak, single constant partition
+        # key so rank_two_phase runs in its global form.
+        gr_ops = {"rank_global_window", "rank_global_two_phase"}
+        if OPS is None or OPS & gr_ops:
+            from pyspark.sql import Window as _W
+
+            from json_format_in_parquet_benchmark_spark.functions.windows import (
+                rank_two_phase,
+            )
+
+            cust = (
+                spark.range(n)
+                .selectExpr(
+                    "id as custkey",
+                    "cast(conv(substr(md5(concat('m:', id)), 1, 12), 16, 10)"
+                    " as bigint) as monetary_cents",
+                )
+                .repartition(spark.sparkContext.defaultParallelism)
+            )
+
+            def _rank_window():
+                w = _W.orderBy("monetary_cents", "custkey")
+                return (
+                    cust.withColumn("rn", F.row_number().over(w))
+                    .groupBy((F.col("rn") % 4).alias("q"))
+                    .count()
+                    .count()
+                )
+
+            def _rank_two_phase():
+                ranked = rank_two_phase(
+                    cust.withColumn("g", F.lit(0)),
+                    "g",
+                    "monetary_cents",
+                    order_extra=("custkey",),
+                    bucket_width=2**36,  # md5-12-hex values span 2^48
+                )
+                return (
+                    ranked.groupBy((F.col("rn") % 4).alias("q"))
+                    .count()
+                    .count()
+                )
+
+            r["rank_global_window"] = timed_l(
+                "rank_global_window", _rank_window
+            )
+            r["rank_global_two_phase"] = timed_l(
+                "rank_global_two_phase", _rank_two_phase
+            )
+
         ret_ops = {"retention_rowjoin", "retention_bitmap"}
         if OPS is None or OPS & ret_ops:
             pres_path = os.path.join(args.workdir, f"ret_pres_{n}")
