@@ -1307,6 +1307,41 @@ def main() -> None:
                 "rank_global_two_phase", _rank_two_phase
             )
 
+        # ---- sketch-NDV arm (round 9): first scale rows for the sketch
+        # family.  The REGISTERED hll/kmv plans over a staged lineitem
+        # (the 3 key columns the estimators read; NDVs scale with n).
+        # Claim under test: the estimator side is a pure algebraic
+        # aggregate (map-side-combined registers / bottom-k), so wall
+        # time tracks the scan ~linearly; the exact countDistinct
+        # comparison arm inside each query is the 2-shuffle part.
+        sk_ops = {"sketch_hll_ndv", "sketch_kmv_ndv"}
+        if OPS is None or OPS & sk_ops:
+            from json_format_in_parquet_benchmark_spark.plans import (
+                REGISTRY as _SREG,
+            )
+
+            sk_dir = os.path.join(args.workdir, f"sketch_sf_{n}")
+            sk_li = os.path.join(sk_dir, "lineitem.parquet")
+            if not os.path.isfile(os.path.join(sk_li, "_SUCCESS")):
+                (
+                    spark.range(n)
+                    .selectExpr(
+                        f"id div 4 as l_orderkey",  # ~4 lines per order
+                        "cast(conv(substr(md5(concat('p:', id)), 1, 12),"
+                        f" 16, 10) as bigint) % {max(n // 10, 100)}"
+                        " as l_partkey",
+                        "cast(id % 4 + 1 as int) as l_linenumber",
+                    )
+                    .repartition(spark.sparkContext.defaultParallelism)
+                    .write.mode("overwrite")
+                    .parquet(sk_li)
+                )
+            for arm in ("sketch_hll_ndv", "sketch_kmv_ndv"):
+                r[arm] = timed_l(
+                    arm,
+                    lambda arm=arm: _SREG[arm].fn(spark, sk_dir).count(),
+                )
+
         ret_ops = {"retention_rowjoin", "retention_bitmap"}
         if OPS is None or OPS & ret_ops:
             pres_path = os.path.join(args.workdir, f"ret_pres_{n}")
