@@ -19,8 +19,40 @@ edits here edits every consumer and its oracle together.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
+
+_PLAIN_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral(df, col: str, fn: str, role: str) -> None:
+    """Enforce the two-phase recipes' column contract with a clear error.
+
+    Both two-phase builders splice ``col`` raw into ``F.expr(f"{col} div
+    width")``, so the argument must be a PLAIN column name (not a
+    qualified path or expression) of an integral type -- ``div`` on a
+    fractional type or a spliced expression would otherwise surface as an
+    opaque Catalyst analysis error (or, worse for the bit-exactness
+    guarantee, fractional bucketing that no longer matches the
+    single-window oracle)."""
+    if not _PLAIN_NAME.match(col):
+        raise TypeError(
+            f"{fn}: {role} column {col!r} must be a plain column name "
+            "(it is spliced into an integer `div` expression); pre-project "
+            "expressions into a named column first"
+        )
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise TypeError(f"{fn}: {role} column {col!r} not found in the frame")
+    if dtype not in _INTEGRAL:
+        raise TypeError(
+            f"{fn}: {role} column {col!r} has type {dtype}; the two-phase "
+            "bucketing (and its bit-exactness vs the single-window oracle) "
+            "requires an integral type -- cast to bigint upstream"
+        )
 
 
 def pack_shard_spark(
@@ -67,10 +99,13 @@ def pack_shards_two_phase(
 
     Returns ``df`` plus ``shard_col``.  Bucket BALANCE (not correctness)
     assumes ``order_col`` is roughly dense; for skewed id spaces derive the
-    buckets from ``repartitionByRange`` sampling instead.
+    buckets from ``repartitionByRange`` sampling instead.  ``order_col``
+    must be a PLAIN integral column name (enforced by
+    :func:`_require_integral`).
     """
     from ..operators.dedup import _track_persist
 
+    _require_integral(df, order_col, "pack_shards_two_phase", "order")
     b = F.expr(f"{order_col} div {bucket_width}")
     w_in = (
         Window.partitionBy(part_col, "_pack_b")
@@ -142,10 +177,14 @@ def rank_two_phase(
     established.  Parallelism is bounded by the value spread / width --
     pick ``bucket_width`` so a typical partition spans many buckets.
 
-    Returns ``df`` plus ``rn_col`` (1-based) and ``n_col``.
+    Returns ``df`` plus ``rn_col`` (1-based) and ``n_col``.  ``value_col``
+    must be a PLAIN integral column name (enforced by
+    :func:`_require_integral`); a GLOBAL rank comes from a constant
+    ``part_col`` (project ``F.lit(0)`` first).
     """
     from ..operators.dedup import _track_persist
 
+    _require_integral(df, value_col, "rank_two_phase", "value")
     b = F.expr(f"{value_col} div {bucket_width}")
     w_in = (
         Window.partitionBy(part_col, "_rk_b").orderBy(value_col, *order_extra)

@@ -2160,3 +2160,64 @@ def test_rank_two_phase_preserves_value_at_rank(spark):
     for r in rank_two_phase(df, "part", "v", bucket_width=16).collect():
         got[(r["part"], r["rn"])] = (r["v"], r["n"])
     assert got == want
+
+
+def test_rank_two_phase_global_total_order_exact(spark):
+    """The constant-partition-key GLOBAL form (customers_rfm_segments'
+    recipe) with a deterministic tiebreak column must reproduce the
+    single global ROW_NUMBER window EXACTLY per row -- not just
+    value-at-rank: the (value, id) total order leaves no tie freedom, so
+    rank ids must match bit for bit, which is what makes the converted
+    RFM plan hash-identical to its unchanged single-window oracle."""
+    import random as _random
+
+    from pyspark.sql import Window as _W
+
+    from json_format_in_parquet_benchmark_spark.functions.windows import (
+        rank_two_phase,
+    )
+
+    rng = _random.Random(23)
+    rows = [(i, rng.randrange(0, 40)) for i in range(800)]  # heavy ties
+    df = spark.createDataFrame(rows, "id long, v long").withColumn(
+        "_g", F.lit(0)
+    )
+    want = {
+        r["id"]: (r["rn"], r["n"])
+        for r in df.select(
+            "id",
+            F.row_number().over(_W.orderBy("v", "id")).alias("rn"),
+            F.count(F.lit(1)).over(_W.partitionBy()).alias("n"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["rn"], r["n"])
+        for r in rank_two_phase(
+            df, "_g", "v", order_extra=("id",), bucket_width=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_two_phase_rejects_non_integral_and_expr_columns(spark):
+    """The two-phase builders splice the value/order column into an
+    integer `div` expression; misuse must fail with a clear TypeError,
+    not a Catalyst analysis error (ADVICE r9)."""
+    import pytest as _pytest
+
+    from json_format_in_parquet_benchmark_spark.functions.windows import (
+        pack_shards_two_phase,
+        rank_two_phase,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("a", 2, 2.5)], "part string, id long, x double"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        rank_two_phase(df, "part", "x")
+    with _pytest.raises(TypeError, match="not found"):
+        rank_two_phase(df, "part", "missing")
+    with _pytest.raises(TypeError, match="plain column name"):
+        rank_two_phase(df, "part", "id + 1")
+    with _pytest.raises(TypeError, match="integral"):
+        pack_shards_two_phase(df, "part", "x", "id", 10)
