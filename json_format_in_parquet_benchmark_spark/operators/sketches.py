@@ -170,6 +170,39 @@ cms AS (
 )"""
 
 
+def bottom_k_distinct(hashed: DataFrame, k: int) -> DataFrame:
+    """The ``k`` smallest DISTINCT values of ``hashed``'s single BIGINT
+    column ``h``, with shuffle bounded by the SKETCH size, not the NDV.
+
+    The naive ``distinct().orderBy().limit(k)`` plan dedups map-side but
+    still shuffles every per-partition-distinct hash into the final
+    aggregate -- rows that track NDV (measured ~8.4x per 10x rows, 15.6s
+    at 50M, results/scale_probe.txt).  Here each input partition first
+    reduces itself to its own bottom-k distinct set inside one
+    Arrow-batched pass (bounded state: a sorted unique int64 array capped
+    at k, merged batch by batch), so at most ``k x n_partitions`` rows
+    reach the final distinct -> TakeOrderedAndProject merge.  k-smallest
+    of the union of per-partition k-smallest sets IS the estimator's own
+    merge rule, so the result is bit-identical to the naive form -- the
+    mergeability that makes the KMV/theta family work at 100 TB, applied
+    inside one job.
+    """
+
+    def _partition_bottom_k(batches):
+        import numpy as np
+        import pandas as pd
+
+        best = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            vals = pdf["h"].to_numpy(dtype=np.int64, copy=False)
+            best = np.unique(np.concatenate([best, vals]))[:k]
+        if best.size:
+            yield pd.DataFrame({"h": best})
+
+    pre = hashed.mapInPandas(_partition_bottom_k, "h bigint")
+    return pre.distinct().orderBy("h").limit(k)
+
+
 def kmv_estimate(df: DataFrame, value_expr: str, k: int = 256) -> DataFrame:
     """One-row DataFrame with the KMV (bottom-k) distinct estimate of
     ``value_expr``: keep the k smallest distinct 60-bit hashes; the k-th
@@ -179,11 +212,13 @@ def kmv_estimate(df: DataFrame, value_expr: str, k: int = 256) -> DataFrame:
     portable hash, so the estimate is bit-identical cross-engine.  The
     bottom-k set is also a deterministic uniform corpus sample and merges
     by keeping the k smallest of a union -- the mergeability story of the
-    KMV/theta sketch family.  The plan is distinct -> TakeOrderedAndProject
-    (per-partition top-k then a k-row merge), never a full sort.
+    KMV/theta sketch family.  The bottom-k runs through
+    :func:`bottom_k_distinct`: a per-partition bounded pre-reduction, then
+    distinct -> TakeOrderedAndProject over <= k x partitions rows -- never
+    an NDV-sized shuffle, never a full sort.
     """
     h = hash64_sql_spark(value_expr)
-    mins = df.selectExpr(f"{h} as h").distinct().orderBy("h").limit(k)
+    mins = bottom_k_distinct(df.selectExpr(f"{h} as h"), k)
     return mins.agg(
         F.expr(
             f"cast({float(k - 1)!r}D * cast(shiftleft(1L, {HASH_BITS}) as double)"

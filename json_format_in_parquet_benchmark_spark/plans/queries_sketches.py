@@ -122,9 +122,12 @@ FROM (SELECT {est} AS e,
     "hashes, estimate ndv = (k-1)*2^60/h_k.  Exact integer work up to one "
     "final double division, so the estimate is bit-identical in the "
     "oracle; the bottom-k set doubles as a deterministic uniform sample "
-    "and merges by k-smallest-of-union.  Plan shape: distinct -> "
-    "TakeOrderedAndProject (per-partition top-k + k-row merge), no full "
-    "sort.",
+    "and merges by k-smallest-of-union.  Plan shape "
+    "(operators/sketches.py:bottom_k_distinct): per-partition bounded "
+    "bottom-k pre-reduction (Arrow pass, state capped at k), then "
+    "distinct -> TakeOrderedAndProject over <= k x partitions rows -- "
+    "the shuffle is sketch-sized, not NDV-sized (the naive distinct "
+    "shuffled NDV rows: 8.4x per 10x, 15.6s at 50M, scale_probe.txt).",
     tags=("sketch", "distinct", "custom-operator"),
 )
 def sketch_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,17 +684,20 @@ FROM th, ni, nu, xi, xu
 )
 def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import HASH_BITS, hash64_sql_spark
+    from ..operators.sketches import bottom_k_distinct
 
     orders = load_table(spark, sf_dir, "orders")
     h = hash64_sql_spark("cast(o_custkey as string)", salt="theta:")
 
     def bottom_k(year: int) -> DataFrame:
-        return (
-            orders.where(F.expr(f"year(o_orderdate) = {year}"))
-            .selectExpr(f"{h} as h")
-            .distinct()
-            .orderBy("h")
-            .limit(THETA_K)
+        # Same bounded per-partition pre-reduction as the KMV sketch: the
+        # shuffle into each arm's k-row merge is <= k x partitions, not
+        # the year's customer NDV.
+        return bottom_k_distinct(
+            orders.where(F.expr(f"year(o_orderdate) = {year}")).selectExpr(
+                f"{h} as h"
+            ),
+            THETA_K,
         )
 
     sa, sb = bottom_k(_YEAR_A), bottom_k(_YEAR_B)

@@ -164,11 +164,13 @@ def test_bucketed_sink_join_plans_zero_join_shuffle(spark):
 
 
 def test_kmv_uses_take_ordered_not_global_sort(spark):
-    """The KMV bottom-k must be TakeOrderedAndProject over the distinct
-    hashes (per-partition top-k + k-row merge), never a full Sort -- the
-    property that keeps the sketch one scan at any corpus size."""
+    """The KMV bottom-k must be the bounded per-partition pre-reduction
+    (MapInPandas) feeding a TakeOrderedAndProject merge (per-partition
+    top-k + k-row merge), never a full Sort and never an NDV-sized
+    distinct shuffle straight off the scan."""
     plan = plan_of(spark, "sketch_kmv_ndv")
     assert "TakeOrderedAndProject(limit=256" in plan, plan
+    assert "MapInPandas" in plan, plan
 
 
 def test_cms_probes_are_broadcast(spark):
@@ -245,11 +247,13 @@ def test_mixture_epochs_is_single_pass(spark):
 
 
 def test_theta_sketch_bottom_k_is_take_ordered(spark):
-    """Both bottom-k sides of the theta intersection must be
-    TakeOrderedAndProject (per-partition top-k + k-row merge), never a
-    global sort of the distinct hashes."""
+    """Both bottom-k sides of the theta intersection must run the bounded
+    per-partition pre-reduction (MapInPandas) into a
+    TakeOrderedAndProject merge, never a global sort of the distinct
+    hashes."""
     plan = plan_of(spark, "sketch_theta_intersection")
     assert plan.count("TakeOrderedAndProject(limit=256") >= 2, plan
+    assert plan.count("MapInPandas") >= 2, plan
     assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
 
 

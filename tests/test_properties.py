@@ -2199,6 +2199,31 @@ def test_rank_two_phase_global_total_order_exact(spark):
     assert got == want
 
 
+def test_bottom_k_distinct_matches_naive_form(spark):
+    """The per-partition bounded bottom-k pre-reduction must return
+    EXACTLY the k smallest distinct hashes -- same set as the naive
+    distinct->sort->limit -- including duplicates that straddle
+    partitions, k larger than the NDV, and values around the k boundary
+    (k-smallest-of-union of per-partition k-smallest sets is the
+    estimator's own merge rule)."""
+    from json_format_in_parquet_benchmark_spark.operators.sketches import (
+        bottom_k_distinct,
+    )
+
+    # 40 distinct values, each duplicated 50x, scattered over 16 partitions
+    vals = [((i * 2654435761) % 4096) for i in range(40)] * 50
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "h long"
+    ).repartition(16)
+    for k in (8, 40, 100):  # below, at, and above the NDV
+        want = [
+            r["h"]
+            for r in df.distinct().orderBy("h").limit(k).collect()
+        ]
+        got = sorted(r["h"] for r in bottom_k_distinct(df, k).collect())
+        assert got == want, (k, got, want)
+
+
 def test_two_phase_rejects_non_integral_and_expr_columns(spark):
     """The two-phase builders splice the value/order column into an
     integer `div` expression; misuse must fail with a clear TypeError,
