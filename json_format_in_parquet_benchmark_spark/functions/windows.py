@@ -71,6 +71,79 @@ def pack_shard_spark(
     )
 
 
+def prefix_sum_two_phase(
+    df,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    order_extra: tuple[str, ...] = (),
+    bucket_width: int = 65536,
+    out_col: str = "prefix",
+):
+    """EXCLUSIVE running sum of ``size_col`` within ``part_col`` ordered by
+    ``(order_col, *order_extra)`` -- the two-phase decomposition shared by
+    the shard packers and the Pareto/cumulative-share plans, for
+    LOW-cardinality partition keys where one window would sort each key's
+    entire data on a single reducer.
+
+    Rows bucket by ``order_col div bucket_width`` (monotone non-decreasing
+    in the order column, equal values share a bucket); phase 1 computes
+    the exclusive running sum within each (part, bucket) -- many small
+    parallel windows -- plus one total per bucket, and phase 2
+    prefix-sums the per-bucket totals over only ``n_buckets`` rows,
+    joined back on the partitioning phase 1 already established.  With a
+    deterministic ``(order_col, *order_extra)`` total order the result is
+    bit-identical to the one-window form; int64 addition is exact and
+    associative, so even tie permutations cannot change any prefix that a
+    total order pins.  Returns ``df`` plus ``out_col``.
+
+    :func:`pack_shards_two_phase` predates this helper and keeps its own
+    copy of the same machinery for now: folding it into this function
+    would churn the plan fingerprints of its three driver-pinned
+    consumers for zero semantic change, costing evidence-window slots --
+    fold it in whenever those plans next re-pin anyway.
+    """
+    from ..operators.dedup import _track_persist
+
+    _require_integral(df, order_col, "prefix_sum_two_phase", "order")
+    b = F.expr(f"{order_col} div {bucket_width}")
+    w_in = (
+        Window.partitionBy(part_col, "_pfx_b")
+        .orderBy(order_col, *order_extra)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Persist the pre-window projection: BOTH phases read it (the running
+    # sum and the per-bucket totals); without the cache Catalyst recomputes
+    # the upstream lineage once per branch (the round-4 fan-out rule).
+    staged = _track_persist(df.withColumn("_pfx_b", b))
+    sized = staged.withColumn(
+        "_pfx_intra", F.sum(size_col).over(w_in) - F.col(size_col)
+    )
+    totals = staged.groupBy(part_col, "_pfx_b").agg(
+        F.sum(size_col).alias("_pfx_tot")
+    )
+    w_b = (
+        Window.partitionBy(part_col)
+        .orderBy("_pfx_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        part_col,
+        "_pfx_b",
+        F.coalesce(F.sum("_pfx_tot").over(w_b), F.lit(0)).alias("_pfx_off"),
+    )
+    # No broadcast hint on purpose: the join key (part, bucket) is exactly
+    # the phase-1 window partitioning, so the big side joins without a new
+    # exchange, and AQE broadcast-converts the offsets side while it is
+    # small (it grows with n_buckets, so forcing broadcast would be the
+    # 100-TB mistake).
+    return (
+        sized.join(offsets, [part_col, "_pfx_b"])
+        .withColumn(out_col, F.col("_pfx_off") + F.col("_pfx_intra"))
+        .drop("_pfx_b", "_pfx_intra", "_pfx_off")
+    )
+
+
 def pack_shards_two_phase(
     df,
     part_col: str,

@@ -287,10 +287,12 @@ def histogram_quantiles(
     # Cumulative sums run over the BOUNDED bin/value tables (sketch-sized,
     # not corpus-sized); the single-partition window is over <= range/width
     # rows.
+    # global-window: bin table, bounded by value_range/width (sketch-sized)
     wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = bins.select(
         "bin", "cnt", F.sum("cnt").over(wb).alias("cum")
     ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    # global-window: per-value count table, bounded by the value RANGE
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     vcum = vals.select("v", F.sum("vcnt").over(wv).alias("vcum"))
 

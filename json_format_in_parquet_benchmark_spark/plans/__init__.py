@@ -29,110 +29,68 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 
 
-# Evidence-driven ordering, round 9: the external driver cross-checks the
-# FIRST 50 registered queries each round.  CORRECTNESS_r08 landed 50/50
-# green, so cumulative coverage is 293/293 and the round-8 verdict's item
-# 1 orders this round's window spent on evidence FRESHNESS: the 45
-# queries whose most recent driver green is round 3 (the staged
-# _ROUND9_EVIDENCE_TODO, now promoted wholesale), plus the three plans
-# that CHANGED this round (stream_upsert_foreachbatch gained the
-# torn-swap recovery path, similarity_knn_graph's kernel gained the
-# zero-norm guard and the shared EQ_GRID constant, format_storage_metrics
-# moved from rows-only to a real oracle over portable invariants; the
-# jsonc tape moved its container entry counts from the f64 number pool
-# into the opcode stream as int8 varints, changing format_roundtrip_jsonc
-# and json_golden_probes_tape's encode stage; the shard packers moved
-# from one-window-per-partition-key to the two-phase bucketed prefix sum,
-# changing pack_token_shards, multimodal_pack_shards and
-# pipeline_multimodal_curation; the exact-rank windows moved to the
-# two-phase bucketed rank for the same reason, changing dq_outlier_mad
-# too -- their prior evidence describes code that no longer exists).
-# Changed plans outrank staleness, so with the window capped at 50 the
-# three SAFEST r3-stale entries are deferred to lead the round-10 TODO:
-# q10_returned_items and q14_promo_revenue (zero-churn TPC-H aggregate
-# singles whose family re-pinned 100% green in round 8) and
-# scan_schema_evolution (a mergeSchema scan single, unchanged since
-# round 2) -- the least-risk postponements available.
+# Evidence-driven ordering, round 10: the external driver cross-checks
+# the FIRST 50 registered queries each round.  CORRECTNESS_r09 landed
+# 50/50 green, and the round-9 verdict's item 1 orders this window spent
+# on the staged 52-query _ROUND10_EVIDENCE_TODO cohort (the 3 r3-stale
+# deferrals + the 49 r4-last-green queries) minus slots for whatever
+# churned.  Changed plans outrank staleness (their old evidence
+# describes dead code); this round that is: customers_rfm_segments
+# (three global rank windows -> rank_two_phase, verdict item 2),
+# sketch_kmv_ndv + sketch_theta_intersection (per-partition bottom-k
+# pre-reduction, verdict item 3), events_interarrival_stats (global gap
+# rank -> rank_two_phase, verdict item 6 sweep), parts_abc_pareto
+# (global cumulative-share window -> prefix_sum_two_phase, same sweep;
+# already in the cohort), stream_upsert_foreachbatch (mid-rmtree torn
+# swap recovery, ADVICE r9 medium), and format_storage_metrics (oracle
+# text gained the intentional-pin fragility note, ADVICE r9 low).
+# That is 6 churned slots outside the cohort, so the 8 SAFEST cohort
+# entries defer to lead the round-11 TODO: the eight r4 TPC-H aggregate
+# singles (q5/q7/q8/q13/q15/q17/q18/q22 -- zero churn, and the TPC-H
+# family re-pinned 100% green in rounds 8-9).
 # Ordering within the 50: the changed cohort first so a truncated pass
-# still covers it, then the failure-prone Arrow/streaming/multimodal
-# singles, the similarity/sketch/sink arms, the broad batch cohort, and
-# the slow pipeline re-pins at the tail.
+# still covers it, then the twice-deferred r3 trio, then the
+# failure-prone Arrow/multimodal/scan/sink singles, the similarity and
+# search arms, the broad batch cohort, and the slow pipeline at the tail.
 _EVIDENCE_PRIORITY = (
     # -- re-pins: plan or oracle changed THIS round --
-    "stream_upsert_foreachbatch",
-    "similarity_knn_graph",
-    "format_storage_metrics",
-    "format_roundtrip_jsonc",
-    "json_golden_probes_tape",
-    "pack_token_shards",
-    "multimodal_pack_shards",
-    "pipeline_multimodal_curation",
-    "dq_outlier_mad",
-    # -- r3-stale: streaming family (stateful/Arrow stages first) --
-    "stream_sessionize_stateful",
-    "stream_dedup_watermarked",
-    "stream_hll_distinct_users",
-    "stream_stream_join",
-    "stream_static_enrich",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "stream_sessionize_batch",
-    "stream_sliding_window_batch",
-    "stream_tumbling_window_batch",
-    # -- r3-stale: multimodal / UDF / UDTF Arrow surfaces --
-    "multimodal_catalog",
-    "multimodal_image_resize",
-    "multimodal_video_frame_sample",
-    "udaf_median_value",
-    "udtf_tokenize_positions",
-    # -- r3-stale: similarity arms --
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "similarity_lsh_buckets",
-    "similarity_lsh_recall",
-    "similarity_ivf_partitioned",
-    "similarity_ivf_recall",
-    # -- r3-stale: sketches --
-    "sketch_hll_ndv",
+    "customers_rfm_segments",
     "sketch_kmv_ndv",
-    "sketch_cms_heavy_hitters",
-    "sketch_bloom_decontaminate",
-    "sketch_histogram_quantiles",
-    # -- r3-stale: sinks --
-    "sink_partitioned_events",
-    "sink_compacted_events",
-    "sink_bucketed_join",
-    "sink_ndjson_export",
-    # -- r3-stale: batch cohort --
-    "events_rollup_hll",
-    "join_salted_skew_events",
-    "split_train_valid_test",
-    "sample_mixture_epochs",
-    "text_bm25_topk",
-    "dedup_incremental",
-    "dedup_ngram_prefix",
-    "dedup_semantic",
-    "dedup_winnow_spans",
-    # -- slow r3-stale re-pin at the tail --
-    "pipeline_clean_corpus",
-)
-# ROUND-10 EVIDENCE TODO (registry-checked below): with the round-9
-# window above green, every query's most recent driver green is r4+ and
-# the stalest cohort is the three r3-greens deferred above plus the
-# whole r4-last-green set (49 queries).  Fill the round-10 window with
-# these 52 minus slots for whatever churns in round 9.
-_ROUND10_EVIDENCE_TODO = (
-    # deferred from the round-9 window (see above) -- re-pin FIRST
+    "sketch_theta_intersection",
+    "events_interarrival_stats",
+    "parts_abc_pareto",
+    "stream_upsert_foreachbatch",
+    "format_storage_metrics",
+    # -- twice-deferred r3-stale trio: re-pin FIRST among the cohort --
     "q10_returned_items",
     "q14_promo_revenue",
     "scan_schema_evolution",
-    # the r4-last-green cohort
-    "aqp_sampled_revenue",
+    # -- r4-stale: Arrow / multimodal / scan / sink surfaces --
+    "multimodal_audio_chunks",
+    "multimodal_clip_pairing",
+    "scan_ndjson_corrupt",
+    "scan_csv_events",
+    "scan_orc_events",
+    "sink_backfill_partition",
+    "sink_zorder_events",
+    "scd2_customer_priority",
+    "table_diff_snapshots",
+    # -- r4-stale: similarity / search arms --
+    "similarity_hard_negatives",
+    "similarity_ivf_append",
+    "similarity_ivfpq_topk",
+    "similarity_pq_topk",
+    "search_hybrid_rrf",
+    "search_rerank_proximity",
+    # -- r4-stale: text / BPE --
+    "text_bpe_encode_corpus",
+    "text_bpe_train_merges",
+    "text_char_bigram_lm",
+    "text_keyword_pagerank",
+    # -- r4-stale: dedup --
     "dedup_substring_exact",
     "dedup_substring_remove",
-    "dq_fd_repair",
-    "dq_validate_suite",
+    # -- r4-stale: events batch cohort --
     "events_anomaly_zscore",
     "events_cusum_changepoints",
     "events_gapfill_locf",
@@ -140,48 +98,40 @@ _ROUND10_EVIDENCE_TODO = (
     "events_moving_average",
     "events_top_paths",
     "events_user_trend_ols",
+    # -- r4-stale: graph --
     "graph_pagerank_trading",
     "graph_triangle_count",
-    "multimodal_audio_chunks",
-    "multimodal_clip_pairing",
+    # -- r4-stale: relational / dq / sample --
+    "aqp_sampled_revenue",
+    "dq_fd_repair",
+    "dq_validate_suite",
     "orders_market_basket",
-    "parts_abc_pareto",
     "parts_skyline_cheap_small",
-    "pipeline_contamination_sweep",
     "profile_length_histogram",
+    "sample_domain_cap",
+    "sample_weighted_priority",
+    "window_ntile_deciles",
+    # -- slow composed re-pin at the tail --
+    "pipeline_contamination_sweep",
+)
+# ROUND-11 EVIDENCE TODO (registry-checked below): with the round-10
+# window above green, every query's most recent driver green is r5+
+# except these 8 deferred r4 TPC-H singles -- fill the round-11 window
+# with them first, then whatever churns.
+_ROUND11_EVIDENCE_TODO = (
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q22_dormant_accounts",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "sample_domain_cap",
-    "sample_weighted_priority",
-    "scan_csv_events",
-    "scan_ndjson_corrupt",
-    "scan_orc_events",
-    "scd2_customer_priority",
-    "search_hybrid_rrf",
-    "search_rerank_proximity",
-    "similarity_hard_negatives",
-    "similarity_ivf_append",
-    "similarity_ivfpq_topk",
-    "similarity_pq_topk",
-    "sink_backfill_partition",
-    "sink_zorder_events",
-    "table_diff_snapshots",
-    "text_bpe_encode_corpus",
-    "text_bpe_train_merges",
-    "text_char_bigram_lm",
-    "text_keyword_pagerank",
-    "window_ntile_deciles",
 )
 
 _missing = [
     n
-    for n in _EVIDENCE_PRIORITY + _ROUND10_EVIDENCE_TODO
+    for n in _EVIDENCE_PRIORITY + _ROUND11_EVIDENCE_TODO
     if n not in REGISTRY
 ]
 assert not _missing, f"evidence-priority names not in REGISTRY: {_missing}"

@@ -133,6 +133,12 @@ def format_roundtrip_jsonb_shredded(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 _STORAGE_METRICS_ORACLE = """
+-- compresses / smallest_is_shredded are INTENTIONAL empirical pins
+-- (ADVICE r9): writer-version- and corpus-dependent facts, verified
+-- TRUE on every current corpus at the current parquet-java writer.  If
+-- a Spark/parquet upgrade flips one, the driver failure means the
+-- MEASUREMENT shifted, not that the engine regressed -- re-measure and
+-- re-pin rather than hunting a plan bug.
 WITH s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS num_of_lines,
          CAST(SUM(length(props)) + COUNT(*) AS BIGINT) AS original

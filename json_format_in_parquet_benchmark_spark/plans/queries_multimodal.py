@@ -668,6 +668,7 @@ def multimodal_clip_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = (
         docs.select(
             F.col("doc_id").alias("media_id"),
+            # global-window: eval-set negative-pair construction (bounded, see doc); a corpus-scale negative sampler would hash-pair instead
             F.lead("doc_id").over(Window.orderBy("doc_id")).alias("text_doc"),
             F.lit("neg").alias("pair_type"),
         )

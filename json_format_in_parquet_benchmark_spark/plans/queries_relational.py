@@ -1303,6 +1303,7 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(cast(o_totalprice as decimal(18,2))) as double)"
         ).alias("spend")
     )
+    # global-window: this query IS the exact global-rank capability demo (ntile/percent_rank/cume_dist); doc names the sketch replacement at scale
     w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
     return spend.select(
         "o_custkey",
@@ -1697,6 +1698,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
+    # global-window: unordered MAX over the per-supplier aggregate (dimension-sized, no sort frame)
     w = Window.partitionBy()
     top = revenue.withColumn(
         "mx", F.max("total_revenue").over(w)
@@ -2194,12 +2196,19 @@ ORDER BY abc_class
     "deterministic), so the running total, the grand total, and every "
     "share division are order-free integer/IEEE arithmetic -- a "
     "double-to-DECIMAL recast here would round HALF_UP in Spark but "
-    "HALF_EVEN in DuckDB.  Scale caveat as window_ntile_deciles: the "
-    "global ordered window is the exact form; at 100 TB the cuts come "
-    "from a quantile sketch over per-part revenues instead.",
+    "HALF_EVEN in DuckDB.  The running total is the TWO-PHASE bucketed "
+    "prefix sum (functions/windows.py:prefix_sum_two_phase over -rq "
+    "with the l_partkey tiebreak): a global ordered window would sort "
+    "the whole part dimension on one reducer, and the (rq, partkey) "
+    "total order plus exact int64 addition make the two-phase prefix "
+    "bit-identical to the single-window oracle.  Bucket width 2^22 "
+    "cents over the SF-independent per-part revenue spread keeps the "
+    "bucket fan-out bounded at any scale.",
     tags=("relational", "window", "pareto", "aggregation"),
 )
 def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.windows import prefix_sum_two_phase
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.expr(
@@ -2209,13 +2218,16 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rq")
     )
     tot = rev.agg(F.sum("rq").cast("bigint").alias("t"))
-    w = (
-        Window.orderBy(F.col("rq").desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # Descending revenue order as an ASCENDING integral order column.
+    base = rev.withColumn("_g", F.lit(0)).withColumn("neg_rq", -F.col("rq"))
+    pre = prefix_sum_two_phase(
+        base, "_g", "neg_rq", "rq", order_extra=("l_partkey",),
+        bucket_width=1 << 22, out_col="_pre",
     )
-    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+    ranked = pre.crossJoin(F.broadcast(tot)).withColumn(
         "cum_share",
-        F.sum("rq").over(w).cast("double") / F.col("t").cast("double"),
+        (F.col("_pre") + F.col("rq")).cast("double")
+        / F.col("t").cast("double"),
     )
     classed = ranked.withColumn(
         "abc_class",
@@ -2276,6 +2288,7 @@ def parts_skyline_cheap_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size <= s, making "dominated" = running-min(size) over the preceding
     # frame <= s.  Pair distinctness rules out the equal-pair edge case.
     w = (
+        # global-window: distinct (price, size) pairs -- bounded by the value grid, not row count
         Window.orderBy("price", "psize")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -3484,6 +3497,7 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = digits.groupBy("first_digit").agg(
         F.count(F.lit(1)).alias("n")
     ).withColumn(
+        # global-window: 9-row first-digit table
         "total", F.sum("n").over(Window.partitionBy())
     )
     return counted.select(
@@ -4569,6 +4583,7 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = reps.select(
         "mean_b",
+        # global-window: _BOOT_B bootstrap replicate means (constant-bounded)
         F.row_number().over(Window.orderBy("mean_b")).alias("rn"),
     )
     lo = ranked.where(F.col("rn") == 2).select(
@@ -4990,6 +5005,7 @@ def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{hash64_sql_spark('cast(user_id as string)', 'ab')} % 2"
         ).alias("arm"),
         F.ntile(10)
+        # global-window: per-user pre/post aggregate (user dimension); rank_two_phase + ntile arithmetic is the staged conversion at scale
         .over(Window.orderBy(F.desc("x"), F.asc("user_id")))
         .cast("int")
         .alias("decile"),
@@ -5004,6 +5020,7 @@ def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(coalesce(sum(case when arm = 1 then y end), 0) as bigint)"
         ).alias("y_c"),
     )
+    # global-window: 10-row decile rollup
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     cum = agg.select(
         "*",
@@ -5512,6 +5529,7 @@ def customers_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = spend.select(
         "cents",
         F.row_number()
+        # global-window: per-customer spend aggregate (dimension-sized); rank_two_phase is the staged conversion if the dimension outgrows one task
         .over(Window.orderBy("cents", "o_custkey"))
         .cast("bigint")
         .alias("rk"),

@@ -238,6 +238,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rank_lex",
             F.row_number()
+            # global-window: ONE query's lexical candidate ranking (serving-path; impact-ordered posting pruning bounds it in production)
             .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
             .cast("bigint"),
         )
@@ -256,6 +257,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rank_vec",
             F.row_number()
+            # global-window: ONE query's cosine ranking (serving-path; the ANN index bounds the candidate set in production)
             .over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
             .cast("bigint"),
         )
@@ -381,6 +383,7 @@ def search_rerank_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rank_bm25",
             F.row_number()
+            # global-window: BM25 ranking for ONE query, cut to TOP_K on the next line
             .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
             .cast("bigint"),
         )
@@ -423,6 +426,7 @@ def search_rerank_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rerank_rank",
             F.row_number()
             .over(
+                # global-window: rerank over the TOP_K-bounded candidate set
                 Window.orderBy(
                     F.desc("n_terms_matched"),
                     F.coalesce(F.col("min_dist"), F.lit(1_000_000_000)),
@@ -563,6 +567,7 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(MMR_POOL)
         .withColumn(
             "rank",
+            # global-window: rank over the MMR_POOL-row retrieval pool (limit above)
             F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")),
         )
         .select(

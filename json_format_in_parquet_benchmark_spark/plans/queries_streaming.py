@@ -787,25 +787,40 @@ def upsert_merge_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> No
     (tests/test_streaming.py::test_upsert_foreachbatch_restart_exactly_once
     kills the query inside exactly that crash window).
 
-    The swap itself has a SECOND crash window: between rmtree(state_dir)
-    and rename(tmp -> state_dir) neither directory carries the state.  The
-    tmp dir is always complete at that point (parquet AND marker are fully
-    written before the rmtree starts), so recovery is to finish the
-    interrupted rename on entry: state_dir missing + a marker-bearing tmp
-    present => rename it in, then the ordinary marker guard sees the
-    recovered batch as applied and skips its redelivery
-    (tests/test_streaming.py::test_upsert_foreachbatch_swap_window_recovery
-    kills between the rmtree and the rename)."""
+    The swap itself has a SECOND crash window: from the start of
+    rmtree(state_dir) until rename(tmp -> state_dir) the state_dir is
+    gone or TORN (a crash mid-rmtree leaves a partial directory -- marker
+    and/or parquet parts already deleted) while the tmp dir is always
+    complete (parquet AND marker are fully written before the rmtree
+    starts).  Recovery on entry therefore prefers the tmp dir whenever
+    its marker exists and the state marker is missing or carries a batch
+    id <= the tmp marker's: discard the (possibly torn) state_dir and
+    finish the interrupted rename; the ordinary marker guard then sees
+    the recovered batch as applied and skips its redelivery.  The <=
+    direction is safe because a tmp for batch N is only ever built FROM
+    the state at N-1 (the guard never rebuilds a tmp the state already
+    reflects), so a tmp whose marker is >= the state's strictly supersedes
+    it (tests/test_streaming.py::test_upsert_foreachbatch_swap_window_recovery
+    kills between the rmtree and the rename;
+    ::test_upsert_foreachbatch_mid_rmtree_recovery enters with a torn
+    state_dir)."""
     import shutil
 
     from pyspark.sql import functions as F
 
     tmp_dir = state_dir + ".tmp"
-    if not os.path.isdir(state_dir) and os.path.isfile(
-        os.path.join(tmp_dir, _APPLIED_MARKER)
-    ):
-        os.rename(tmp_dir, state_dir)  # finish the interrupted swap
     marker = os.path.join(state_dir, _APPLIED_MARKER)
+    tmp_marker = os.path.join(tmp_dir, _APPLIED_MARKER)
+    if os.path.isfile(tmp_marker):
+        with open(tmp_marker, encoding="utf-8") as fh:
+            tmp_batch = int(fh.read().strip())
+        state_batch = None
+        if os.path.isfile(marker):
+            with open(marker, encoding="utf-8") as fh:
+                state_batch = int(fh.read().strip())
+        if state_batch is None or state_batch <= tmp_batch:
+            shutil.rmtree(state_dir, ignore_errors=True)
+            os.rename(tmp_dir, state_dir)  # finish the interrupted swap
     if os.path.isfile(marker):
         with open(marker, encoding="utf-8") as fh:
             if int(fh.read().strip()) >= batch_id:

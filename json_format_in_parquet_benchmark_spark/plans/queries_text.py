@@ -1201,6 +1201,7 @@ def profile_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
     ranked = freq.withColumn(
         "r",
+        # global-window: corpus vocabulary frequency table (vocab-bounded)
         F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("w"))),
     )
     return (
@@ -1290,6 +1291,7 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = pairs.withColumn(
         "rnk",
         F.row_number()
+        # global-window: symbol-pair count table (vocab^2-bounded)
         .over(Window.orderBy(F.col("pair_count").desc(), F.col("pair")))
         .cast("bigint"),
     )
@@ -2626,6 +2628,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({NEYMAN_K} * w_h) % w_tot").cast("bigint").alias("rem"),
     )
     base_tot = seats.agg(F.sum("base").cast("bigint").alias("base_tot"))
+    # global-window: largest-remainder seat deal over the LANGUAGE table
     wdeal = Window.orderBy(F.desc("rem"), "lang")
     dealt = (
         seats.crossJoin(F.broadcast(base_tot))

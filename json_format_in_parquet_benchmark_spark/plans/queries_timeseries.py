@@ -390,6 +390,7 @@ def orders_open_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.sum("delta").cast("bigint").alias("net"))
     )
+    # global-window: per-day net-change aggregate (calendar-bounded)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     running = byday.withColumn(
         "open_now", F.sum("net").over(w).cast("bigint")
@@ -444,24 +445,29 @@ FROM ranked
     "are judgment calls THIS query turns into data).  Rank ordering is "
     "by gap value only: ties make rank assignment among equal values "
     "arbitrary, but the VALUE at any rank is determined by the "
-    "multiset, so the emitted quantiles are deterministic.  The global "
-    "sort runs over one gap per event (same cardinality as the fact "
-    "table): exact here; at 100 TB the quantiles come from a sketch "
-    "and the lag stays a per-user window.",
+    "multiset, so the emitted quantiles are deterministic.  The rank "
+    "runs over one gap per event (same cardinality as the fact table), "
+    "so it is the TWO-PHASE bucketed rank "
+    "(functions/windows.py:rank_two_phase, constant partition key): a "
+    "global ROW_NUMBER window here would sort the whole fact table on "
+    "one reducer.  Ties share a bucket, so value-at-rank -- all the "
+    "aggregate extracts -- is preserved exactly; parallelism is bounded "
+    "by the gap RANGE / 2^22 us (~4.2 s buckets), not the row count.",
     tags=("timeseries", "quantile", "window", "statistics"),
 )
 def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.windows import rank_two_phase
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us"), "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gaps = ev.select(
         (F.col("us") - F.lag("us").over(w)).alias("g")
-    ).where(F.col("g").isNotNull())
-    rw = Window.orderBy("g")
-    ranked = gaps.withColumn("r", F.row_number().over(rw) - 1).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
-    )
+    ).where(F.col("g").isNotNull()).withColumn("_g", F.lit(0))
+    ranked = rank_two_phase(
+        gaps, "_g", "g", bucket_width=1 << 22, rn_col="rn", n_col="n"
+    ).withColumn("r", F.col("rn") - 1)
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_gaps"),
         F.min("g").cast("bigint").alias("min_gap_us"),
@@ -891,6 +897,7 @@ def orders_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)) as bigint)"
         ).alias("rev_cents")
     )
+    # global-window: per-month revenue aggregate (calendar-bounded)
     w = Window.orderBy("ym")
     lagged = monthly.select(
         "ym",
@@ -1268,9 +1275,11 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Day-level frame: |rows| = distinct durations <= calendar span, so the
     # single-partition windows below are k-bounded, not data-sized.
+    # global-window: distinct-duration table (calendar-span-bounded, see above)
     w_all = Window.orderBy("dur").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # global-window: same distinct-duration table as w_all
     w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     risk = F.col("d") + F.col("c")
     nr = pd_.select(
@@ -1449,6 +1458,7 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_tot = local.groupBy("day").agg(
         F.max(F.struct("t", "delta", "pref"))["pref"].alias("tot")
     )
+    # global-window: per-day totals (calendar-bounded, see comment above)
     w_prev = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1601,6 +1611,7 @@ def events_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-day row counts from the numbered frame itself (max local
     # row_number) -- grouping by the partition key adds no exchange.
     day_cnt = local.groupBy("day").agg(F.max("lrn").alias("cnt"))
+    # global-window: per-day counts (calendar-bounded, see comment above)
     w_prev = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1742,6 +1753,7 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     )
+    # global-window: daily series (calendar-bounded)
     w = Window.orderBy("day").rowsBetween(-3, 3)
     win = daily.select(
         "day",
@@ -2361,6 +2373,7 @@ def events_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "residual",
         F.expr("cast(floor(residual * 1000000e0) as bigint)").alias("r_q"),
     )
+    # global-window: day-level STL residual series (calendar-bounded)
     wall = Window.orderBy("r_q", "day")
     cnt_w = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -2384,6 +2397,7 @@ def events_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "residual",
         F.expr("abs(2 * r_q - med2)").alias("dev"),
     )
+    # global-window: same day-level series (calendar-bounded)
     dwall = Window.orderBy("dev", "day")
     dranked = devs.select(
         "*",

@@ -472,6 +472,86 @@ def test_upsert_foreachbatch_swap_window_recovery(spark, monkeypatch):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@pytest.mark.parametrize("state_marker_survives", [False, True])
+def test_upsert_foreachbatch_mid_rmtree_recovery(
+    spark, monkeypatch, state_marker_survives
+):
+    """Crash DURING shutil.rmtree(state_dir) (ADVICE r9): the state_dir
+    still EXISTS but is torn -- parquet parts and/or the marker already
+    deleted -- while the complete marker-bearing tmp sits next to it.  The
+    old state_dir-missing guard skipped this case and merged the
+    redelivered batch against the torn directory.  Recovery must prefer
+    the tmp whenever its marker is >= the state's (or the state marker is
+    gone), discard the torn state, and end bit-equal to the one-shot
+    aggregate.  Drives upsert_merge_batch directly: batch 0 commits
+    cleanly, batch 1 crashes in the swap window, then a torn state_dir is
+    reconstructed around the surviving tmp before the redelivery."""
+    import shutil
+
+    from json_format_in_parquet_benchmark_spark.plans import queries_streaming
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        upsert_merge_batch,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="jfipb_upsert_torn_state_")
+    shutil.rmtree(state_dir)
+    b0 = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 50), (2, 12, 7)], "user_id long, us long, vq long"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 20, 1000), (3, 21, 3)], "user_id long, us long, vq long"
+    )
+    try:
+        upsert_merge_batch(state_dir, b0, 0)
+
+        def torn_swap():
+            raise RuntimeError("injected crash in swap window")
+
+        monkeypatch.setattr(queries_streaming, "_SWAP_WINDOW_HOOK", torn_swap)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_merge_batch(state_dir, b1, 1)
+        monkeypatch.setattr(
+            queries_streaming, "_SWAP_WINDOW_HOOK", lambda: None
+        )
+        # Reconstruct the mid-rmtree wreckage: state_dir EXISTS again but
+        # is torn -- a stale parquet part survives; the marker either died
+        # first (False arm) or survives carrying batch 0 (True arm, <= the
+        # tmp's batch 1 either way).
+        assert not os.path.isdir(state_dir)
+        os.makedirs(state_dir)
+        with open(
+            os.path.join(state_dir, "part-00000-stale.snappy.parquet"), "wb"
+        ) as fh:
+            fh.write(b"PAR1 torn leftover")
+        if state_marker_survives:
+            with open(
+                os.path.join(state_dir, "_applied_batch"), "w", encoding="utf-8"
+            ) as fh:
+                fh.write("0")
+        tmp_marker = os.path.join(state_dir + ".tmp", "_applied_batch")
+        assert os.path.isfile(tmp_marker), "swap-window tmp must be complete"
+
+        # Redelivery of batch 1 (at-least-once) against the torn state.
+        upsert_merge_batch(state_dir, b1, 1)
+
+        assert not os.path.exists(state_dir + ".tmp")
+        assert not os.path.exists(
+            os.path.join(state_dir, "part-00000-stale.snappy.parquet")
+        ), "torn leftover must not survive recovery"
+        with open(
+            os.path.join(state_dir, "_applied_batch"), encoding="utf-8"
+        ) as fh:
+            assert fh.read().strip() == "1"
+        got = sorted(
+            (r["user_id"], r["n_events"], r["total_vq"], r["last_us"])
+            for r in spark.read.parquet(state_dir).collect()
+        )
+        assert got == [(1, 3, 1150, 20), (2, 1, 7, 12), (3, 1, 3, 21)], got
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(state_dir + ".tmp", ignore_errors=True)
+
+
 def test_pyds_sink_restart_exactly_once(spark):
     """Sink-side exactly-once under a REAL restart, not just a re-invoked
     commit(): run the replay stream into the NDJSON manifest sink, stop it
