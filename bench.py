@@ -24,7 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from json_format_in_parquet_benchmark_spark.formats.base import REF_ZSTD_LEVEL
+from json_format_in_parquet_benchmark_spark.formats.base import (
+    PAGE_SIZE,
+    REF_ZSTD_LEVEL,
+)
 from json_format_in_parquet_benchmark_spark.plans import REGISTRY
 from json_format_in_parquet_benchmark_spark.session import get_spark
 
@@ -399,6 +402,7 @@ def main() -> None:
         "exec_metrics": exec_metrics,
         "storage": storage,
         "storage_zstd9": storage_zstd9,
+        "storage_page_size": PAGE_SIZE,
         "storage_by_corpus": storage_by_corpus,
         "path_query": path_query,
         "path_query_golden": path_query_golden,

@@ -43,6 +43,9 @@ DOC_COL = "doc"
 # numbers are reported as a separate tuned arm (results/bench_notes.md).
 ZSTD_LEVEL = 9
 REF_ZSTD_LEVEL = 1  # parquet-rs ZstdLevel::default(), the reference's level
+# Storage-measurement page size: one zstd frame per data page, so bigger
+# pages = more compression context (see JsonFormatBase.flush docstring).
+PAGE_SIZE = 4 * 1024 * 1024
 
 
 class JsonFormatBase(abc.ABC):
@@ -65,7 +68,11 @@ class JsonFormatBase(abc.ABC):
         """
 
     def flush(
-        self, encoded: DataFrame, path: str, zstd_level: int = ZSTD_LEVEL
+        self,
+        encoded: DataFrame,
+        path: str,
+        zstd_level: int = ZSTD_LEVEL,
+        page_size: int | None = None,
     ) -> None:
         """Write the representation to Parquet with the ZSTD codec (the
         reference's codec choice, plain_json.rs:37-44) at ``zstd_level``
@@ -74,13 +81,24 @@ class JsonFormatBase(abc.ABC):
         DataFrameWriter option -- Spark folds write options into that
         write's Hadoop conf snapshot -- so concurrent flushes on one
         session cannot race a JVM-global setting, and nothing here touches
-        the private _jsc (Spark Connect safe)."""
-        (
+        the private _jsc (Spark Connect safe).
+
+        ``page_size`` optionally raises parquet.page.size for this write:
+        zstd compresses each data page independently, so parquet-java's
+        default ~20k-value page splits cut the compression context on
+        string-heavy columns; PAGE_SIZE (4 MiB) pages measured -4.4% on
+        the jsonc headline grid cell and -13.8% on plain_json, never worse
+        (results/bench_notes.md round 10).  The storage-measurement path
+        (metrics.py) passes it; the default None keeps query-path writes
+        byte-stable."""
+        w = (
             encoded.write.mode("overwrite")
             .option("compression", "zstd")
             .option("parquet.compression.codec.zstd.level", str(int(zstd_level)))
-            .parquet(path)
         )
+        if page_size is not None:
+            w = w.option("parquet.page.size", str(int(page_size)))
+        w.parquet(path)
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         """Read the representation back (column types round-trip through

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .formats import FORMATS, get_format
-from .formats.base import DOC_COL, ZSTD_LEVEL
+from .formats.base import DOC_COL, PAGE_SIZE, ZSTD_LEVEL
 
 
 def dir_bytes(path: str) -> int:
@@ -58,12 +58,16 @@ def measure_format(
     fmt,
     out_dir: str,
     zstd_level: int = ZSTD_LEVEL,
+    page_size: int = PAGE_SIZE,
 ) -> StorageMetric:
     """Round-trip one corpus through one format (name or instance),
     measuring size + stage times.  `raw` must have a string column ``doc``.
     ``zstd_level`` selects the writer arm: REF_ZSTD_LEVEL (parquet-rs
     default, the cross-framework-comparable headline) or the engine's
-    tuned ZSTD_LEVEL."""
+    tuned ZSTD_LEVEL.  All measurement arms write PAGE_SIZE data pages
+    (bigger zstd context per page; never worse, measured round 10) --
+    the page size is an engine writer choice, unlike the codec level,
+    which is pinned per arm for like-for-likeness."""
     fmt = get_format(fmt) if isinstance(fmt, str) else fmt
     fmt_name = fmt.name
     raw = raw.persist()
@@ -80,7 +84,7 @@ def measure_format(
     t1 = time.perf_counter()
 
     path = os.path.join(out_dir, f"{fmt_name}.parquet")
-    fmt.flush(encoded, path, zstd_level=zstd_level)
+    fmt.flush(encoded, path, zstd_level=zstd_level, page_size=page_size)
     t2 = time.perf_counter()
 
     loaded = fmt.load(spark, path)
@@ -183,6 +187,7 @@ def measure_all_formats(
     out_dir: str,
     shred_ddl: str | None = None,
     zstd_level: int = ZSTD_LEVEL,
+    page_size: int = PAGE_SIZE,
 ) -> list[StorageMetric]:
     """All four formats over one corpus; `shred_ddl` overrides the variant
     format's declared schema to match the corpus shape."""
@@ -195,6 +200,8 @@ def measure_all_formats(
         else:
             fmts.append(get_format(name))
     return [
-        measure_format(spark, raw, f, out_dir, zstd_level=zstd_level)
+        measure_format(
+            spark, raw, f, out_dir, zstd_level=zstd_level, page_size=page_size
+        )
         for f in fmts
     ]
