@@ -2201,9 +2201,10 @@ ORDER BY abc_class
     "with the l_partkey tiebreak): a global ordered window would sort "
     "the whole part dimension on one reducer, and the (rq, partkey) "
     "total order plus exact int64 addition make the two-phase prefix "
-    "bit-identical to the single-window oracle.  Bucket width 2^22 "
-    "cents over the SF-independent per-part revenue spread keeps the "
-    "bucket fan-out bounded at any scale.",
+    "bit-identical to the single-window oracle.  Bucket width 2^16 "
+    "cents: the per-part revenue RANGE is SF-independent (~2e8 cents), "
+    "so the width sets the fan-out ceiling -- 2^16 gives ~3k buckets "
+    "at any scale where a coarser width capped parallelism at ~50.",
     tags=("relational", "window", "pareto", "aggregation"),
 )
 def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2222,7 +2223,7 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = rev.withColumn("_g", F.lit(0)).withColumn("neg_rq", -F.col("rq"))
     pre = prefix_sum_two_phase(
         base, "_g", "neg_rq", "rq", order_extra=("l_partkey",),
-        bucket_width=1 << 22, out_col="_pre",
+        bucket_width=1 << 16, out_col="_pre",
     )
     ranked = pre.crossJoin(F.broadcast(tot)).withColumn(
         "cum_share",
@@ -2602,13 +2603,15 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary_cents"),
     ).withColumn("_g", F.lit(0))
     # Three global exact ranks, each via the bucketed two-phase recipe
-    # (constant-key form).  Widths: recency in days (32-day buckets over a
-    # ~2400-day spread), frequency is already tiny-cardinality (width 1 =
-    # one bucket per distinct count), monetary in cents (2^23 ~ $84k
-    # buckets over a 6M..621M-cent spread at every SF).
+    # (constant-key form).  Widths size the fan-out ceiling RANGE/width,
+    # since the per-customer value RANGES are SF-independent: recency 8
+    # days (~220 buckets over the ~1800-day spread), frequency 1 (one
+    # bucket per distinct count -- capped by max orders/customer, the
+    # inherent ceiling for exact rank over a low-NDV value), monetary
+    # 2^20 cents (~590 buckets over the 6M..621M-cent spread).
     ranked = rank_two_phase(
         base, "_g", "recency_days", order_extra=("custkey",),
-        bucket_width=32, rn_col="_rn_r", n_col="n",
+        bucket_width=8, rn_col="_rn_r", n_col="n",
     )
     ranked = rank_two_phase(
         ranked, "_g", "frequency", order_extra=("custkey",),
@@ -2617,7 +2620,7 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         rank_two_phase(
             ranked, "_g", "monetary_cents", order_extra=("custkey",),
-            bucket_width=1 << 23, rn_col="_rn_m", n_col="_n_m",
+            bucket_width=1 << 20, rn_col="_rn_m", n_col="_n_m",
         )
         .withColumn("rr", F.col("_rn_r") - 1)
         .withColumn("rf", F.col("_rn_f") - 1)

@@ -452,7 +452,9 @@ FROM ranked
     "global ROW_NUMBER window here would sort the whole fact table on "
     "one reducer.  Ties share a bucket, so value-at-rank -- all the "
     "aggregate extracts -- is preserved exactly; parallelism is bounded "
-    "by the gap RANGE / 2^22 us (~4.2 s buckets), not the row count.",
+    "by the gap RANGE / 2^16 us (65 ms buckets -- fine enough that "
+    "even dense high-SF gap distributions spread over thousands of "
+    "buckets), not the row count.",
     tags=("timeseries", "quantile", "window", "statistics"),
 )
 def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,7 +468,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("us") - F.lag("us").over(w)).alias("g")
     ).where(F.col("g").isNotNull()).withColumn("_g", F.lit(0))
     ranked = rank_two_phase(
-        gaps, "_g", "g", bucket_width=1 << 22, rn_col="rn", n_col="n"
+        gaps, "_g", "g", bucket_width=1 << 16, rn_col="rn", n_col="n"
     ).withColumn("r", F.col("rn") - 1)
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_gaps"),

@@ -1342,6 +1342,150 @@ def main() -> None:
                     lambda arm=arm: _SREG[arm].fn(spark, sk_dir).count(),
                 )
 
+        # ---- round-10 two-phase conversion arms: the REGISTERED
+        # events_interarrival_stats (fact-table-sized gap rank ->
+        # rank_two_phase) and parts_abc_pareto (global cumulative-share
+        # window -> prefix_sum_two_phase) run against staged synthetic
+        # sf_dirs, with their pre-conversion single-window twins at
+        # <= 5M rows (the one-reducer global sort the conversions shed
+        # -- same comparison protocol as concurrency_globalsort).
+        tp_ops = {"interarrival_two_phase", "interarrival_window",
+                  "pareto_two_phase", "pareto_window"}
+        if OPS is None or OPS & tp_ops:
+            from pyspark.sql import Window as _W
+
+            from json_format_in_parquet_benchmark_spark.plans import (
+                REGISTRY as _TREG,
+            )
+            from json_format_in_parquet_benchmark_spark.tables import (
+                load_table as _lt,
+            )
+
+            ia_dir = os.path.join(args.workdir, f"ia_sf_{n}")
+            ia_ev = os.path.join(ia_dir, "events.parquet")
+            nu = max(n // 20, 100)
+            span_us = 60 * 86_400_000_000
+            uexpr = (
+                "cast(conv(substr(md5(cast(id as string)), 1, 15), 16, 10)"
+                f" as bigint) % {nu}"
+            )
+            if not os.path.isfile(os.path.join(ia_ev, "_SUCCESS")):
+                # Random placement over the span (not evenly spaced ids):
+                # uniform arrival times give exponential-ish per-user gaps
+                # spread over decades of magnitude, like the real events
+                # table (7.7k occupied 2^22-us buckets of 9.9k gaps at
+                # sf0.01).  Evenly spaced ids made every gap near-constant
+                # and collapsed the two-phase bucketing to ONE bucket --
+                # a degenerate (and unrealistic) worst case kept in the
+                # notes, not in the staged corpus.
+                (
+                    spark.range(n)
+                    .selectExpr(
+                        "id as event_id",
+                        f"{uexpr} as user_id",
+                        "timestamp_micros(cast(conv(substr(md5(concat("
+                        "'t:', id)), 1, 14), 16, 10) as bigint)"
+                        f" % {span_us}L) as ts",
+                    )
+                    .repartition(spark.sparkContext.defaultParallelism)
+                    .write.mode("overwrite")
+                    .parquet(ia_ev)
+                )
+            r["interarrival_two_phase"] = timed_l(
+                "interarrival_two_phase",
+                lambda: _TREG["events_interarrival_stats"]
+                .fn(spark, ia_dir)
+                .count(),
+            )
+            if (OPS is None or "interarrival_window" in OPS) and (
+                n <= 50_000_000
+            ):
+
+                def _ia_window():
+                    ev = _lt(spark, ia_dir, "events").select(
+                        "user_id",
+                        F.unix_micros("ts").alias("us"),
+                        "event_id",
+                    )
+                    w = _W.partitionBy("user_id").orderBy("us", "event_id")
+                    gaps = ev.select(
+                        (F.col("us") - F.lag("us").over(w)).alias("g")
+                    ).where(F.col("g").isNotNull())
+                    # global-window: probe twin of the PRE-conversion form
+                    ranked = gaps.withColumn(
+                        "r", F.row_number().over(_W.orderBy("g")) - 1
+                    ).withColumn(
+                        "n", F.count(F.lit(1)).over(_W.partitionBy())
+                    )
+                    return ranked.agg(
+                        F.max(
+                            F.when(
+                                F.col("r") == F.expr("(n - 1) div 2"),
+                                F.col("g"),
+                            )
+                        ).alias("median_gap_us")
+                    ).count()
+
+                r["interarrival_window"] = timed_l(
+                    "interarrival_window", _ia_window
+                )
+
+            pa_dir = os.path.join(args.workdir, f"pareto_sf_{n}")
+            pa_li = os.path.join(pa_dir, "lineitem.parquet")
+            if not os.path.isfile(os.path.join(pa_li, "_SUCCESS")):
+                (
+                    spark.range(n)
+                    .selectExpr(
+                        "id div 6 as l_partkey",
+                        "cast(900 + cast(conv(substr(md5(concat('e:', id)),"
+                        " 1, 12), 16, 10) as bigint) % 5000000 as double)"
+                        " / 100.0 as l_extendedprice",
+                        "cast(id % 11 as double) / 100.0 as l_discount",
+                    )
+                    .repartition(spark.sparkContext.defaultParallelism)
+                    .write.mode("overwrite")
+                    .parquet(pa_li)
+                )
+            r["pareto_two_phase"] = timed_l(
+                "pareto_two_phase",
+                lambda: _TREG["parts_abc_pareto"].fn(spark, pa_dir).count(),
+            )
+            if (OPS is None or "pareto_window" in OPS) and n <= 50_000_000:
+
+                def _pa_window():
+                    li = _lt(spark, pa_dir, "lineitem")
+                    rev = li.groupBy("l_partkey").agg(
+                        F.expr(
+                            "cast(floor(cast(sum(cast(l_extendedprice as"
+                            " decimal(18,2)) * (1 - cast(l_discount as"
+                            " decimal(18,2)))) as double) * 100.0) as"
+                            " bigint)"
+                        ).alias("rq")
+                    )
+                    tot = rev.agg(F.sum("rq").cast("bigint").alias("t"))
+                    # global-window: probe twin of the PRE-conversion form
+                    w = _W.orderBy(
+                        F.col("rq").desc(), F.col("l_partkey")
+                    ).rowsBetween(_W.unboundedPreceding, 0)
+                    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+                        "cum_share",
+                        F.sum("rq").over(w).cast("double")
+                        / F.col("t").cast("double"),
+                    )
+                    return (
+                        ranked.withColumn(
+                            "abc_class",
+                            F.when(F.col("cum_share") <= 0.8, "A")
+                            .when(F.col("cum_share") <= 0.95, "B")
+                            .otherwise("C"),
+                        )
+                        .groupBy("abc_class")
+                        .count()
+                        .count()
+                    )
+
+                r["pareto_window"] = timed_l("pareto_window", _pa_window)
+
         ret_ops = {"retention_rowjoin", "retention_bitmap"}
         if OPS is None or OPS & ret_ops:
             pres_path = os.path.join(args.workdir, f"ret_pres_{n}")
