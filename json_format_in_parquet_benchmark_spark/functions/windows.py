@@ -233,6 +233,7 @@ def rank_two_phase(
     bucket_width: int = 65536,
     rn_col: str = "rn",
     n_col: str = "n",
+    tie_bucket: tuple[str, int] | None = None,
 ):
     """1-based rank of each row within ``part_col`` ordered by
     ``(value_col, *order_extra)``, plus the partition row count -- the
@@ -254,37 +255,69 @@ def rank_two_phase(
     must be a PLAIN integral column name (enforced by
     :func:`_require_integral`); a GLOBAL rank comes from a constant
     ``part_col`` (project ``F.lit(0)`` first).
+
+    ``tie_bucket``: value bucketing alone caps the fan-out at the value's
+    NDV (equal values must share a bucket), which is a real ceiling for
+    LOW-NDV values like an order count -- every customer with frequency 7
+    would sort on one reducer.  Passing ``(tie_col, tie_width)`` adds a
+    SECOND bucket level over the deterministic tiebreak column: within
+    one exact value, row order IS the tiebreak order, so splitting a
+    value's run by ``tie_col div tie_width`` keeps the buckets contiguous
+    in the global (value, tie) order and the composed rank stays exact.
+    Requires ``bucket_width == 1`` (buckets must be EXACT values -- a
+    multi-value bucket's rows do not sort by tie_col) and ``tie_col ==
+    order_extra[0]`` (the decomposition is only valid along the actual
+    ordering).  Fan-out becomes NDV x tie_range/tie_width, which GROWS
+    with the dimension instead of capping at the NDV.
     """
     from ..operators.dedup import _track_persist
 
     _require_integral(df, value_col, "rank_two_phase", "value")
-    b = F.expr(f"{value_col} div {bucket_width}")
+    keys = ["_rk_b"]
+    staged = df.withColumn("_rk_b", F.expr(f"{value_col} div {bucket_width}"))
+    if tie_bucket is not None:
+        tie_col, tie_width = tie_bucket
+        if bucket_width != 1:
+            raise TypeError(
+                "rank_two_phase: tie_bucket requires bucket_width=1 -- a "
+                "multi-value bucket's rows are not ordered by the tiebreak"
+            )
+        if not order_extra or order_extra[0] != tie_col:
+            raise TypeError(
+                "rank_two_phase: tie_bucket column must be order_extra[0] "
+                "(the decomposition follows the actual ordering)"
+            )
+        _require_integral(df, tie_col, "rank_two_phase", "tie")
+        staged = staged.withColumn(
+            "_rk_b2", F.expr(f"{tie_col} div {tie_width}")
+        )
+        keys.append("_rk_b2")
     w_in = (
-        Window.partitionBy(part_col, "_rk_b").orderBy(value_col, *order_extra)
+        Window.partitionBy(part_col, *keys).orderBy(value_col, *order_extra)
     )
     # Same two-consumer persist reasoning as pack_shards_two_phase.
-    staged = _track_persist(df.withColumn("_rk_b", b))
+    staged = _track_persist(staged)
     bucketed = staged.withColumn("_rk_intra", F.row_number().over(w_in))
-    counts = staged.groupBy(part_col, "_rk_b").agg(
+    counts = staged.groupBy(part_col, *keys).agg(
         F.count(F.lit(1)).alias("_rk_c")
     )
     w_off = (
         Window.partitionBy(part_col)
-        .orderBy("_rk_b")
+        .orderBy(*keys)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
         part_col,
-        "_rk_b",
+        *keys,
         F.coalesce(F.sum("_rk_c").over(w_off), F.lit(0)).alias("_rk_off"),
         F.sum("_rk_c").over(Window.partitionBy(part_col)).alias(n_col),
     )
     # Same no-broadcast-hint reasoning as pack_shards_two_phase: the join
     # key matches phase 1's window partitioning, AQE converts while small.
     return (
-        bucketed.join(offsets, [part_col, "_rk_b"])
+        bucketed.join(offsets, [part_col, *keys])
         .withColumn(rn_col, F.col("_rk_off") + F.col("_rk_intra"))
-        .drop("_rk_b", "_rk_intra", "_rk_off")
+        .drop(*keys, "_rk_intra", "_rk_off")
     )
 
 

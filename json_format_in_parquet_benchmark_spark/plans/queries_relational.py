@@ -2605,10 +2605,12 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three global exact ranks, each via the bucketed two-phase recipe
     # (constant-key form).  Widths size the fan-out ceiling RANGE/width,
     # since the per-customer value RANGES are SF-independent: recency 8
-    # days (~220 buckets over the ~1800-day spread), frequency 1 (one
-    # bucket per distinct count -- capped by max orders/customer, the
-    # inherent ceiling for exact rank over a low-NDV value), monetary
-    # 2^20 cents (~590 buckets over the 6M..621M-cent spread).
+    # days (~220 buckets over the ~1800-day spread), monetary 2^20 cents
+    # (~590 buckets over the 6M..621M-cent spread).  Frequency is a
+    # LOW-NDV value (1..~40 orders/customer at any SF), where value
+    # buckets alone cap the fan-out at the NDV -- the tie_bucket second
+    # level splits each exact frequency's run by custkey div 2^20, so
+    # the fan-out grows with the customer dimension instead.
     ranked = rank_two_phase(
         base, "_g", "recency_days", order_extra=("custkey",),
         bucket_width=8, rn_col="_rn_r", n_col="n",
@@ -2616,6 +2618,7 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rank_two_phase(
         ranked, "_g", "frequency", order_extra=("custkey",),
         bucket_width=1, rn_col="_rn_f", n_col="_n_f",
+        tie_bucket=("custkey", 1 << 20),
     )
     ranked = (
         rank_two_phase(

@@ -2199,6 +2199,56 @@ def test_rank_two_phase_global_total_order_exact(spark):
     assert got == want
 
 
+def test_rank_two_phase_tie_bucket_exact(spark):
+    """The two-level decomposition for LOW-NDV values (tie_bucket): with
+    bucket_width=1 and a second bucket over the deterministic tiebreak,
+    the composed rank must equal the single global ROW_NUMBER window
+    EXACTLY per row -- including tiebreak runs that straddle sub-bucket
+    boundaries (tie width 8 over ids 0..799 forces ~100 sub-buckets per
+    value)."""
+    import random as _random
+
+    from pyspark.sql import Window as _W
+
+    from json_format_in_parquet_benchmark_spark.functions.windows import (
+        rank_two_phase,
+    )
+
+    rng = _random.Random(31)
+    rows = [(i, rng.randrange(0, 5)) for i in range(800)]  # NDV 5
+    df = spark.createDataFrame(rows, "id long, v long").withColumn(
+        "_g", F.lit(0)
+    )
+    want = {
+        r["id"]: (r["rn"], r["n"])
+        for r in df.select(
+            "id",
+            F.row_number().over(_W.orderBy("v", "id")).alias("rn"),
+            F.count(F.lit(1)).over(_W.partitionBy()).alias("n"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["rn"], r["n"])
+        for r in rank_two_phase(
+            df, "_g", "v", order_extra=("id",), bucket_width=1,
+            tie_bucket=("id", 8),
+        ).collect()
+    }
+    assert got == want
+    # Misuse must fail loudly, not mis-rank quietly.
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="bucket_width=1"):
+        rank_two_phase(
+            df, "_g", "v", order_extra=("id",), bucket_width=2,
+            tie_bucket=("id", 8),
+        )
+    with _pytest.raises(TypeError, match="order_extra"):
+        rank_two_phase(
+            df, "_g", "v", bucket_width=1, tie_bucket=("id", 8)
+        )
+
+
 def test_bottom_k_distinct_matches_naive_form(spark):
     """The per-partition bounded bottom-k pre-reduction must return
     EXACTLY the k smallest distinct hashes -- same set as the naive
