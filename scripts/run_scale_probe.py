@@ -1486,6 +1486,54 @@ def main() -> None:
 
                 r["pareto_window"] = timed_l("pareto_window", _pa_window)
 
+        # ---- round-10 registered-plan arms over a staged orders table:
+        # customers_rfm_segments (three two-phase ranks incl. the
+        # frequency tie_bucket level) and sketch_theta_intersection
+        # (bottom_k_distinct pre-reduction on both year arms).  Orders
+        # span 1992-1998 like TPC-H; ~20 orders/customer keeps the
+        # per-customer value ranges SF-independent, as in the real table.
+        ro_ops = {"rfm_segments", "theta_intersection"}
+        if OPS is None or OPS & ro_ops:
+            from json_format_in_parquet_benchmark_spark.plans import (
+                REGISTRY as _OREG,
+            )
+
+            rf_dir = os.path.join(args.workdir, f"orders_sf_{n}")
+            rf_o = os.path.join(rf_dir, "orders.parquet")
+            nc = max(n // 20, 100)
+            span7y_us = 7 * 365 * 86_400_000_000
+            base_us = 694_224_000_000_000  # 1992-01-01 UTC in micros
+            if not os.path.isfile(os.path.join(rf_o, "_SUCCESS")):
+                (
+                    spark.range(n)
+                    .selectExpr(
+                        "id as o_orderkey",
+                        "cast(conv(substr(md5(concat('c:', id)), 1, 15),"
+                        f" 16, 10) as bigint) % {nc} as o_custkey",
+                        f"timestamp_micros({base_us}L +"
+                        " cast(conv(substr(md5(concat('d:', id)), 1, 14),"
+                        f" 16, 10) as bigint) % {span7y_us}L)"
+                        " as o_orderdate",
+                        "cast(900 + cast(conv(substr(md5(concat('p:', id)),"
+                        " 1, 12), 16, 10) as bigint) % 55000000 as double)"
+                        " / 100.0 as o_totalprice",
+                    )
+                    .repartition(spark.sparkContext.defaultParallelism)
+                    .write.mode("overwrite")
+                    .parquet(rf_o)
+                )
+            for arm, qname in (
+                ("rfm_segments", "customers_rfm_segments"),
+                ("theta_intersection", "sketch_theta_intersection"),
+            ):
+                if OPS is None or arm in OPS:
+                    r[arm] = timed_l(
+                        arm,
+                        lambda qname=qname: _OREG[qname]
+                        .fn(spark, rf_dir)
+                        .count(),
+                    )
+
         ret_ops = {"retention_rowjoin", "retention_bitmap"}
         if OPS is None or OPS & ret_ops:
             pres_path = os.path.join(args.workdir, f"ret_pres_{n}")

@@ -2199,6 +2199,49 @@ def test_rank_two_phase_global_total_order_exact(spark):
     assert got == want
 
 
+def test_prefix_sum_two_phase_matches_single_window(spark):
+    """The generalized exclusive prefix sum must equal the one-window
+    form per row, with a deterministic (order, extra) total order,
+    NEGATIVE order values (truncating `div` is monotone), ties straddling
+    bucket boundaries, and multiple partitions."""
+    import random as _random
+
+    from pyspark.sql import Window as _W
+
+    from json_format_in_parquet_benchmark_spark.functions.windows import (
+        prefix_sum_two_phase,
+    )
+
+    rng = _random.Random(17)
+    rows = []
+    for part in ("a", "b"):
+        for i in range(400):
+            rows.append(
+                (part, i, rng.choice([-64, -63, -1, 0, 1, 63, 64]
+                                     + list(range(-200, 200, 13))),
+                 rng.randrange(1, 50))
+            )
+    df = spark.createDataFrame(rows, "part string, id long, o long, sz long")
+    w = (
+        _W.partitionBy("part")
+        .orderBy("o", "id")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    want = {
+        (r["part"], r["id"]): r["pre"]
+        for r in df.withColumn(
+            "pre", F.sum("sz").over(w) - F.col("sz")
+        ).collect()
+    }
+    got = {
+        (r["part"], r["id"]): r["prefix"]
+        for r in prefix_sum_two_phase(
+            df, "part", "o", "sz", order_extra=("id",), bucket_width=32
+        ).collect()
+    }
+    assert got == want
+
+
 def test_rank_two_phase_tie_bucket_exact(spark):
     """The two-level decomposition for LOW-NDV values (tie_bucket): with
     bucket_width=1 and a second bucket over the deterministic tiebreak,
