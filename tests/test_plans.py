@@ -589,3 +589,26 @@ def test_no_undocumented_global_windows():
         " <why the input is bounded>` or convert to the two-phase form): "
         + ", ".join(offenders)
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "customers_rfm_segments",
+        "events_interarrival_stats",
+        "parts_abc_pareto",
+    ],
+)
+def test_two_phase_conversions_have_no_single_partition_sort(spark, name):
+    """The round-10 two-phase conversions: no window/sort stage may pull
+    the data onto one partition.  Any surviving `Exchange SinglePartition`
+    must be a scalar-aggregate final reduce (child = a partial aggregate,
+    so its input is one pre-combined row per partition) -- never a Sort or
+    Window consuming data-sized input on a single task."""
+    plan = plan_of(spark, name)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "partial_" in child, (name, ln, child)
+    assert "Window" in plan, plan  # the bucketed phase-1 windows exist
