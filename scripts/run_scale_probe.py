@@ -1534,6 +1534,73 @@ def main() -> None:
                         .count(),
                     )
 
+        # ---- round-10 path-query arms: the reference's CORE three-way
+        # (per-row re-parse vs pre-parsed variant vs shredded column,
+        # SURVEY E3 / benches/query.rs) at corpus sizes the reference
+        # never measured (its query bench iterates single documents; the
+        # storage grid stops at 100k rows).  Each arm queries $.k over
+        # its own STORED parquet -- scan + decode included, exactly as a
+        # warehouse query would pay them.
+        pq_ops = {"pathq_reparse", "pathq_variant", "pathq_shredded"}
+        if OPS is None or OPS & pq_ops:
+            from json_format_in_parquet_benchmark_spark.formats import (
+                get_format,
+            )
+
+            pq_root = os.path.join(args.workdir, f"pathq_{n}")
+            plain_p = os.path.join(pq_root, "plain")
+            var_p = os.path.join(pq_root, "jsonb")
+            shr_p = os.path.join(pq_root, "shred")
+            if not os.path.isfile(os.path.join(shr_p, "_SUCCESS")):
+                docs = (
+                    spark.range(n)
+                    .selectExpr(
+                        "concat('{\"k\": ', id % 1000000,"
+                        " ', \"name\": \"evt_', id % 97,"
+                        " '\", \"pad\": \"',"
+                        " substr(md5(cast(id as string)), 1, 16),"
+                        " '\"}') as doc"
+                    )
+                    .repartition(spark.sparkContext.defaultParallelism)
+                )
+                docs.write.mode("overwrite").parquet(plain_p)
+                raw = spark.read.parquet(plain_p)
+                jb = get_format("jsonb")
+                jb.flush(jb.encode(raw), var_p)
+                raw.select(
+                    F.from_json(
+                        "doc", "k bigint, name string, pad string"
+                    ).alias("s")
+                ).write.mode("overwrite").parquet(shr_p)
+
+            def _pq_reparse():
+                return (
+                    spark.read.parquet(plain_p)
+                    .select(F.get_json_object("doc", "$.k").alias("k"))
+                    .agg(F.max("k"))
+                    .collect()
+                ) and 1
+
+            def _pq_variant():
+                return (
+                    spark.read.parquet(var_p)
+                    .select(F.variant_get("v", "$.k", "string").alias("k"))
+                    .agg(F.max("k"))
+                    .collect()
+                ) and 1
+
+            def _pq_shredded():
+                return (
+                    spark.read.parquet(shr_p)
+                    .select(F.col("s.k").cast("string").alias("k"))
+                    .agg(F.max("k"))
+                    .collect()
+                ) and 1
+
+            r["pathq_reparse"] = timed_l("pathq_reparse", _pq_reparse)
+            r["pathq_variant"] = timed_l("pathq_variant", _pq_variant)
+            r["pathq_shredded"] = timed_l("pathq_shredded", _pq_shredded)
+
         ret_ops = {"retention_rowjoin", "retention_bitmap"}
         if OPS is None or OPS & ret_ops:
             pres_path = os.path.join(args.workdir, f"ret_pres_{n}")
