@@ -1601,6 +1601,57 @@ def main() -> None:
             r["pathq_variant"] = timed_l("pathq_variant", _pq_variant)
             r["pathq_shredded"] = timed_l("pathq_shredded", _pq_shredded)
 
+        # ---- round-10 sink arms: the REGISTERED partitioned-write and
+        # Z-order clustering sinks over a full-schema staged events table
+        # -- the WRITE path at scale (first sink-family probe rows).
+        # Both queries write their layouts then read the files back for
+        # the pruning/stat readout, so the timing covers write + read.
+        sk2_ops = {"sink_partitioned", "sink_zorder"}
+        if OPS is None or OPS & sk2_ops:
+            from json_format_in_parquet_benchmark_spark.plans import (
+                REGISTRY as _KREG,
+            )
+
+            ev_dir = os.path.join(args.workdir, f"eventsfull_sf_{n}")
+            ev_p = os.path.join(ev_dir, "events.parquet")
+            nu2 = max(n // 20, 100)
+            span_us2 = 60 * 86_400_000_000
+            u2 = (
+                "cast(conv(substr(md5(cast(id as string)), 1, 15), 16, 10)"
+                f" as bigint) % {nu2}"
+            )
+            if not os.path.isfile(os.path.join(ev_p, "_SUCCESS")):
+                (
+                    spark.range(n)
+                    .selectExpr(
+                        "id as event_id",
+                        f"{u2} as user_id",
+                        "timestamp_micros(1700000000000000L + cast(conv("
+                        "substr(md5(concat('t:', id)), 1, 14), 16, 10)"
+                        f" as bigint) % {span_us2}L) as ts",
+                        "element_at(array('click','view','purchase',"
+                        "'scroll','login','logout','share','search'),"
+                        " cast(id % 8 + 1 as int)) as event_type",
+                        "cast(cast(conv(substr(md5(concat('v:', id)), 1,"
+                        " 12), 16, 10) as bigint) % 1000000 as double)"
+                        " / 100.0 as value",
+                    )
+                    .repartition(spark.sparkContext.defaultParallelism)
+                    .write.mode("overwrite")
+                    .parquet(ev_p)
+                )
+            for arm, qname in (
+                ("sink_partitioned", "sink_partitioned_events"),
+                ("sink_zorder", "sink_zorder_events"),
+            ):
+                if OPS is None or arm in OPS:
+                    r[arm] = timed_l(
+                        arm,
+                        lambda qname=qname: _KREG[qname]
+                        .fn(spark, ev_dir)
+                        .count(),
+                    )
+
         ret_ops = {"retention_rowjoin", "retention_bitmap"}
         if OPS is None or OPS & ret_ops:
             pres_path = os.path.join(args.workdir, f"ret_pres_{n}")
