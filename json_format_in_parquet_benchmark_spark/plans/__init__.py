@@ -41,13 +41,17 @@ from . import queries_pipeline  # noqa: E402,F401
 # pre-reduction, verdict item 3), events_interarrival_stats (global gap
 # rank -> rank_two_phase, verdict item 6 sweep), parts_abc_pareto
 # (global cumulative-share window -> prefix_sum_two_phase, same sweep;
-# already in the cohort), stream_upsert_foreachbatch (mid-rmtree torn
-# swap recovery, ADVICE r9 medium), and format_storage_metrics (oracle
-# text gained the intentional-pin fragility note, ADVICE r9 low).
-# That is 6 churned slots outside the cohort, so the 8 SAFEST cohort
-# entries defer to lead the round-11 TODO: the eight r4 TPC-H aggregate
-# singles (q5/q7/q8/q13/q15/q17/q18/q22 -- zero churn, and the TPC-H
-# family re-pinned 100% green in rounds 8-9).
+# already in the cohort), and the three below.
+# stream_upsert_foreachbatch (mid-rmtree torn swap recovery, ADVICE r9
+# medium), format_storage_metrics (oracle text gained the
+# intentional-pin fragility note, ADVICE r9 low), and
+# sink_partitioned_events (REBALANCE hint on the partitioned write --
+# the probe measured the unhinted form file-commit-bound at O(tasks x
+# partitions) files).  That is 7 churned slots outside the cohort, so
+# the 9 SAFEST cohort entries defer to lead the round-11 TODO: the
+# eight r4 TPC-H aggregate singles (q5/q7/q8/q13/q15/q17/q18/q22 --
+# zero churn, and the TPC-H family re-pinned 100% green in rounds 8-9)
+# plus orders_market_basket (a lineitem self-join single, r4-green).
 # Ordering within the 50: the changed cohort first so a truncated pass
 # still covers it, then the twice-deferred r3 trio, then the
 # failure-prone Arrow/multimodal/scan/sink singles, the similarity and
@@ -61,6 +65,7 @@ _EVIDENCE_PRIORITY = (
     "parts_abc_pareto",
     "stream_upsert_foreachbatch",
     "format_storage_metrics",
+    "sink_partitioned_events",
     # -- twice-deferred r3-stale trio: re-pin FIRST among the cohort --
     "q10_returned_items",
     "q14_promo_revenue",
@@ -105,7 +110,6 @@ _EVIDENCE_PRIORITY = (
     "aqp_sampled_revenue",
     "dq_fd_repair",
     "dq_validate_suite",
-    "orders_market_basket",
     "parts_skyline_cheap_small",
     "profile_length_histogram",
     "sample_domain_cap",
@@ -119,6 +123,7 @@ _EVIDENCE_PRIORITY = (
 # except these 8 deferred r4 TPC-H singles -- fill the round-11 window
 # with them first, then whatever churns.
 _ROUND11_EVIDENCE_TODO = (
+    "orders_market_basket",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",
