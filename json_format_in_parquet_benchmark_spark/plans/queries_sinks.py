@@ -627,7 +627,15 @@ def sink_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     )
-    events.write.mode("overwrite").partitionBy("day").parquet(out)
+    # REBALANCE before both partitioned writes: same small-files fix as
+    # write_partitioned_events (one file per day instead of one per
+    # (task, day); measured 11.7x on the staged probe corpus).
+    (
+        events.hint("rebalance", "day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
     target = events.agg(F.min("day")).first()[0]
     corrected = (
         events.where(F.col("day") == target)
@@ -639,7 +647,12 @@ def sink_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        corrected.write.mode("overwrite").partitionBy("day").parquet(out)
+        (
+            corrected.hint("rebalance", "day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     back = spark.read.parquet(out)
