@@ -53,6 +53,14 @@ def _require_integral(df, col: str, fn: str, role: str) -> None:
             "bucketing (and its bit-exactness vs the single-window oracle) "
             "requires an integral type -- cast to bigint upstream"
         )
+    # NON-NULL CONTRACT (not machine-checkable from the schema: Spark
+    # marks most derived columns nullable even when values never are):
+    # a NULL order/value makes the bucket NULL and the null-unsafe
+    # offsets equi-join DROPS the row, where the single-window form
+    # keeps it (nulls first).  Every current caller derives the column
+    # from non-null inputs; a nullable-data caller must coalesce first
+    # (mapping nulls below the real bucket range is the staged fix --
+    # it would churn every consumer's plan hash, review r10).
 
 
 def pack_shard_spark(

@@ -756,6 +756,12 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
     state_dir = os.path.join(_STAGE_ROOT, f"upsert_state_{tag}")
     shutil.rmtree(state_dir, ignore_errors=True)
+    # A stale tmp from a PREVIOUS run must go too: this run uses a fresh
+    # checkpoint (batch ids restart at 0), so the recovery path would
+    # otherwise adopt the old run's tmp and its marker would suppress
+    # this run's batches (review r10).  Cross-run tmp adoption is only
+    # safe when the checkpoint survives with it.
+    shutil.rmtree(state_dir + ".tmp", ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix=f"jfipb_ckpt_upsert_{tag}_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -767,6 +773,17 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _APPLIED_MARKER = "_applied_batch"  # underscore-prefixed: invisible to readers
+
+
+def _read_marker(path: str) -> int | None:
+    """Batch id from a marker file, or None when the marker is absent OR
+    torn (created but not yet flushed when the process died) -- a torn
+    marker must read as absent, never crash the recovery path."""
+    if not os.path.isfile(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        content = fh.read().strip()
+    return int(content) if content.isdigit() else None
 
 # Crash-injection seam for the swap window (rmtree done, rename not yet):
 # a no-op in production, monkeypatched by the kill-restart test so the
@@ -811,20 +828,24 @@ def upsert_merge_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> No
     tmp_dir = state_dir + ".tmp"
     marker = os.path.join(state_dir, _APPLIED_MARKER)
     tmp_marker = os.path.join(tmp_dir, _APPLIED_MARKER)
-    if os.path.isfile(tmp_marker):
-        with open(tmp_marker, encoding="utf-8") as fh:
-            tmp_batch = int(fh.read().strip())
-        state_batch = None
-        if os.path.isfile(marker):
-            with open(marker, encoding="utf-8") as fh:
-                state_batch = int(fh.read().strip())
+    tmp_batch = _read_marker(tmp_marker)
+    if tmp_batch is not None:
+        # A torn tmp marker (crash mid-write: file exists, contents not
+        # yet flushed) parses as None above and is treated as ABSENT --
+        # the ordinary merge below rebuilds the tmp with overwrite, as
+        # the pre-recovery code did.  Only a complete marker qualifies
+        # the tmp as the state of record.
+        state_batch = _read_marker(marker)
         if state_batch is None or state_batch <= tmp_batch:
-            shutil.rmtree(state_dir, ignore_errors=True)
+            if os.path.isdir(state_dir):
+                # LOUD on failure: if the torn state_dir cannot be fully
+                # removed, raising here (tmp intact) beats a swallowed
+                # error followed by an opaque ENOTEMPTY from the rename.
+                shutil.rmtree(state_dir)
             os.rename(tmp_dir, state_dir)  # finish the interrupted swap
-    if os.path.isfile(marker):
-        with open(marker, encoding="utf-8") as fh:
-            if int(fh.read().strip()) >= batch_id:
-                return  # redelivery of an already-applied batch
+    applied = _read_marker(marker)
+    if applied is not None and applied >= batch_id:
+        return  # redelivery of an already-applied batch
     partial = batch_df.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("vq").cast("bigint").alias("total_vq"),
@@ -846,7 +867,8 @@ def upsert_merge_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> No
     merged.write.mode("overwrite").parquet(tmp_dir)
     with open(os.path.join(tmp_dir, _APPLIED_MARKER), "w", encoding="utf-8") as fh:
         fh.write(str(batch_id))
-    shutil.rmtree(state_dir, ignore_errors=True)
+    if os.path.isdir(state_dir):
+        shutil.rmtree(state_dir)  # LOUD: a half-removed dir must not reach rename
     _SWAP_WINDOW_HOOK()  # test-only crash injection between rmtree and rename
     os.rename(tmp_dir, state_dir)
 

@@ -1597,9 +1597,13 @@ def main() -> None:
                     .collect()
                 ) and 1
 
-            r["pathq_reparse"] = timed_l("pathq_reparse", _pq_reparse)
-            r["pathq_variant"] = timed_l("pathq_variant", _pq_variant)
-            r["pathq_shredded"] = timed_l("pathq_shredded", _pq_shredded)
+            for arm, fn in (
+                ("pathq_reparse", _pq_reparse),
+                ("pathq_variant", _pq_variant),
+                ("pathq_shredded", _pq_shredded),
+            ):
+                if OPS is None or arm in OPS:
+                    r[arm] = timed_l(arm, fn)
 
         # ---- round-10 sink arms: the REGISTERED partitioned-write and
         # Z-order clustering sinks over a full-schema staged events table

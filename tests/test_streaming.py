@@ -552,6 +552,86 @@ def test_upsert_foreachbatch_mid_rmtree_recovery(
         shutil.rmtree(state_dir + ".tmp", ignore_errors=True)
 
 
+def test_upsert_torn_tmp_marker_reads_as_absent(spark):
+    """Crash INSIDE the marker write (review r10): tmp holds complete
+    parquet but a 0-byte `_applied_batch`.  A torn marker must read as
+    ABSENT -- the merge proceeds against the intact state and the
+    overwrite rebuilds the tmp -- never as an int('') crash loop."""
+    import shutil
+
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        upsert_merge_batch,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="jfipb_upsert_tornmark_")
+    shutil.rmtree(state_dir)
+    b0 = spark.createDataFrame(
+        [(1, 10, 100), (2, 12, 7)], "user_id long, us long, vq long"
+    )
+    b1 = spark.createDataFrame([(1, 20, 1000)], "user_id long, us long, vq long")
+    try:
+        upsert_merge_batch(state_dir, b0, 0)
+        # Reconstruct the torn-marker wreckage for batch 1's tmp.
+        tmp = state_dir + ".tmp"
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-00000-stale.parquet"), "wb") as fh:
+            fh.write(b"PAR1 leftover")
+        open(os.path.join(tmp, "_applied_batch"), "w").close()  # 0 bytes
+
+        upsert_merge_batch(state_dir, b1, 1)  # redelivery must succeed
+
+        got = sorted(
+            (r["user_id"], r["n_events"], r["total_vq"])
+            for r in spark.read.parquet(state_dir).collect()
+        )
+        assert got == [(1, 2, 1100), (2, 1, 7)], got
+        with open(
+            os.path.join(state_dir, "_applied_batch"), encoding="utf-8"
+        ) as fh:
+            assert fh.read().strip() == "1"
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(state_dir + ".tmp", ignore_errors=True)
+
+
+def test_upsert_fresh_run_ignores_previous_runs_tmp(spark, monkeypatch):
+    """Stale tmp across RUNS (review r10): a previous run killed in the
+    swap window leaves a complete tmp with marker 1.  A fresh run of the
+    REGISTERED query (new checkpoint, batch ids restart at 0) must not
+    adopt it -- the query clears both state and tmp at start, so the
+    final table equals the one-shot aggregate, not the old run's state."""
+    import shutil
+
+    from json_format_in_parquet_benchmark_spark.plans import REGISTRY
+    from json_format_in_parquet_benchmark_spark.plans.queries_streaming import (
+        _STAGE_ROOT,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    state_dir = os.path.join(_STAGE_ROOT, f"upsert_state_{tag}")
+    tmp = state_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    # A plausible-but-WRONG stale state: one bogus user row + marker "1".
+    spark.createDataFrame(
+        [(999999, 1, 1, 1)],
+        "user_id long, n_events long, total_vq long, last_us long",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_applied_batch"), "w", encoding="utf-8") as fh:
+        fh.write("1")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = REGISTRY["stream_upsert_foreachbatch"].fn(spark, sf_dir)
+        rows = {r["user_id"] for r in out.collect()}
+        assert 999999 not in rows, "fresh run adopted a previous run's tmp"
+        assert rows, "no state written"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_pyds_sink_restart_exactly_once(spark):
     """Sink-side exactly-once under a REAL restart, not just a re-invoked
     commit(): run the replay stream into the NDJSON manifest sink, stop it
