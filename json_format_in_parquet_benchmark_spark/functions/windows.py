@@ -53,14 +53,35 @@ def _require_integral(df, col: str, fn: str, role: str) -> None:
             "bucketing (and its bit-exactness vs the single-window oracle) "
             "requires an integral type -- cast to bigint upstream"
         )
-    # NON-NULL CONTRACT (not machine-checkable from the schema: Spark
-    # marks most derived columns nullable even when values never are):
-    # a NULL order/value makes the bucket NULL and the null-unsafe
-    # offsets equi-join DROPS the row, where the single-window form
-    # keeps it (nulls first).  Every current caller derives the column
-    # from non-null inputs; a nullable-data caller must coalesce first
-    # (mapping nulls below the real bucket range is the staged fix --
-    # it would churn every consumer's plan hash, review r10).
+
+
+def _require_width(fn: str, name: str, width) -> None:
+    """Reject non-positive bucket/tie widths LOUDLY.  Under default
+    non-ANSI mode ``x div 0`` yields NULL, which would silently send
+    every row to the null bucket instead of failing -- exactly the
+    misuse class :func:`_require_integral` exists to prevent (r10
+    ADVICE)."""
+    if isinstance(width, bool) or not isinstance(width, int) or width < 1:
+        raise TypeError(
+            f"{fn}: {name} must be a positive int, got {width!r} -- a "
+            "zero/negative width makes `div` yield NULL buckets silently"
+        )
+
+
+def _null_first_bucket(col: str, width: int) -> tuple[Column, Column]:
+    """The (flag, bucket) key pair that makes two-phase bucketing
+    NULL-complete: a NULL order/value used to make the bucket NULL, and
+    the null-unsafe offsets equi-join then DROPPED the row where the
+    single-window form keeps it (nulls first, Spark's ASC default).
+    Both keys here are non-null -- flag 0 for NULL values (sorting
+    before every real bucket's flag 1, i.e. nulls first), bucket
+    ``coalesce(col div width, 0)``.  Equal values still share a bucket
+    and bucket order is still monotone in the value, so the
+    decomposition's exactness argument is unchanged."""
+    is_null = F.col(col).isNull()
+    flag = F.when(is_null, F.lit(0)).otherwise(F.lit(1)).cast("int")
+    bucket = F.coalesce(F.expr(f"{col} div {width}"), F.lit(0)).cast("bigint")
+    return flag, bucket
 
 
 def pack_shard_spark(
@@ -103,41 +124,40 @@ def prefix_sum_two_phase(
     deterministic ``(order_col, *order_extra)`` total order the result is
     bit-identical to the one-window form; int64 addition is exact and
     associative, so even tie permutations cannot change any prefix that a
-    total order pins.  Returns ``df`` plus ``out_col``.
-
-    :func:`pack_shards_two_phase` predates this helper and keeps its own
-    copy of the same machinery for now: folding it into this function
-    would churn the plan fingerprints of its three driver-pinned
-    consumers for zero semantic change, costing evidence-window slots --
-    fold it in whenever those plans next re-pin anyway.
+    total order pins.  NULL order values are kept and sort first (the
+    Spark single-window ASC default) via the non-null (flag, bucket) key
+    pair -- see :func:`_null_first_bucket`.  Returns ``df`` plus
+    ``out_col``.
     """
     from ..operators.dedup import _track_persist
 
     _require_integral(df, order_col, "prefix_sum_two_phase", "order")
-    b = F.expr(f"{order_col} div {bucket_width}")
+    _require_width("prefix_sum_two_phase", "bucket_width", bucket_width)
+    bn, b = _null_first_bucket(order_col, bucket_width)
+    keys = ["_pfx_bn", "_pfx_b"]
     w_in = (
-        Window.partitionBy(part_col, "_pfx_b")
+        Window.partitionBy(part_col, *keys)
         .orderBy(order_col, *order_extra)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # Persist the pre-window projection: BOTH phases read it (the running
     # sum and the per-bucket totals); without the cache Catalyst recomputes
     # the upstream lineage once per branch (the round-4 fan-out rule).
-    staged = _track_persist(df.withColumn("_pfx_b", b))
+    staged = _track_persist(df.withColumn("_pfx_bn", bn).withColumn("_pfx_b", b))
     sized = staged.withColumn(
         "_pfx_intra", F.sum(size_col).over(w_in) - F.col(size_col)
     )
-    totals = staged.groupBy(part_col, "_pfx_b").agg(
+    totals = staged.groupBy(part_col, *keys).agg(
         F.sum(size_col).alias("_pfx_tot")
     )
     w_b = (
         Window.partitionBy(part_col)
-        .orderBy("_pfx_b")
+        .orderBy(*keys)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
         part_col,
-        "_pfx_b",
+        *keys,
         F.coalesce(F.sum("_pfx_tot").over(w_b), F.lit(0)).alias("_pfx_off"),
     )
     # No broadcast hint on purpose: the join key (part, bucket) is exactly
@@ -146,9 +166,9 @@ def prefix_sum_two_phase(
     # small (it grows with n_buckets, so forcing broadcast would be the
     # 100-TB mistake).
     return (
-        sized.join(offsets, [part_col, "_pfx_b"])
+        sized.join(offsets, [part_col, *keys])
         .withColumn(out_col, F.col("_pfx_off") + F.col("_pfx_intra"))
-        .drop("_pfx_b", "_pfx_intra", "_pfx_off")
+        .drop(*keys, "_pfx_intra", "_pfx_off")
     )
 
 
@@ -178,59 +198,29 @@ def pack_shards_two_phase(
     single-window shard ids bit for bit; the DuckDB oracle keeps the
     one-window :func:`pack_shard_duck` definition.
 
+    Since r11 this IS :func:`prefix_sum_two_phase` plus the
+    ``floor(prefix / budget)`` shard arithmetic (the r9 TODO fold --
+    one copy of the two-phase machinery, zero semantic change).
+
     Returns ``df`` plus ``shard_col``.  Bucket BALANCE (not correctness)
     assumes ``order_col`` is roughly dense; for skewed id spaces derive the
     buckets from ``repartitionByRange`` sampling instead.  ``order_col``
     must be a PLAIN integral column name (enforced by
     :func:`_require_integral`).
     """
-    from ..operators.dedup import _track_persist
-
-    _require_integral(df, order_col, "pack_shards_two_phase", "order")
-    b = F.expr(f"{order_col} div {bucket_width}")
-    w_in = (
-        Window.partitionBy(part_col, "_pack_b")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # Persist the pre-window projection: BOTH phases read it (the running
-    # sum and the per-bucket totals), and without the cache Catalyst
-    # recomputes the upstream lineage -- including any expensive size
-    # derivation like tokenization -- once per branch (the round-4 fan-out
-    # rule).  A narrow base projection, not an aggregate, so it does not
-    # pin exchanges outside AQE.
-    staged = _track_persist(df.withColumn("_pack_b", b))
-    sized = staged.withColumn(
-        "_pack_intra", F.sum(size_col).over(w_in) - F.col(size_col)
-    )
-    totals = staged.groupBy(part_col, "_pack_b").agg(
-        F.sum(size_col).alias("_pack_tot")
-    )
-    w_b = (
-        Window.partitionBy(part_col)
-        .orderBy("_pack_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
+    _require_width("pack_shards_two_phase", "budget", budget)
+    packed = prefix_sum_two_phase(
+        df,
         part_col,
-        "_pack_b",
-        F.coalesce(F.sum("_pack_tot").over(w_b), F.lit(0)).alias("_pack_off"),
+        order_col,
+        size_col,
+        bucket_width=bucket_width,
+        out_col="_pack_prefix",
     )
-    # No broadcast hint on purpose: the join key (part, bucket) is exactly
-    # the phase-1 window partitioning, so the big side joins without a new
-    # exchange, and AQE broadcast-converts the offsets side while it is
-    # small (it grows with n_buckets, so forcing broadcast would be the
-    # 100-TB mistake).
-    return (
-        sized.join(offsets, [part_col, "_pack_b"])
-        .withColumn(
-            shard_col,
-            F.floor(
-                (F.col("_pack_off") + F.col("_pack_intra")) / float(budget)
-            ).cast("bigint"),
-        )
-        .drop("_pack_b", "_pack_intra", "_pack_off")
-    )
+    return packed.withColumn(
+        shard_col,
+        F.floor(F.col("_pack_prefix") / float(budget)).cast("bigint"),
+    ).drop("_pack_prefix")
 
 
 def rank_two_phase(
@@ -262,7 +252,9 @@ def rank_two_phase(
     Returns ``df`` plus ``rn_col`` (1-based) and ``n_col``.  ``value_col``
     must be a PLAIN integral column name (enforced by
     :func:`_require_integral`); a GLOBAL rank comes from a constant
-    ``part_col`` (project ``F.lit(0)`` first).
+    ``part_col`` (project ``F.lit(0)`` first).  NULL values are kept and
+    rank FIRST (Spark's single-window ASC default) via the non-null
+    (flag, bucket) key pair -- see :func:`_null_first_bucket`.
 
     ``tie_bucket``: value bucketing alone caps the fan-out at the value's
     NDV (equal values must share a bucket), which is a real ceiling for
@@ -281,8 +273,10 @@ def rank_two_phase(
     from ..operators.dedup import _track_persist
 
     _require_integral(df, value_col, "rank_two_phase", "value")
-    keys = ["_rk_b"]
-    staged = df.withColumn("_rk_b", F.expr(f"{value_col} div {bucket_width}"))
+    _require_width("rank_two_phase", "bucket_width", bucket_width)
+    bn, b = _null_first_bucket(value_col, bucket_width)
+    keys = ["_rk_bn", "_rk_b"]
+    staged = df.withColumn("_rk_bn", bn).withColumn("_rk_b", b)
     if tie_bucket is not None:
         tie_col, tie_width = tie_bucket
         if bucket_width != 1:
@@ -296,10 +290,10 @@ def rank_two_phase(
                 "(the decomposition follows the actual ordering)"
             )
         _require_integral(df, tie_col, "rank_two_phase", "tie")
-        staged = staged.withColumn(
-            "_rk_b2", F.expr(f"{tie_col} div {tie_width}")
-        )
-        keys.append("_rk_b2")
+        _require_width("rank_two_phase", "tie_width", tie_width)
+        bn2, b2 = _null_first_bucket(tie_col, tie_width)
+        staged = staged.withColumn("_rk_b2n", bn2).withColumn("_rk_b2", b2)
+        keys += ["_rk_b2n", "_rk_b2"]
     w_in = (
         Window.partitionBy(part_col, *keys).orderBy(value_col, *order_extra)
     )

@@ -2339,3 +2339,109 @@ def test_two_phase_rejects_non_integral_and_expr_columns(spark):
         rank_two_phase(df, "part", "id + 1")
     with _pytest.raises(TypeError, match="integral"):
         pack_shards_two_phase(df, "part", "x", "id", 10)
+
+
+def test_two_phase_rejects_nonpositive_widths(spark):
+    """Zero/negative widths would make `div` yield NULL buckets silently
+    under non-ANSI mode (every row to one bucket, or dropped before the
+    r11 null fix); the guards must raise instead (ADVICE r10)."""
+    import pytest as _pytest
+
+    from json_format_in_parquet_benchmark_spark.functions.windows import (
+        pack_shards_two_phase,
+        prefix_sum_two_phase,
+        rank_two_phase,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 2), ("a", 2, 3)], "part string, id long, sz long"
+    )
+    for bad in (0, -5, None, 1.5, True):
+        with _pytest.raises(TypeError, match="positive int"):
+            rank_two_phase(df, "part", "id", bucket_width=bad)
+        with _pytest.raises(TypeError, match="positive int"):
+            prefix_sum_two_phase(df, "part", "id", "sz", bucket_width=bad)
+    with _pytest.raises(TypeError, match="positive int"):
+        pack_shards_two_phase(df, "part", "id", "sz", budget=0)
+    with _pytest.raises(TypeError, match="positive int"):
+        rank_two_phase(
+            df, "part", "id", order_extra=("id",), bucket_width=1,
+            tie_bucket=("id", 0),
+        )
+
+
+def test_two_phase_keeps_null_values_nulls_first(spark):
+    """The r10 latent hole, closed in r11: NULL order/value rows used to
+    get a NULL bucket and be DROPPED by the null-unsafe offsets join.
+    With the (flag, bucket) key pair they must be KEPT and sort FIRST,
+    matching Spark's single-window ASC default (nulls first) bit for bit
+    -- rank, prefix sum, and shard packing alike."""
+    import random as _random
+
+    from pyspark.sql import Window as _W
+
+    from json_format_in_parquet_benchmark_spark.functions.windows import (
+        pack_shard_spark,
+        pack_shards_two_phase,
+        prefix_sum_two_phase,
+        rank_two_phase,
+    )
+
+    rng = _random.Random(43)
+    rows = []
+    for part in ("a", "b"):
+        for i in range(300):
+            v = None if rng.random() < 0.15 else rng.randrange(-200, 200)
+            rows.append((part, i, v, rng.randrange(1, 30)))
+    df = spark.createDataFrame(rows, "part string, id long, v long, sz long")
+
+    # rank: value-at-rank + count parity (ties permute freely)
+    w = _W.partitionBy("part").orderBy("v", "id")
+    want = {
+        (r["part"], r["id"]): (r["rn"], r["n"])
+        for r in df.select(
+            "part", "id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(_W.partitionBy("part")).alias("n"),
+        ).collect()
+    }
+    got = {
+        (r["part"], r["id"]): (r["rn"], r["n"])
+        for r in rank_two_phase(
+            df, "part", "v", order_extra=("id",), bucket_width=16
+        ).collect()
+    }
+    assert got == want  # every NULL-value row present, ranked first
+
+    # exclusive prefix sum under the same nulls-first total order
+    wp = w.rowsBetween(_W.unboundedPreceding, 0)
+    want_p = {
+        (r["part"], r["id"]): r["pre"]
+        for r in df.withColumn(
+            "pre", F.sum("sz").over(wp) - F.col("sz")
+        ).collect()
+    }
+    got_p = {
+        (r["part"], r["id"]): r["prefix"]
+        for r in prefix_sum_two_phase(
+            df, "part", "v", "sz", order_extra=("id",), bucket_width=16
+        ).collect()
+    }
+    assert got_p == want_p
+
+    # shard packing (no order_extra: ties have equal sizes' freedom only
+    # in id order; use a de-duplicated order column for exactness)
+    dedup = df.groupBy("part", "v").agg(F.sum("sz").alias("sz"))
+    want_s = {
+        (r["part"], r["v"]): r["shard"]
+        for r in dedup.withColumn(
+            "shard", pack_shard_spark("part", "v", "sz", 64)
+        ).collect()
+    }
+    got_s = {
+        (r["part"], r["v"]): r["shard"]
+        for r in pack_shards_two_phase(
+            dedup, "part", "v", "sz", 64, bucket_width=16
+        ).collect()
+    }
+    assert got_s == want_s
