@@ -177,8 +177,16 @@ def ivf_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     emb = load_table(spark, sf_dir, "embeddings")
     assign = ivf_assign(emb, "embedding", "vec_id", N_CELLS, DIM)
     (
+        # REBALANCE before the dynamic partitionBy write: without the
+        # pre-shuffle every task emits one file per cell it holds --
+        # O(tasks x cells) files (the 11.7x wall measured on the event
+        # sink, results/scale_probe.txt); clustered by cell the job
+        # writes ~one file per cell directory, and oversized cells are
+        # split by AQE to bounded task sizes.  Same fix as
+        # queries_sinks.py:write_partitioned_events.
         emb.select("vec_id", "embedding")
         .join(assign, "vec_id")
+        .hint("rebalance", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(out)
@@ -845,8 +853,14 @@ def ivf_append_path(spark: SparkSession, sf_dir: str) -> str:
         part = emb.where(is_batch if arriving else ~is_batch)
         assign = ivf_assign(part, "embedding", "vec_id", N_CELLS, DIM)
         (
+            # Rebalance on the partition key before BOTH the base build
+            # and the incremental append -- the append otherwise adds
+            # O(tasks x touched-cells) small files on every batch, the
+            # compounding form of the file-count wall (see
+            # ivf_partitioned_path above).
             part.select("vec_id", "embedding")
             .join(assign, "vec_id")
+            .hint("rebalance", "cell")
             .write.mode(mode)
             .partitionBy("cell")
             .parquet(out)

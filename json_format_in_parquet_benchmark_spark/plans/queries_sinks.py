@@ -893,7 +893,17 @@ def sink_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     )
-    events.write.mode("overwrite").partitionBy("day").parquet(out)
+    # Rebalance before every dynamic partitionBy write (here and the
+    # erasure rewrite below): without the pre-shuffle each task emits one
+    # file per day it holds -- O(tasks x days) files, the 11.7x wall
+    # measured on the event sink (results/scale_probe.txt); clustered by
+    # day the job writes ~one file per partition.
+    (
+        events.hint("rebalance", "day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
 
     target = (
         events.groupBy("user_id")
@@ -923,7 +933,12 @@ def sink_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        remaining.write.mode("overwrite").partitionBy("day").parquet(out)
+        (
+            remaining.hint("rebalance", "day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     # Dynamic overwrite writes nothing for a day whose every row belonged
