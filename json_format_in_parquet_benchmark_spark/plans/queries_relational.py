@@ -1292,8 +1292,13 @@ WINDOW w AS (ORDER BY spend DESC, o_custkey)
     "row positions, so the doubles are deterministic cross-engine.  The "
     "global ORDER BY window is the documented scale caveat: one ordered "
     "partition means one task holds the sorted run -- at 100 TB this "
-    "exact form is replaced by a two-phase approximate-quantile cut "
-    "(sketch_histogram_quantiles) unless a total order is truly required.",
+    "exact form is replaced by the two-phase rank + integer NTILE "
+    "arithmetic (events_uplift_deciles' recipe) when exactness is "
+    "required, or a two-phase approximate-quantile cut "
+    "(sketch_histogram_quantiles) when it is not.  DECIDED r11: this "
+    "entry deliberately stays the NATIVE window form -- it is the "
+    "ntile/percent_rank/cume_dist SURFACE-coverage demo, and the scale "
+    "path exists under its own names.",
     tags=("relational", "window", "rank"),
 )
 def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4996,25 +5001,54 @@ ORDER BY decile
     "all mass is integer cents through the per-decile and cumulative "
     "window sums; only the final per-row divisions are doubles, and "
     "empty arms yield NULL identically on both sides.  Plan: one "
-    "user_id shuffle, a rank over the per-user frame (users, not "
-    "events), one 10-row rollup.",
+    "user_id shuffle, then the decile cut runs as the TWO-PHASE "
+    "bucketed rank (functions/windows.py:rank_two_phase, constant "
+    "partition key) over the per-user frame -- a plain ntile window "
+    "would sort the whole user DIMENSION on one reducer, 10^8-10^9 "
+    "rows at 100 TB.  The score is ranked DESC via its negation; "
+    "NTILE(10) is then pure integer arithmetic on (rank, n): with "
+    "n = 10q + r, tile = ceil(rn/(q+1)) for the first r*(q+1) rows "
+    "else r + ceil((rn - r*(q+1))/q) -- the SQL-standard first-r-"
+    "tiles-get-the-extra-row rule, bit-equal to both engines' NTILE.  "
+    "Bucket width 256 over the SF-INDEPENDENT per-user pre-spend "
+    "spread (events per user are constant across SF, so the cents "
+    "range is too; the value NDV ~= the user count, which is why "
+    "plain value bucketing scales here and tie_bucket -- whose "
+    "phase-2 cost grows with the value NDV -- would not).  Then one "
+    "10-row rollup.",
     tags=("events", "experimentation", "uplift", "window"),
     bench=True,
 )
 def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.windows import rank_two_phase
+
     events = load_table(spark, sf_dir, "events")
     per_user = _per_user_pre_post(events)
-    armed = per_user.select(
+    ranked = rank_two_phase(
+        per_user.withColumn("_g", F.lit(0)).withColumn(
+            "neg_x", (-F.col("x")).cast("bigint")
+        ),
+        "_g",
+        "neg_x",
+        order_extra=("user_id",),
+        bucket_width=256,
+    )
+    # Exact SQL-standard NTILE(10) from (rn, n): first (n % 10) tiles
+    # carry one extra row.  All integer `div` arithmetic -- ceil(a/b)
+    # rendered as (a + b - 1) div b; the q = 0 branch (n < 10) never
+    # reaches the else arm because rn <= n = r*(q+1) there.
+    armed = ranked.select(
         "x",
         "y",
         F.expr(
             f"{hash64_sql_spark('cast(user_id as string)', 'ab')} % 2"
         ).alias("arm"),
-        F.ntile(10)
-        # global-window: per-user pre/post aggregate (user dimension); rank_two_phase + ntile arithmetic is the staged conversion at scale
-        .over(Window.orderBy(F.desc("x"), F.asc("user_id")))
-        .cast("int")
-        .alias("decile"),
+        F.expr(
+            "cast(case when rn <= (n % 10) * ((n div 10) + 1)"
+            " then (rn + (n div 10)) div ((n div 10) + 1)"
+            " else (n % 10) + (rn - (n % 10) * ((n div 10) + 1)"
+            " + (n div 10) - 1) div (n div 10) end as int)"
+        ).alias("decile"),
     )
     agg = armed.groupBy("decile").agg(
         F.expr("cast(count_if(arm = 0) as bigint)").alias("n_t"),
@@ -5520,11 +5554,22 @@ FROM m WHERE total > 0
     "only by equal terms... they receive consecutive ranks whose "
     "weights sum identically under any tie order).  Integer "
     "numerators, ONE IEEE division.  Plan: per-customer grouped sum, "
-    "a global rank (single ordered pass -- at 100 TB customers, not "
-    "events, and a rank over a pre-aggregated frame), one moment row.",
+    "then the global rank runs as the TWO-PHASE bucketed rank "
+    "(functions/windows.py:rank_two_phase, constant partition key) -- "
+    "a single ROW_NUMBER window would sort the whole customer "
+    "DIMENSION on one reducer, 10^8-10^9 rows at 100 TB (measured "
+    "87.8s window vs 20.8s two-phase at 50M, results/scale_probe.txt). "
+    "Bucket width 2^20 cents over the SF-INDEPENDENT per-customer "
+    "spend spread (orders per customer are constant across SF; ~700 "
+    "buckets over the 3.3M..737M-cent range, and the value NDV ~= the "
+    "customer count so plain value bucketing scales -- tie_bucket, "
+    "whose phase-2 cost grows with the value NDV, is for LOW-NDV "
+    "values and would not).  One moment row after.",
     tags=("relational", "aggregation", "concentration", "stats"),
 )
 def customers_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.windows import rank_two_phase
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.expr(
@@ -5532,14 +5577,14 @@ def customers_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)) as bigint)"
         ).alias("cents")
     )
-    ranked = spend.select(
+    ranked = rank_two_phase(
+        spend.withColumn("_g", F.lit(0)),
+        "_g",
         "cents",
-        F.row_number()
-        # global-window: per-customer spend aggregate (dimension-sized); rank_two_phase is the staged conversion if the dimension outgrows one task
-        .over(Window.orderBy("cents", "o_custkey"))
-        .cast("bigint")
-        .alias("rk"),
-    )
+        order_extra=("o_custkey",),
+        bucket_width=1 << 20,
+        rn_col="rk",
+    ).select("cents", F.col("rk").cast("bigint").alias("rk"))
     m = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),

@@ -592,23 +592,39 @@ def test_no_undocumented_global_windows():
 
 
 @pytest.mark.parametrize(
-    "name",
+    "name,bounded_keys",
     [
-        "customers_rfm_segments",
-        "events_interarrival_stats",
-        "parts_abc_pareto",
+        ("customers_rfm_segments", ()),
+        ("events_interarrival_stats", ()),
+        ("parts_abc_pareto", ()),
+        # uplift keeps ONE bounded single-partition window: the 10-row
+        # decile rollup (annotated in-plan) -- its input is the grouped
+        # aggregate keyed by decile, never data-sized.
+        ("events_uplift_deciles", ("decile",)),
+        ("customers_gini_spend", ()),
     ],
 )
-def test_two_phase_conversions_have_no_single_partition_sort(spark, name):
-    """The round-10 two-phase conversions: no window/sort stage may pull
-    the data onto one partition.  Any surviving `Exchange SinglePartition`
-    must be a scalar-aggregate final reduce (child = a partial aggregate,
-    so its input is one pre-combined row per partition) -- never a Sort or
-    Window consuming data-sized input on a single task."""
+def test_two_phase_conversions_have_no_single_partition_sort(
+    spark, name, bounded_keys
+):
+    """The round-10/11 two-phase conversions: no window/sort stage may
+    pull data-sized input onto one partition.  Any surviving `Exchange
+    SinglePartition` must be a scalar-aggregate final reduce (child = a
+    partial aggregate, so its input is one pre-combined row per
+    partition), or -- only where the query declares a bounded rollup key
+    -- a Sort over that constant-cardinality key."""
     plan = plan_of(spark, name)
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
             child = lines[i + 1] if i + 1 < len(lines) else ""
-            assert "partial_" in child, (name, ln, child)
+            if "partial_" in child:
+                continue
+            # The only other acceptable shape: the single-partition input
+            # is a GROUPED aggregate keyed by the declared bounded rollup
+            # key (constant cardinality), feeding the annotated rollup
+            # window -- never a data-sized frame.
+            assert bounded_keys and "Aggregate" in child and any(
+                f"output=[{k}" in child for k in bounded_keys
+            ), (name, ln, child)
     assert "Window" in plan, plan  # the bucketed phase-1 windows exist
