@@ -29,100 +29,47 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 
 
-# Evidence-driven ordering, round 10: the external driver cross-checks
-# the FIRST 50 registered queries each round.  CORRECTNESS_r09 landed
-# 50/50 green, and the round-9 verdict's item 1 orders this window spent
-# on the staged 52-query _ROUND10_EVIDENCE_TODO cohort (the 3 r3-stale
-# deferrals + the 49 r4-last-green queries) minus slots for whatever
-# churned.  Changed plans outrank staleness (their old evidence
-# describes dead code); this round that is: customers_rfm_segments
-# (three global rank windows -> rank_two_phase, verdict item 2),
-# sketch_kmv_ndv + sketch_theta_intersection (per-partition bottom-k
-# pre-reduction, verdict item 3), events_interarrival_stats (global gap
-# rank -> rank_two_phase, verdict item 6 sweep), parts_abc_pareto
-# (global cumulative-share window -> prefix_sum_two_phase, same sweep;
-# already in the cohort), and the three below.
-# stream_upsert_foreachbatch (mid-rmtree torn swap recovery, ADVICE r9
-# medium), format_storage_metrics (oracle text gained the
-# intentional-pin fragility note, ADVICE r9 low), and
-# sink_partitioned_events (REBALANCE hint on the partitioned write --
-# the probe measured the unhinted form file-commit-bound at O(tasks x
-# partitions) files).  That is 7 churned slots outside the cohort, so
-# the 9 SAFEST cohort entries defer to lead the round-11 TODO: the
-# eight r4 TPC-H aggregate singles (q5/q7/q8/q13/q15/q17/q18/q22 --
-# zero churn, and the TPC-H family re-pinned 100% green in rounds 8-9)
-# plus orders_market_basket (a lineitem self-join single, r4-green).
-# Ordering within the 50: the changed cohort first so a truncated pass
-# still covers it, then the twice-deferred r3 trio, then the
-# failure-prone Arrow/multimodal/scan/sink singles, the similarity and
-# search arms, the broad batch cohort, and the slow pipeline at the tail.
+# Evidence-driven ordering, round 11: the external driver cross-checks
+# the FIRST 50 registered queries each round.  CORRECTNESS_r10 landed
+# 50/50 green (cumulative: all 293 entries green at their latest check).
+# Changed plans outrank staleness (their old evidence describes dead
+# code); this round that is 14 entries: the seven two-phase-helper
+# consumers (the r11 null-contract fix + pack-shards fold churned every
+# consumer's plan hash: customers_rfm_segments, events_interarrival_stats,
+# parts_abc_pareto, dq_outlier_mad, pack_token_shards,
+# multimodal_pack_shards, pipeline_multimodal_curation), the two new
+# global-window conversions (events_uplift_deciles ntile -> two-phase
+# rank + integer NTILE arithmetic; customers_gini_spend rank ->
+# two-phase, verdict item 3), the rebalanced dynamic-partition sinks
+# (similarity_ivf_partitioned + similarity_ivf_append + sink_gdpr_erasure
+# + scan_partition_evolution, verdict items 1-2; similarity_ivf_recall
+# rides along per the verdict's done-criterion though its plan is
+# untouched).  Then the 9 deferred r4 singles (orders_market_basket +
+# 8 TPC-H, the round-10 TODO), then 27 of the 45 r5-stale entries (the
+# evidence-age ratchet, verdict item 8: the verdict-named four, the
+# 11-query r5 TPC-H block, and 12 more; the slow composed ones sit at
+# the tail so a truncated pass still covers everything cheap).  The 18
+# r5 entries that do not fit are staged below as the round-12 TODO --
+# after this round the stalest evidence is r5 with 18 entries left.
 _EVIDENCE_PRIORITY = (
-    # -- re-pins: plan or oracle changed THIS round --
+    # -- re-pins: plan changed THIS round (two-phase helper consumers) --
     "customers_rfm_segments",
-    "sketch_kmv_ndv",
-    "sketch_theta_intersection",
     "events_interarrival_stats",
     "parts_abc_pareto",
-    "stream_upsert_foreachbatch",
-    "format_storage_metrics",
-    "sink_partitioned_events",
-    # -- twice-deferred r3-stale trio: re-pin FIRST among the cohort --
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "scan_schema_evolution",
-    # -- r4-stale: Arrow / multimodal / scan / sink surfaces --
-    "multimodal_audio_chunks",
-    "multimodal_clip_pairing",
-    "scan_ndjson_corrupt",
-    "scan_csv_events",
-    "scan_orc_events",
-    "sink_backfill_partition",
-    "sink_zorder_events",
-    "scd2_customer_priority",
-    "table_diff_snapshots",
-    # -- r4-stale: similarity / search arms --
-    "similarity_hard_negatives",
+    "dq_outlier_mad",
+    "pack_token_shards",
+    "multimodal_pack_shards",
+    "pipeline_multimodal_curation",
+    # -- re-pins: global-window conversions (verdict item 3) --
+    "events_uplift_deciles",
+    "customers_gini_spend",
+    # -- re-pins: rebalanced dynamic-partition writes (items 1-2) --
+    "similarity_ivf_partitioned",
     "similarity_ivf_append",
-    "similarity_ivfpq_topk",
-    "similarity_pq_topk",
-    "search_hybrid_rrf",
-    "search_rerank_proximity",
-    # -- r4-stale: text / BPE --
-    "text_bpe_encode_corpus",
-    "text_bpe_train_merges",
-    "text_char_bigram_lm",
-    "text_keyword_pagerank",
-    # -- r4-stale: dedup --
-    "dedup_substring_exact",
-    "dedup_substring_remove",
-    # -- r4-stale: events batch cohort --
-    "events_anomaly_zscore",
-    "events_cusum_changepoints",
-    "events_gapfill_locf",
-    "events_markov_transitions",
-    "events_moving_average",
-    "events_top_paths",
-    "events_user_trend_ols",
-    # -- r4-stale: graph --
-    "graph_pagerank_trading",
-    "graph_triangle_count",
-    # -- r4-stale: relational / dq / sample --
-    "aqp_sampled_revenue",
-    "dq_fd_repair",
-    "dq_validate_suite",
-    "parts_skyline_cheap_small",
-    "profile_length_histogram",
-    "sample_domain_cap",
-    "sample_weighted_priority",
-    "window_ntile_deciles",
-    # -- slow composed re-pin at the tail --
-    "pipeline_contamination_sweep",
-)
-# ROUND-11 EVIDENCE TODO (registry-checked below): with the round-10
-# window above green, every query's most recent driver green is r5+
-# except these 8 deferred r4 TPC-H singles -- fill the round-11 window
-# with them first, then whatever churns.
-_ROUND11_EVIDENCE_TODO = (
+    "similarity_ivf_recall",
+    "sink_gdpr_erasure",
+    "scan_partition_evolution",
+    # -- the 9 deferred r4 singles (round-10 TODO, verdict item 4) --
     "orders_market_basket",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
@@ -132,11 +79,66 @@ _ROUND11_EVIDENCE_TODO = (
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q22_dormant_accounts",
+    # -- r5-stale ratchet (verdict item 8): verdict-named four --
+    "scan_ndjson",
+    "json_path_get",
+    "multimodal_phash_neardup",
+    "format_roundtrip_jsonb_shredded",
+    # -- r5-stale: the TPC-H block --
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_delay_priority",
+    "q16_part_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    # -- r5-stale: relational / dq / join / events --
+    "agg_rollup_region_nation",
+    "dq_fd_audit",
+    "dq_k_anonymity",
+    "dq_skew_profile",
+    "events_heatmap_dow_hour",
+    "join_bloom_prefilter",
+    # -- r5-stale: dedup / embedding / graph (slow composed at the tail) --
+    "dedup_minhash_recall",
+    "embedding_gram_matrix",
+    "graph_kcore_word",
+    "embedding_pca_power",
+    "graph_communities_trading",
+    "pipeline_pretrain_corpus",
+)
+# ROUND-12 EVIDENCE TODO (registry-checked below): the 18 r5-stale
+# entries the round-11 window could not fit -- fill the round-12 window
+# with them first, then whatever churns.  After that the stalest
+# evidence is r6.
+_ROUND12_EVIDENCE_TODO = (
+    "join_broadcast_region_revenue",
+    "join_fuzzy_part_names",
+    "json_variant_get",
+    "orders_open_interval_sweep",
+    "orders_seasonality_index",
+    "profile_table_columns",
+    "profile_token_zipf",
+    "sample_language_temperature",
+    "scan_xml_events",
+    "similarity_matryoshka_recall",
+    "sketch_histogram_rollup",
+    "stream_late_data_dropped",
+    "stream_session_window",
+    "stream_session_window_batch",
+    "text_adaptive_length_filter",
+    "text_bpe_pair_counts",
+    "text_chunk_overlap",
+    "text_classifier_score",
 )
 
 _missing = [
     n
-    for n in _EVIDENCE_PRIORITY + _ROUND11_EVIDENCE_TODO
+    for n in _EVIDENCE_PRIORITY + _ROUND12_EVIDENCE_TODO
     if n not in REGISTRY
 ]
 assert not _missing, f"evidence-priority names not in REGISTRY: {_missing}"
