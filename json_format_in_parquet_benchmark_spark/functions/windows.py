@@ -31,7 +31,7 @@ _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
 def _require_integral(df, col: str, fn: str, role: str) -> None:
     """Enforce the two-phase recipes' column contract with a clear error.
 
-    Both two-phase builders splice ``col`` raw into ``F.expr(f"{col} div
+    The two-phase builders splice ``col`` raw into ``F.expr(f"{col} div
     width")``, so the argument must be a PLAIN column name (not a
     qualified path or expression) of an integral type -- ``div`` on a
     fractional type or a spliced expression would otherwise surface as an
@@ -56,11 +56,11 @@ def _require_integral(df, col: str, fn: str, role: str) -> None:
 
 
 def _require_width(fn: str, name: str, width) -> None:
-    """Reject non-positive bucket/tie widths LOUDLY.  Under default
-    non-ANSI mode ``x div 0`` yields NULL, which would silently send
-    every row to the null bucket instead of failing -- exactly the
-    misuse class :func:`_require_integral` exists to prevent (r10
-    ADVICE)."""
+    """Reject non-positive bucket/tie widths LOUDLY.  ``x div 0`` is a
+    silent all-NULL bucketing under non-ANSI mode and an opaque
+    mid-query DIVIDE_BY_ZERO under ANSI -- either way the misuse class
+    :func:`_require_integral` exists to prevent, so fail at call time
+    with the argument named (r10 ADVICE)."""
     if isinstance(width, bool) or not isinstance(width, int) or width < 1:
         raise TypeError(
             f"{fn}: {name} must be a positive int, got {width!r} -- a "

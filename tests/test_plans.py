@@ -196,9 +196,11 @@ def test_shard_packing_no_per_lang_sort_wall(spark):
     plan = plan_of(spark, "pack_token_shards")
     # Window sort stages over the corpus must be keyed (lang, bucket) --
     # a Sort whose matching exchange partitions on lang alone is the wall.
+    # (the packer's bucket keys are the folded prefix-sum helper's
+    # _pfx_bn/_pfx_b pair since r11)
     corpus_single_lang = [
         m for m in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
-        if "lang" in m and "_pack_b" not in m and "shard" not in m
+        if "lang" in m and "_pfx_b" not in m and "shard" not in m
         and "_rk_b" not in m
     ]
     # The only lang-without-bucket exchange allowed is the bucket-OFFSET
@@ -208,7 +210,7 @@ def test_shard_packing_no_per_lang_sort_wall(spark):
     assert len(corpus_single_lang) <= 1, plan
     # Phase-1 windows partition by (lang, bucket).
     assert any(
-        "lang" in m and "_pack_b" in m
+        "lang" in m and "_pfx_b" in m
         for m in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     ), plan
 
