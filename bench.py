@@ -42,12 +42,14 @@ STORAGE_CORPUS = f"{REFERENCE_JSON_DIR}/events_ndv_0.1_8192.json"
 CORPUS_LOOP = ("logs.json", "tags.json", "tags_with_time.json", "trace.json")
 CORPUS_FORMATS = ("plain_json", "jsonb", "jsonc")
 # Host-speed anchor for the calibration query below (r10 verdict item 9):
-# the min-of-5 calibration seconds measured on THIS box quiet at r11.
+# the min-of-5 calibration seconds measured IN-BENCH (i.e. after the full
+# warmup phase -- JIT state matters: the same query measured 0.1962s on a
+# fresh JVM and 0.0916s post-warmup on the same quiet box) at r11.
 # Cross-day totals here swing ~18% with machine load (bench_notes.md), so
 # bench_full reports each headliner both raw and normalized by
 # (calibration_s / CAL_BASELINE_S) -- a round-over-round comparison reads
 # the normalized column and no longer re-litigates host noise.
-CAL_BASELINE_S = 0.1962
+CAL_BASELINE_S = 0.0916
 
 
 def _plan_fingerprint(df) -> str:
