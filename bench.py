@@ -210,6 +210,7 @@ def main() -> None:
     # machine-load noise so round-over-round numbers track plan changes,
     # not scheduler luck (criterion reports a statistical min the same way).
     timings: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     plan_hashes: dict[str, str] = {}
     exec_metrics: dict[str, dict] = {}
@@ -224,13 +225,17 @@ def main() -> None:
         # its fingerprint) depends on which queries ran before it.  The
         # three iterations of one query still share their own caches.
         _release_caches()
-        best = float("inf")
+        per_trial = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = q.fn(spark, SF_DIR)
             out = df.collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            per_trial.append(round(time.perf_counter() - t0, 4))
+        # min is the headline (criterion's low-noise statistic); the raw
+        # per-trial list is kept so a reader can see the spread/outliers
+        # the same way criterion's sampled distributions do.
+        timings[name] = min(per_trial)
+        trials[name] = per_trial
         rows[name] = len(out)
         try:
             # post-collect, so AQE's final (re-optimized) plan is hashed
@@ -250,9 +255,18 @@ def main() -> None:
     # writer's effective level) so the cross-framework ratio measures
     # format representation, not a compression-knob asymmetry; the
     # engine's tuned level-9 arm is reported separately as storage_zstd9.
+    # A third, STRICT like-for-like arm (ADVICE r10): reference level AND
+    # ~the reference writer's default 1 MiB data-page limit, so neither
+    # codec level nor page size favors this engine -- the ratio a skeptic
+    # should quote.  The 4 MiB-page arms stay the headline (the page size
+    # is a legitimate writer tuning, now measured separately).
     storage: dict[str, dict] = {}
     storage_zstd9: dict[str, dict] = {}
+    storage_default_pages: dict[str, dict] = {}
     try:
+        from json_format_in_parquet_benchmark_spark.formats.base import (
+            PAGE_SIZE as _TUNED_PAGE,
+        )
         from json_format_in_parquet_benchmark_spark.formats.base import (
             ZSTD_LEVEL,
         )
@@ -262,12 +276,15 @@ def main() -> None:
         )
 
         raw = read_ndjson_raw(spark, STORAGE_CORPUS)
-        for level, sink in (
-            (REF_ZSTD_LEVEL, storage),
-            (ZSTD_LEVEL, storage_zstd9),
+        for level, page, sink in (
+            (REF_ZSTD_LEVEL, _TUNED_PAGE, storage),
+            (ZSTD_LEVEL, _TUNED_PAGE, storage_zstd9),
+            (REF_ZSTD_LEVEL, 1 << 20, storage_default_pages),
         ):
-            out_dir = f"/tmp/jfipb_bench_storage_l{level}"
-            for m in measure_all_formats(spark, raw, out_dir, zstd_level=level):
+            out_dir = f"/tmp/jfipb_bench_storage_l{level}_p{page}"
+            for m in measure_all_formats(
+                spark, raw, out_dir, zstd_level=level, page_size=page
+            ):
                 sink[m.format] = {
                     "num_of_lines": m.num_of_lines,
                     "parquet_file_size": m.parquet_file_size,
@@ -435,10 +452,12 @@ def main() -> None:
         },
         "sf": infer_sf(SF_DIR),
         "rows": rows,
+        "queries_trials": trials,
         "plan_hash": plan_hashes,
         "exec_metrics": exec_metrics,
         "storage": storage,
         "storage_zstd9": storage_zstd9,
+        "storage_default_pages": storage_default_pages,
         "storage_page_size": PAGE_SIZE,
         "storage_by_corpus": storage_by_corpus,
         "path_query": path_query,
