@@ -2445,3 +2445,32 @@ def test_two_phase_keeps_null_values_nulls_first(spark):
         ).collect()
     }
     assert got_s == want_s
+
+
+def test_ntile_from_rank_arithmetic_matches_native(spark):
+    """events_uplift_deciles recovers NTILE(10) from the two-phase
+    (rank, n) with pure integer arithmetic.  The SQL-standard rule is
+    subtle (the first n%10 tiles carry the extra row -- the naive
+    floor(k*(rn-1)/n)+1 misplaces them), so pin the formula against
+    Spark's native ntile at sizes that hit every branch: n < 10 (q=0,
+    one row per tile), n%10 == 0 (even tiles), and two uneven sizes
+    whose remainders differ."""
+    from pyspark.sql import Window as _W
+
+    ntile_sql = (
+        "cast(case when rn <= (n % 10) * ((n div 10) + 1)"
+        " then (rn + (n div 10)) div ((n div 10) + 1)"
+        " else (n % 10) + (rn - (n % 10) * ((n div 10) + 1)"
+        " + (n div 10) - 1) div (n div 10) end as int)"
+    )
+    for n in (3, 10, 14, 97, 150):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        w = _W.orderBy("k")
+        rows = df.select(
+            "k",
+            F.ntile(10).over(w).cast("int").alias("native"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.count(F.lit(1)).over(_W.partitionBy()).cast("bigint").alias("n"),
+        ).selectExpr("k", "native", f"{ntile_sql} as arith")
+        bad = [r for r in rows.collect() if r["native"] != r["arith"]]
+        assert not bad, (n, bad[:5])
