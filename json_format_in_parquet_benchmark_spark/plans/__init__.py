@@ -112,10 +112,13 @@ _EVIDENCE_PRIORITY = (
     "pipeline_pretrain_corpus",
 )
 # ROUND-12 EVIDENCE TODO (registry-checked below): the 18 r5-stale
-# entries the round-11 window could not fit -- fill the round-12 window
-# with them first, then whatever churns.  After that the stalest
+# entries the round-11 window could not fit, plus the one query ADDED in
+# r11 (dedup_url_canonical -- seam-green at sf0.001/sf0.01 + hostile TZ
+# this round, but with no driver evidence yet) -- fill the round-12
+# window with them first, then whatever churns.  After that the stalest
 # evidence is r6.
 _ROUND12_EVIDENCE_TODO = (
+    "dedup_url_canonical",
     "join_broadcast_region_revenue",
     "join_fuzzy_part_names",
     "json_variant_get",

@@ -1457,3 +1457,107 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=CONT_THRESHOLD,
         df_cap=CONT_DF_CAP,
     )
+
+
+# --- URL-level dedup with canonicalization ------------------------------------
+# The FIRST dedup stage of every web-scale pretraining pipeline (CCNet
+# keeps one record per URL; RefinedWeb and Dolma canonicalize before
+# exact-URL collapse): far cheaper than any content hash because it runs
+# before fetch/parse at crawl time, and at 100 TB it is a map-side string
+# normalization plus ONE shuffle on the canonical key.  The documents
+# table carries no URL column, so the fixture derives one
+# DETERMINISTICALLY from (source, doc_id) with every real-world artifact
+# the canonicalizer must erase -- scheme case (HTTPS:// vs http://),
+# www. prefix presence and case, host case, utm_* tracking params with
+# VARYING values, and fragments -- while preserving the one meaningful
+# param (page).  Records agreeing on (lower(source), doc_id%50, doc_id%4)
+# collapse iff the canonicalizer erases all five artifacts; any missed
+# rule changes group counts and fails the hash check.
+
+
+def _url_canonical_sql(cast_str) -> dict[str, str]:
+    """Render the URL fixture + canonicalization chain once for both
+    engines.  ``cast_str`` renders an int expression as a string (the one
+    dialect difference: Spark ``cast(x as string)``, DuckDB
+    ``cast(x as varchar)``); every other function used (concat, lower,
+    upper, instr, substr, regexp_replace, regexp_extract, like-free
+    regexes) behaves identically in Spark SQL (Java regex) and DuckDB
+    (RE2) for these patterns."""
+    url = (
+        "concat("
+        "case when doc_id % 2 = 0 then 'HTTPS://' else 'http://' end, "
+        "case when doc_id % 3 = 0 then 'WWW.' "
+        "     when doc_id % 3 = 1 then 'www.' else '' end, "
+        "case when doc_id % 4 = 0 then upper(source) else source end, "
+        "'.example.com/articles/', "
+        f"{cast_str('doc_id % 50')}, "
+        f"'?utm_source=feed&utm_id=', {cast_str('doc_id % 7')}, "
+        f"'&page=', {cast_str('doc_id % 4')}, "
+        "case when doc_id % 5 = 0 then '#ref' else '' end)"
+    )
+    # scheme off, fragment off
+    stripped = (
+        f"regexp_replace(regexp_replace({url}, '^[A-Za-z]+://', ''), "
+        "'#.*$', '')"
+    )
+    base = (
+        f"case when instr({stripped}, '?') > 0 "
+        f"then substr({stripped}, 1, instr({stripped}, '?') - 1) "
+        f"else {stripped} end"
+    )
+    # lowercase, www. off, trailing slash off
+    base_norm = (
+        f"regexp_replace(regexp_replace(lower({base}), "
+        "'^www\\.', ''), '/$', '')"
+    )
+    qs = (
+        f"case when instr({stripped}, '?') > 0 "
+        f"then substr({stripped}, instr({stripped}, '?') + 1) else '' end"
+    )
+    page = f"regexp_extract({qs}, '(?:^|&)page=([0-9]+)', 1)"
+    return {
+        "url": url,
+        "canonical": f"concat({base_norm}, '?page=', {page})",
+    }
+
+
+_URL_SPARK = _url_canonical_sql(lambda x: f"cast({x} as string)")
+_URL_DUCK = _url_canonical_sql(lambda x: f"cast({x} as varchar)")
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+SELECT {_URL_DUCK['canonical']} AS canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+GROUP BY 1
+""",
+    doc="URL-level dedup with full canonicalization (the crawl-time first "
+    "stage of CCNet/RefinedWeb/Dolma-style pipelines): scheme and "
+    "fragment stripped, host lowercased, www. prefix dropped, utm_* "
+    "tracking params erased, the meaningful page param preserved, then "
+    "one group per canonical URL keeping the lowest doc_id with copy "
+    "count + membership checksum.  Entirely built-in string functions "
+    "(JVM-side, whole-stage codegen) feeding ONE hash aggregate on the "
+    "canonical key -- at 100 TB this is a map-side projection plus a "
+    "single shuffle, the cheapest dedup the pipeline runs and the one "
+    "that runs first.  The URL fixture is derived deterministically "
+    "from (source, doc_id) with varying scheme/www/case/utm/fragment "
+    "noise, so the oracle's group counts verify every normalization "
+    "rule: a missed rule splits groups and fails the hash check.",
+    tags=("dedup", "url", "canonicalization"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.expr(_URL_SPARK["canonical"]).alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
