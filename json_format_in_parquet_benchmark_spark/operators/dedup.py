@@ -209,6 +209,10 @@ def minhash_signatures_arrow(docsets: DataFrame, k: int = 16) -> DataFrame:
         import pyarrow as pa
 
         con = duckdb.connect()  # once per task (guide 4.5)
+        # One DuckDB thread per Spark task: the task slots ARE the
+        # parallelism; 32 tasks x default-32 DuckDB threads would
+        # oversubscribe the box 32x and thrash.
+        con.execute("PRAGMA threads=1")
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             con.register("batch_tbl", tbl)
