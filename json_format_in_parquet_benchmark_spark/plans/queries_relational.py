@@ -2591,7 +2591,15 @@ ORDER BY r_q, f_q, m_q
     "bounded per-customer cents sum), so the bucket fan-out holds at "
     "any scale; the deterministic (value, custkey) total order makes "
     "the two-phase ranks identical to the single-window oracle bit "
-    "for bit.",
+    "for bit.  DECIDED (r12, closing the r11 not-yet item): no "
+    "cardinality-adaptive switch back to plain windows below ~1M "
+    "customers -- the fork's scale arm would never execute at the "
+    "driver's test SFs and so could never earn driver correctness "
+    "evidence, the fork needs an extra count() job on every build, "
+    "and a data-dependent plan makes plan-hash regression tracking "
+    "meaningless; the ~2.4x two-phase overhead below 1M customers "
+    "(results/scale_probe.txt r10) is a bounded test-scale constant "
+    "this registry pays knowingly, exactly like events_uplift_deciles.",
     tags=("relational", "window", "segmentation", "aggregation"),
 )
 def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
