@@ -29,96 +29,24 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 
 
-# Evidence-driven ordering, round 11: the external driver cross-checks
-# the FIRST 50 registered queries each round.  CORRECTNESS_r10 landed
-# 50/50 green (cumulative: all 293 entries green at their latest check).
-# Changed plans outrank staleness (their old evidence describes dead
-# code); this round that is 14 entries: the seven two-phase-helper
-# consumers (the r11 null-contract fix + pack-shards fold churned every
-# consumer's plan hash: customers_rfm_segments, events_interarrival_stats,
-# parts_abc_pareto, dq_outlier_mad, pack_token_shards,
-# multimodal_pack_shards, pipeline_multimodal_curation), the two new
-# global-window conversions (events_uplift_deciles ntile -> two-phase
-# rank + integer NTILE arithmetic; customers_gini_spend rank ->
-# two-phase, verdict item 3), the rebalanced dynamic-partition sinks
-# (similarity_ivf_partitioned + similarity_ivf_append + sink_gdpr_erasure
-# + scan_partition_evolution, verdict items 1-2; similarity_ivf_recall
-# rides along per the verdict's done-criterion though its plan is
-# untouched).  Then the 9 deferred r4 singles (orders_market_basket +
-# 8 TPC-H, the round-10 TODO), then 27 of the 45 r5-stale entries (the
-# evidence-age ratchet, verdict item 8: the verdict-named four, the
-# 11-query r5 TPC-H block, and 12 more; the slow composed ones sit at
-# the tail so a truncated pass still covers everything cheap).  The 18
-# r5 entries that do not fit are staged below as the round-12 TODO --
-# after this round the stalest evidence is r5 with 18 entries left.
+# Evidence-driven ordering, round 12: the external driver cross-checks
+# the FIRST 50 registered queries each round.  CORRECTNESS_r11 landed
+# 50/50 green (cumulative: every entry green at its latest check except
+# dedup_url_canonical, which has never been driver-checked).  No plan
+# hash changed this round (all four optimization experiments were
+# measured and REJECTED -- results/scale_probe.txt round-12 block), so
+# the window is pure evidence-age ratchet: first dedup_url_canonical
+# (the r11 verdict's top item -- the only registry entry with zero
+# driver CORRECTNESS evidence), then the 18 remaining r5-stale entries
+# staged by round 11 as _ROUND12_EVIDENCE_TODO, then 31 of the 47
+# r6-stale entries (cheap singles first; the slow composed/streaming
+# ones sit past the window as the round-13 TODO so a truncated pass
+# still covers everything cheap).  After this round the stalest
+# evidence is r6 with the 19 staged entries left.
 _EVIDENCE_PRIORITY = (
-    # -- re-pins: plan changed THIS round (two-phase helper consumers) --
-    "customers_rfm_segments",
-    "events_interarrival_stats",
-    "parts_abc_pareto",
-    "dq_outlier_mad",
-    "pack_token_shards",
-    "multimodal_pack_shards",
-    "pipeline_multimodal_curation",
-    # -- re-pins: global-window conversions (verdict item 3) --
-    "events_uplift_deciles",
-    "customers_gini_spend",
-    # -- re-pins: rebalanced dynamic-partition writes (items 1-2) --
-    "similarity_ivf_partitioned",
-    "similarity_ivf_append",
-    "similarity_ivf_recall",
-    "sink_gdpr_erasure",
-    "scan_partition_evolution",
-    # -- the 9 deferred r4 singles (round-10 TODO, verdict item 4) --
-    "orders_market_basket",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q22_dormant_accounts",
-    # -- r5-stale ratchet (verdict item 8): verdict-named four --
-    "scan_ndjson",
-    "json_path_get",
-    "multimodal_phash_neardup",
-    "format_roundtrip_jsonb_shredded",
-    # -- r5-stale: the TPC-H block --
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_ship_delay_priority",
-    "q16_part_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    # -- r5-stale: relational / dq / join / events --
-    "agg_rollup_region_nation",
-    "dq_fd_audit",
-    "dq_k_anonymity",
-    "dq_skew_profile",
-    "events_heatmap_dow_hour",
-    "join_bloom_prefilter",
-    # -- r5-stale: dedup / embedding / graph (slow composed at the tail) --
-    "dedup_minhash_recall",
-    "embedding_gram_matrix",
-    "graph_kcore_word",
-    "embedding_pca_power",
-    "graph_communities_trading",
-    "pipeline_pretrain_corpus",
-)
-# ROUND-12 EVIDENCE TODO (registry-checked below): the 18 r5-stale
-# entries the round-11 window could not fit, plus the one query ADDED in
-# r11 (dedup_url_canonical -- seam-green at sf0.001/sf0.01 + hostile TZ
-# this round, but with no driver evidence yet) -- fill the round-12
-# window with them first, then whatever churns.  After that the stalest
-# evidence is r6.
-_ROUND12_EVIDENCE_TODO = (
+    # -- the r11-added entry with NO driver evidence yet (verdict item 1) --
     "dedup_url_canonical",
+    # -- the 18 r5-stale entries staged as _ROUND12_EVIDENCE_TODO --
     "join_broadcast_region_revenue",
     "join_fuzzy_part_names",
     "json_variant_get",
@@ -137,11 +65,70 @@ _ROUND12_EVIDENCE_TODO = (
     "text_bpe_pair_counts",
     "text_chunk_overlap",
     "text_classifier_score",
+    # -- r6-stale ratchet: events / ab-test singles --
+    "events_ab_cuped",
+    "events_ab_srm_check",
+    "events_ab_welch_ttest",
+    "events_attribution_lasttouch",
+    "events_autocorr",
+    "events_bitmap_retention",
+    "events_bootstrap_ci",
+    "events_forecast_holt",
+    "events_forecast_ses",
+    "events_funnel_exclusion",
+    "events_sankey_paths",
+    # -- r6-stale: scans / formats / profiling --
+    "format_scan_shredded_pushdown",
+    "scan_footer_stats_manifest",
+    "scan_ndjson_gzip",
+    "json_paths_census",
+    "generator_documents_planted",
+    "dq_observe_inflight",
+    "embedding_norms_arrow",
+    # -- r6-stale: text / relational singles --
+    "text_collocations_pmi",
+    "text_novelty_curve",
+    "text_term_burstiness",
+    "udtf_event_streaks",
+    "window_range_frame",
+    "orders_backtest_naive",
+    "sample_stratified_exact",
+    "join_spatial_grid",
+    # -- r6-stale: heavier tail (still inside the window) --
+    "dedup_repeated_segments",
+    "search_mmr_diversify",
+    "similarity_range_radius",
+    "scan_pyds_ndjson_ranges",
+    "graph_bfs_distance",
+)
+# ROUND-13 EVIDENCE TODO (registry-checked below): the 19 r6-stale
+# entries the round-12 window could not fit -- the slow composed /
+# streaming ones, deliberately deferred as a block so this round's
+# window stays inside the driver's time budget.  Fill the round-13
+# window with them first, then whatever churns.  After that the stalest
+# evidence is r7.
+_ROUND13_EVIDENCE_TODO = (
+    "dedup_containment_pairs",
+    "dedup_planted_recall",
+    "dedup_substring_strided",
+    "graph_link_prediction",
+    "graph_random_walks",
+    "join_entity_resolution",
+    "pipeline_rag_ingest",
+    "sample_coreset_kcenter",
+    "sink_inverted_index",
+    "sink_parquet_bloom_lookup",
+    "sink_snapshot_time_travel",
+    "stream_lsh_dedup_gate",
+    "stream_parquet_file_sink",
+    "stream_pyds_ndjson_sink",
+    "stream_pyds_replay",
+    "stream_topk_heavy_hitters",
 )
 
 _missing = [
     n
-    for n in _EVIDENCE_PRIORITY + _ROUND12_EVIDENCE_TODO
+    for n in _EVIDENCE_PRIORITY + _ROUND13_EVIDENCE_TODO
     if n not in REGISTRY
 ]
 assert not _missing, f"evidence-priority names not in REGISTRY: {_missing}"
