@@ -64,6 +64,20 @@ def main() -> None:
             q.fn(spark, sf_dir).collect()
         except Exception as exc:
             print(f"ERROR {name}: {exc}", file=sys.stderr)
+        # Evidence-completeness guard (ADVICE r11): only
+        # DataFrameWriter.parquet is intercepted, so a query writing via
+        # .save()/.saveAsTable()/another format would be silently
+        # uncaptured -- fail loudly instead of emitting a hole in the
+        # evidence set.
+        if _STATE["n"] == 0:
+            print(
+                f"ERROR {name}: zero write plans captured -- the query "
+                "either does not write or writes through a sink this "
+                "script does not intercept (only DataFrameWriter.parquet "
+                "is wrapped); extend the intercept before trusting this "
+                "evidence run",
+                file=sys.stderr,
+            )
         release_caches()
     spark.stop()
 

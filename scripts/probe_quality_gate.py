@@ -3,14 +3,16 @@ tokenization (tokens_spark appears 4x across the filter: size(toks) twice,
 the stopword higher-order filter once, plus the size(toks)>0 pre-filter) --
 or whether Catalyst's subexpression elimination already collapses them.
 
-Arms (min-of-3 each, same staged corpus, counts asserted equal):
+Arms (interleaved trial-by-trial, min-of-5 each, same staged corpus,
+counts asserted equal):
   spliced    -- the registered form's predicate verbatim.
   fold       -- one aggregate() pass computing (n_toks, n_stop) from ONE
                 split, quality derived from the struct (interpreted lambda,
                 but tokenizes once).
-  arr_size   -- spliced but with the stopword count via size(filter(...))
-                replaced by aggregate over the SAME toks splice (control for
-                the higher-order-filter cost alone).
+
+The committed round-11 scale_probe rows were produced with explicit tiers
+2000000 5000000 (the defaults below are the cheaper 500k/2M pair); pass
+those arguments to reproduce them.
 
 Usage: python scripts/probe_quality_gate.py [n_docs ...]
 """
